@@ -1,0 +1,59 @@
+"""spmv_tpu — a TPU-native distributed sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of LIBSPMV
+(Excalibur-SLE/spmv, surveyed in SURVEY.md): distributed sparse matrix-vector
+multiplication over row-block partitions, a compiled halo-exchange plan
+(the L2GMap equivalent — see ``spmv_tpu.parallel.comm_plan``), communication/
+compute overlap, a symmetric lower-triangle storage optimization, a
+Conjugate-Gradient solver, and PETSc binary I/O.
+
+Layer map (TPU-native analogue of reference layers L0-L7, SURVEY.md section 1):
+
+====================  =======================================================
+reference (C++/MPI)    spmv_tpu (JAX/XLA/Pallas)
+====================  =======================================================
+DeviceExecutor (L0)    JAX device placement + ``interpret`` flag on kernels
+csr/coo kernels (L1)   ``spmv_tpu.ops`` Pallas/XLA kernels on ELL/DIA/BCSR
+CSR/COOMatrix (L2)     ``spmv_tpu.formats`` device formats (host CSR import)
+L2GMap (L3)            ``spmv_tpu.parallel.comm_plan.CommPlan``
+Matrix (L4)            ``spmv_tpu.parallel.dist_matrix.DistMatrix``
+cg (L5)                ``spmv_tpu.solvers.cg``
+read_petsc (L6)        ``spmv_tpu.io.petsc``
+spmv.h (L7)            this module
+====================  =======================================================
+"""
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.formats.ell import EllMatrix, csr_to_ell
+from spmv_tpu.formats.dia import DiaMatrix, csr_to_dia
+from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, gaussian_bump
+from spmv_tpu.ops.spmv_ell import spmv_ell
+from spmv_tpu.ops.spmv_dia import spmv_dia
+from spmv_tpu.solvers.cg import cg, CGResult
+from spmv_tpu.io.petsc import (
+    read_petsc_binary_matrix_host,
+    read_petsc_binary_vector_host,
+    write_petsc_binary_matrix,
+    write_petsc_binary_vector,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CSRHost",
+    "EllMatrix",
+    "csr_to_ell",
+    "DiaMatrix",
+    "csr_to_dia",
+    "create_laplace_1d",
+    "create_laplace_2d",
+    "gaussian_bump",
+    "spmv_ell",
+    "spmv_dia",
+    "cg",
+    "CGResult",
+    "read_petsc_binary_matrix_host",
+    "read_petsc_binary_vector_host",
+    "write_petsc_binary_matrix",
+    "write_petsc_binary_vector",
+]

@@ -1,0 +1,97 @@
+"""DIA (diagonal) device format — the stencil/banded fast path.
+
+For banded operators (the reference's benchmark matrices: 1-D 3-point and
+2-D 5-point Laplacians, reference demos/CreateA.cpp:52-68), SpMV in DIA form
+is a handful of shifted elementwise multiply-adds — no gather at all. That is
+the speed-of-light formulation on TPU: pure VPU work at HBM bandwidth, one
+pass over the diagonal data.
+
+data[d, i] = A[i, i + offsets[d]]  (zero where the column falls outside).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.formats.csr import CSRHost
+
+
+@dataclasses.dataclass
+class DiaMatrix:
+    """Device-resident diagonal-format matrix.
+
+    data:    (ndiags, nrows_pad) — data[d, i] = A[i, i + offsets[d]]
+    offsets: static tuple of diagonal offsets (j - i), ascending
+    """
+
+    data: jax.Array
+    offsets: tuple[int, ...]
+    nrows: int
+    ncols: int
+    _nnz: int = 0
+
+    @property
+    def nrows_pad(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def ndiags(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz_stored(self) -> int:
+        return int(self._nnz)
+
+    def format_size_bytes(self) -> int:
+        return self.data.size * self.data.dtype.itemsize
+
+
+jax.tree_util.register_dataclass(
+    DiaMatrix,
+    data_fields=["data"],
+    meta_fields=["offsets", "nrows", "ncols", "_nnz"],
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def csr_to_dia(
+    a: CSRHost,
+    row_align: int = 8,
+    max_diags: int = 64,
+    dtype=None,
+) -> DiaMatrix:
+    """Convert host CSR to DIA. Raises if the matrix has more than
+    ``max_diags`` distinct diagonals (then it is not band-structured and ELL
+    should be used instead)."""
+    lens = a.row_nnz()
+    rows = np.repeat(np.arange(a.nrows), lens)
+    offs = a.colind.astype(np.int64) - rows
+    uniq = np.unique(offs)
+    if len(uniq) > max_diags:
+        raise ValueError(
+            f"matrix has {len(uniq)} distinct diagonals > max_diags={max_diags}; "
+            "use ELL format"
+        )
+    nrows_pad = max(_round_up(a.nrows, row_align), row_align)
+    data = np.zeros((max(len(uniq), 1), nrows_pad), dtype=dtype or a.dtype)
+    dmap = {int(o): i for i, o in enumerate(uniq)}
+    dsel = np.array([dmap[int(o)] for o in offs], dtype=np.int64) if a.nnz else offs
+    # += (not =) so duplicate CSR entries accumulate, matching CSR semantics.
+    np.add.at(data, (dsel, rows), a.values)
+    return DiaMatrix(
+        data=jnp.asarray(data),
+        offsets=tuple(int(o) for o in uniq) or (0,),
+        nrows=a.nrows,
+        ncols=a.ncols,
+        _nnz=int(a.nnz),
+    )

@@ -1,0 +1,102 @@
+"""Problem generators (host side).
+
+TPU-native analogue of the reference's matrix generator demo
+(reference demos/CreateA.cpp:52-68: a 1-D 3-point operator with coupling
+gamma) plus the 2-D 5-point Laplacian used for weak-scaling benchmarks
+(BASELINE.md configs), and the Gaussian-bump input vector of the demos
+(reference demos/spmv.cpp:63-67).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from spmv_tpu.formats.csr import CSRHost
+
+
+def create_laplace_1d(n: int, gamma: float = 0.1, dtype=np.float64) -> CSRHost:
+    """1-D 3-point operator: A = I + gamma * (2I - shift - shift^T).
+
+    Tridiagonal, SPD, diagonally dominant — same family as the reference's
+    CreateA demo generator (demos/CreateA.cpp:52-68 builds the gamma-coupled
+    tridiagonal). Returns host CSR with rows sorted, cols ascending per row.
+    """
+    i = np.arange(n, dtype=np.int64)
+    rows = np.concatenate([i[1:], i, i[:-1]])
+    cols = np.concatenate([i[:-1], i, i[1:]])
+    vals = np.concatenate(
+        [
+            np.full(n - 1, -gamma, dtype=dtype),
+            np.full(n, 1.0 + 2.0 * gamma, dtype=dtype),
+            np.full(n - 1, -gamma, dtype=dtype),
+        ]
+    )
+    return CSRHost.from_coo(rows, cols, vals, n, n)
+
+
+def create_laplace_2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSRHost:
+    """2-D 5-point Laplacian on an nx x ny grid (Dirichlet): diag 4, neighbors -1.
+
+    SPD; the weak-scaling benchmark operator (BASELINE.md config 5: 10M-100M
+    rows). Row-major grid numbering, so it is banded with offsets
+    {-nx, -1, 0, +1, +nx} — ideal for the DIA fast path.
+    """
+    ny = ny if ny is not None else nx
+    n = nx * ny
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = idx // nx
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 4.0, dtype=dtype)]
+    # left/right neighbors exist when not on the x-boundary
+    m = ix > 0
+    rows.append(idx[m]); cols.append(idx[m] - 1); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
+    m = ix < nx - 1
+    rows.append(idx[m]); cols.append(idx[m] + 1); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
+    m = iy > 0
+    rows.append(idx[m]); cols.append(idx[m] - nx); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
+    m = iy < ny - 1
+    rows.append(idx[m]); cols.append(idx[m] + nx); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
+    return CSRHost.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n, n
+    )
+
+
+def gaussian_bump(n: int, global_offset: int = 0, global_size: int | None = None,
+                  dtype=np.float64) -> np.ndarray:
+    """Gaussian-bump input vector over the global index space, the demo input
+    (reference demos/spmv.cpp:63-67). Slicing via global_offset reproduces each
+    shard's piece bit-identically."""
+    gn = global_size if global_size is not None else n
+    t = (np.arange(global_offset, global_offset + n, dtype=np.float64) / max(gn - 1, 1)) - 0.5
+    return np.exp(-10.0 * t * t).astype(dtype)
+
+
+def random_csr(
+    nrows: int,
+    ncols: int,
+    nnz_per_row: int,
+    seed: int = 0,
+    dtype=np.float64,
+    symmetric: bool = False,
+    spd_shift: float = 0.0,
+) -> CSRHost:
+    """Random sparse matrix for tests (duplicates merged). With
+    ``symmetric=True`` returns A + A^T (+ spd_shift * row-sum on the diagonal,
+    making it strictly diagonally dominant SPD when spd_shift >= 1)."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(nrows, dtype=np.int64), nnz_per_row)
+    cols = rng.integers(0, ncols, size=nrows * nnz_per_row)
+    vals = rng.standard_normal(nrows * nnz_per_row).astype(dtype)
+    a = CSRHost.from_coo(rows, cols, vals, nrows, ncols)
+    if symmetric:
+        assert nrows == ncols
+        dense_sym = a.to_dense()
+        dense_sym = dense_sym + dense_sym.T
+        if spd_shift:
+            np.fill_diagonal(
+                dense_sym,
+                np.abs(dense_sym).sum(axis=1) * spd_shift + 1.0,
+            )
+        a = CSRHost.from_dense(dense_sym)
+    return a

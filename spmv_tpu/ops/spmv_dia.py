@@ -1,0 +1,42 @@
+"""DIA SpMV: y = alpha * A @ x + beta * y for banded matrices.
+
+The stencil fast path: SpMV over diagonal storage is a static set of shifted
+elementwise multiply-adds — no gather, no indices read from memory at all.
+XLA fuses the whole thing into one streaming pass over ``a.data``, which is
+the HBM-roofline-optimal formulation for the Laplacian benchmarks
+(BASELINE.md). Compare the reference, which runs even stencil matrices
+through general CSR (reference demos/CreateA.cpp + spmv/csr_kernels.cpp).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spmv_tpu.formats.dia import DiaMatrix
+
+
+def spmv_dia(
+    a: DiaMatrix,
+    x: jax.Array,
+    alpha=1.0,
+    beta=0.0,
+    y: jax.Array | None = None,
+) -> jax.Array:
+    """Apply a DIA matrix. x must have length >= a.ncols. Returns length
+    a.nrows_pad (rows >= a.nrows zero-padded, as in spmv_ell)."""
+    npad = a.nrows_pad
+    omin = min(min(a.offsets), 0)
+    omax = max(a.offsets)
+    # Window of x covering every diagonal's reach, one pad, static slices after.
+    span = npad + omax - omin
+    xw = jnp.zeros(span, dtype=x.dtype)
+    take = min(x.shape[0], a.ncols)
+    xw = jax.lax.dynamic_update_slice(xw, x[:take], (-omin,))
+    out = None
+    for d, off in enumerate(a.offsets):
+        term = a.data[d] * jax.lax.dynamic_slice(xw, (off - omin,), (npad,))
+        out = term if out is None else out + term
+    if y is None:
+        return alpha * out
+    yp = y if y.shape[0] == npad else jnp.pad(y[:npad], (0, max(0, npad - y.shape[0])))
+    return alpha * out + beta * yp

@@ -1,0 +1,204 @@
+"""CommPlan — the compiled halo-exchange schedule (the L2GMap rebuilt).
+
+The reference's L2GMap (reference spmv/L2GMap.cpp, 1018 LoC) implements 8
+MPI communication models for one logical operation: deliver each shard's
+ghost values from their owners into the vector's ghost tail (forward), and
+accumulate ghost-tail values back into their owners (reverse). On TPU all 8
+models collapse into ONE mechanism (SURVEY.md section 5): at assembly time
+the ghost pattern is compiled into a static schedule of ``ppermute`` rounds
+over the mesh axis; XLA lowers these to ICI sends, and comm/compute overlap
+is obtained by program order + the latency-hiding scheduler rather than by
+nonblocking-MPI plumbing.
+
+Plan compilation mirrors L2GMap's constructor (reference spmv/L2GMap.cpp:18,
+:351-478): ownership ranges, per-ghost owner lookup, symmetrized neighbor
+discovery, and the owner-side index buffer ("which of my locals do I send") —
+but done once in vectorized numpy on the host, with all counts padded to
+static per-round maxima so the executed program is shape-static SPMD.
+
+Execution model per round (offset d): every device src gathers its send
+values, ``ppermute``s them to (src+d) % n, and the receiver scatters them
+into its ghost tail. Padding slots carry an out-of-bounds position and are
+dropped by the scatter (forward) or gather-filled with 0 (reverse), so no
+masks are materialized.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.parallel.partition import owner_of
+
+OOB = np.int32(2**31 - 1)  # scatter-drop sentinel for padding slots
+
+
+@dataclasses.dataclass
+class CommPlan:
+    """Static halo-exchange schedule for a 1-D device mesh axis.
+
+    Stacked over the device axis (leading dim = n_devices) so it shards with
+    everything else:
+      send_idx: (D, R, S) int32 — owned-local indices each device gathers to
+                send in round r (pad = 0; harmless, dropped at receiver)
+      recv_pos: (D, R, S) int32 — positions in the padded vector (ghost tail)
+                where round r's received values land (pad = OOB -> dropped)
+      nlocal:   (D,) int32 — logical owned size per shard (varies by +-1)
+      nghosts:  (D,) int32 — logical ghost count per shard
+    Static:
+      rounds:     tuple of ppermute offsets d (src -> (src+d) % D)
+      n_devices, nlocal_pad, nghost_pad
+    """
+
+    send_idx: jax.Array
+    recv_pos: jax.Array
+    nlocal: jax.Array
+    nghosts: jax.Array
+    rounds: tuple[int, ...]
+    n_devices: int
+    nlocal_pad: int
+    nghost_pad: int
+
+    @property
+    def vec_size(self) -> int:
+        """Per-shard padded vector length: owned(+pad) then ghost tail."""
+        return self.nlocal_pad + self.nghost_pad
+
+
+jax.tree_util.register_dataclass(
+    CommPlan,
+    data_fields=["send_idx", "recv_pos", "nlocal", "nghosts"],
+    meta_fields=["rounds", "n_devices", "nlocal_pad", "nghost_pad"],
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def compile_plan(
+    ranges: np.ndarray,
+    ghost_lists: list[np.ndarray],
+    row_align: int = 8,
+) -> CommPlan:
+    """Compile ghost index lists into a CommPlan.
+
+    ranges: (D+1,) ownership prefix array (partition.owner_ranges)
+    ghost_lists[s]: sorted global indices shard s needs but does not own
+                    (ghosts inside the owned range are an error, as in
+                    reference spmv/L2GMap.cpp:371-372)
+    """
+    n = len(ghost_lists)
+    assert len(ranges) == n + 1
+    # requirements[(owner, dest)] = global indices dest needs from owner
+    reqs: dict[tuple[int, int], np.ndarray] = {}
+    for s, ghosts in enumerate(ghost_lists):
+        ghosts = np.asarray(ghosts, dtype=np.int64)
+        if len(ghosts) == 0:
+            continue
+        if np.any((ghosts >= ranges[s]) & (ghosts < ranges[s + 1])):
+            raise ValueError(f"shard {s}: ghost index inside owned range")
+        if np.any(ghosts < 0) or np.any(ghosts >= ranges[-1]):
+            raise ValueError(f"shard {s}: ghost index outside global range")
+        owners = owner_of(ranges, ghosts)
+        for o in np.unique(owners):
+            reqs[(int(o), s)] = ghosts[owners == o]
+
+    # Rounds: distinct ring offsets present in the (owner -> dest) graph.
+    rounds = sorted({(d - o) % n for (o, d) in reqs})
+    nlocal = np.diff(ranges).astype(np.int32)
+    nghosts = np.array([len(g) for g in ghost_lists], dtype=np.int32)
+    nlocal_pad = max(_round_up(int(nlocal.max()), row_align), row_align)
+    nghost_pad = max(_round_up(int(nghosts.max()), row_align), row_align) if nghosts.max() else 0
+
+    # Per-round padded send/recv tables.
+    max_send = {
+        r: max(
+            (len(v) for (o, d), v in reqs.items() if (d - o) % n == r), default=0
+        )
+        for r in rounds
+    }
+    nr = len(rounds)
+    smax = max(max_send.values(), default=0)
+    send_idx = np.zeros((n, nr, smax), dtype=np.int32)
+    recv_pos = np.full((n, nr, smax), OOB, dtype=np.int32)
+    for (o, d), glob in reqs.items():
+        r = rounds.index((d - o) % n)
+        c = len(glob)
+        send_idx[o, r, :c] = (glob - ranges[o]).astype(np.int32)
+        # receiver scatters into its ghost tail at the ghost-list position
+        gpos = np.searchsorted(ghost_lists[d], glob)
+        recv_pos[d, r, :c] = (nlocal_pad + gpos).astype(np.int32)
+
+    return CommPlan(
+        send_idx=jnp.asarray(send_idx),
+        recv_pos=jnp.asarray(recv_pos),
+        nlocal=jnp.asarray(nlocal),
+        nghosts=jnp.asarray(nghosts),
+        rounds=tuple(rounds),
+        n_devices=n,
+        nlocal_pad=nlocal_pad,
+        nghost_pad=nghost_pad,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Execution — these run INSIDE shard_map; array args are per-device views
+# (leading device axis already stripped by the caller's in_specs).
+# ---------------------------------------------------------------------------
+
+
+def _perm(n: int, d: int) -> list[tuple[int, int]]:
+    return [(j, (j + d) % n) for j in range(n)]
+
+
+def halo_update(
+    x: jax.Array,
+    send_idx: jax.Array,  # (R, S)
+    recv_pos: jax.Array,  # (R, S)
+    rounds: tuple[int, ...],
+    n_devices: int,
+    axis_name: str = "shards",
+) -> jax.Array:
+    """Forward halo exchange: fill x's ghost tail from owner shards.
+
+    The TPU analogue of L2GMap::update (reference spmv/L2GMap.cpp:501-526):
+    device-side gather into the send buffer (= gather_ghosts_run,
+    reference_executor.cpp:150-164) then one collective per round landing
+    directly in the ghost tail.
+    """
+    for i, d in enumerate(rounds):
+        buf = jnp.take(x, send_idx[i], axis=0)
+        buf = jax.lax.ppermute(buf, axis_name, perm=_perm(n_devices, d))
+        x = x.at[recv_pos[i]].set(buf, mode="drop")
+    return x
+
+
+def halo_reverse(
+    x: jax.Array,
+    send_idx: jax.Array,
+    recv_pos: jax.Array,
+    rounds: tuple[int, ...],
+    n_devices: int,
+    axis_name: str = "shards",
+) -> jax.Array:
+    """Reverse halo exchange: send ghost-tail values back to their owners and
+    ACCUMULATE into the owned entries — the scatter-add semantics of
+    L2GMap::reverse_update (reference spmv/L2GMap.cpp:907-959), implemented
+    for every schedule (the reference covers only 2 of its 8 comm models,
+    spmv/L2GMap.cpp:955-958).
+    """
+    for i, d in enumerate(rounds):
+        # read my ghost tail (padding slots gather-fill 0)
+        buf = x.at[recv_pos[i]].get(mode="fill", fill_value=0)
+        buf = jax.lax.ppermute(buf, axis_name, perm=_perm(n_devices, (-d) % n_devices))
+        # accumulate at the owner (padding adds 0 at index 0 — harmless)
+        x = x.at[send_idx[i]].add(buf, mode="promise_in_bounds")
+    return x
+
+
+def zero_ghosts(x: jax.Array, nlocal_pad: int) -> jax.Array:
+    """Clear the ghost tail (and keep owned+pad region)."""
+    return x.at[nlocal_pad:].set(0)

@@ -1,0 +1,131 @@
+"""Unpreconditioned Conjugate Gradient.
+
+One pure-JAX ``lax.while_loop`` implementation replaces the reference's four
+per-backend copies (reference spmv/cg.cpp:21-98, spmv/openmp/cg.openmp.cpp,
+spmv/sycl/cg.sycl.cpp, spmv/cuda/cg.cuda.cu — all structurally identical).
+The update order matches the reference exactly (spmv/cg.cpp:55-86):
+
+    Ap = A p;  alpha = rnorm2 / (p.Ap);  x += alpha p;  r -= alpha Ap;
+    converged? |r|/|r0| < rtol;  beta = |r|_new^2/rnorm2;  p = r + beta p
+
+so residual histories are comparable to the reference run for run.
+
+Like the reference CUDA CG (cg.cuda.cu:62-141), every scalar stays device-
+resident; unlike it, there is no per-iteration device-to-host copy at all —
+the convergence branch lives inside the compiled while_loop.
+
+Distribution is injected, not hard-coded: callers pass ``matvec`` (which does
+the halo update + distributed mult internally — the caller-driven-comms idiom
+of reference spmv/cg.cpp:59-60) and optionally ``dot`` (which must do the
+cross-shard psum, replacing MPI_Allreduce at spmv/cg.cpp:49,65,75).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class CGResult:
+    x: jax.Array
+    iterations: jax.Array  # int32 — completed iterations
+    rnorm: jax.Array       # final |r|_2
+    rnorm0: jax.Array      # initial |r|_2
+    converged: jax.Array   # bool
+
+
+jax.tree_util.register_dataclass(
+    CGResult,
+    data_fields=["x", "iterations", "rnorm", "rnorm0", "converged"],
+    meta_fields=[],
+)
+
+
+def cg(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    kmax: int = 100,
+    rtol: float = 1e-10,
+    dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+) -> CGResult:
+    """Solve A x = b to relative residual ``rtol`` within ``kmax`` iterations.
+
+    Defaults mirror the reference demo (kmax=100, rtol=1e-10,
+    reference demos/cg.cpp:64-65). All vectors share b's (padded) shape;
+    padding entries of b must be zero so default dots are exact.
+    """
+    if dot is None:
+        dot = lambda u, v: jnp.vdot(u, v)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    # r0 = b - A x0; the reference starts from r = b (x0 = 0, cg.cpp:43-46).
+    r0 = b - matvec(x0)
+    rnorm2_0 = dot(r0, r0)
+    rnorm0 = jnp.sqrt(rnorm2_0)
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
+
+    def cond(state):
+        k, _x, _r, _p, rnorm2 = state
+        return (k < kmax) & (jnp.sqrt(rnorm2) / jnp.maximum(rnorm0, eps) >= rtol)
+
+    def body(state):
+        k, x, r, p, rnorm2 = state
+        ap = matvec(p)
+        alpha = rnorm2 / dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rnorm2_new = dot(r, r)
+        beta = rnorm2_new / rnorm2
+        p = r + beta * p
+        return (k + 1, x, r, p, rnorm2_new)
+
+    k, x, r, _p, rnorm2 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, r0, rnorm2_0)
+    )
+    rnorm = jnp.sqrt(rnorm2)
+    return CGResult(
+        x=x,
+        iterations=k,
+        rnorm=rnorm,
+        rnorm0=rnorm0,
+        converged=rnorm / jnp.maximum(rnorm0, eps) < rtol,
+    )
+
+
+def cg_residual_history(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    iters: int,
+    x0: jax.Array | None = None,
+    dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Run exactly ``iters`` CG iterations via ``lax.scan`` and return
+    (x, |r| history) — for residual-parity checks against the reference
+    algorithm (BASELINE.md numerical-parity row)."""
+    if dot is None:
+        dot = lambda u, v: jnp.vdot(u, v)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    rnorm2_0 = dot(r0, r0)
+
+    def step(state, _):
+        x, r, p, rnorm2 = state
+        ap = matvec(p)
+        alpha = rnorm2 / dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rnorm2_new = dot(r, r)
+        beta = rnorm2_new / rnorm2
+        p = r + beta * p
+        return (x, r, p, rnorm2_new), jnp.sqrt(rnorm2_new)
+
+    (x, _r, _p, _), hist = jax.lax.scan(
+        step, (x0, r0, r0, rnorm2_0), None, length=iters
+    )
+    return x, hist

@@ -1,0 +1,102 @@
+"""CG solver tests — coverage the reference never had (SURVEY.md section 4:
+"What is NOT tested: CG")."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.formats.dia import csr_to_dia
+from spmv_tpu.formats.ell import csr_to_ell
+from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, gaussian_bump, random_csr
+from spmv_tpu.ops.spmv_dia import spmv_dia
+from spmv_tpu.ops.spmv_ell import spmv_ell
+from spmv_tpu.solvers.cg import cg, cg_residual_history
+
+
+def padded(b, n):
+    return jnp.asarray(np.pad(b, (0, n - len(b))))
+
+
+def test_cg_laplace_1d_to_reference_tolerance():
+    """Demo-parity solve: rtol 1e-10, kmax 100 (reference demos/cg.cpp:64-65)."""
+    a = create_laplace_1d(256, gamma=0.4)
+    e = csr_to_ell(a)
+    b = padded(gaussian_bump(256), e.nrows_pad)
+    res = jax.jit(lambda bb: cg(lambda p: spmv_ell(e, p), bb, kmax=100, rtol=1e-10))(b)
+    assert bool(res.converged)
+    # verify residual independently, as demos/cg.cpp:76-96 recomputes r = Ax-b
+    r = np.asarray(spmv_ell(e, res.x)) - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9
+    assert int(res.iterations) < 100
+
+
+def test_cg_laplace_2d_dia():
+    a = create_laplace_2d(24, 24)
+    d = csr_to_dia(a)
+    b = padded(gaussian_bump(a.nrows), d.nrows_pad)
+    res = cg(lambda p: spmv_dia(d, p), b, kmax=2000, rtol=1e-10)
+    assert bool(res.converged)
+    x_dense = np.linalg.solve(a.to_dense(), np.asarray(b)[: a.nrows])
+    got = np.asarray(res.x)[: a.nrows]
+    assert np.linalg.norm(got - x_dense) / np.linalg.norm(x_dense) < 1e-8
+
+
+def test_cg_symmetric_storage_same_history():
+    """Full and lower-triangle storage must produce identical CG trajectories."""
+    a = random_csr(48, 48, 3, seed=21, symmetric=True, spd_shift=1.0)
+    e_full = csr_to_ell(a)
+    e_sym = csr_to_ell(a, symmetric=True)
+    b = padded(np.random.default_rng(22).standard_normal(48), e_full.nrows_pad)
+    _, h_full = cg_residual_history(lambda p: spmv_ell(e_full, p), b, 12)
+    _, h_sym = cg_residual_history(lambda p: spmv_ell(e_sym, p), b, 12)
+    # compare only while above the machine-precision floor
+    h_full, h_sym = np.asarray(h_full), np.asarray(h_sym)
+    keep = h_full > 1e-12 * h_full[0]
+    np.testing.assert_allclose(h_full[keep], h_sym[keep], rtol=1e-6)
+
+
+def test_cg_residual_history_matches_numpy_reference():
+    """Residual-history parity against an independent numpy CG implementing
+    the reference update order (spmv/cg.cpp:55-86)."""
+    a = create_laplace_1d(100, gamma=0.2)
+    dense = a.to_dense()
+    b = gaussian_bump(100)
+
+    # numpy CG, reference order
+    x = np.zeros(100)
+    r = b.copy()
+    p = r.copy()
+    rnorm2 = r @ r
+    hist_np = []
+    for _ in range(25):
+        ap = dense @ p
+        alpha = rnorm2 / (p @ ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rnorm2_new = r @ r
+        beta = rnorm2_new / rnorm2
+        p = r + beta * p
+        rnorm2 = rnorm2_new
+        hist_np.append(np.sqrt(rnorm2))
+
+    e = csr_to_ell(a)
+    bp = padded(b, e.nrows_pad)
+    _, hist = cg_residual_history(lambda pv: spmv_ell(e, pv), bp, 25)
+    np.testing.assert_allclose(np.asarray(hist), hist_np, rtol=1e-10)
+
+
+def test_cg_fp32():
+    a = create_laplace_1d(128, gamma=0.3)
+    e = csr_to_ell(a, dtype=np.float32)
+    b = padded(gaussian_bump(128, dtype=np.float32), e.nrows_pad)
+    res = cg(lambda p: spmv_ell(e, p), b, kmax=200, rtol=1e-5)
+    assert bool(res.converged)
+    r = np.asarray(spmv_ell(e, res.x)) - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
+def test_cg_zero_rhs():
+    a = create_laplace_1d(32)
+    e = csr_to_ell(a)
+    res = cg(lambda p: spmv_ell(e, p), jnp.zeros(e.nrows_pad))
+    assert int(res.iterations) == 0
+    np.testing.assert_allclose(np.asarray(res.x), 0)

@@ -1,0 +1,106 @@
+"""Format containers and conversions."""
+import numpy as np
+import pytest
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.formats.dia import csr_to_dia
+from spmv_tpu.formats.ell import csr_to_ell
+from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, random_csr
+
+
+def test_csr_from_coo_merges_duplicates():
+    a = CSRHost.from_coo([0, 0, 1], [1, 1, 0], [2.0, 3.0, 4.0], 2, 2)
+    dense = a.to_dense()
+    np.testing.assert_allclose(dense, [[0, 5], [4, 0]])
+    assert a.nnz == 2
+
+
+def test_csr_dense_roundtrip():
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((7, 9)) * (rng.random((7, 9)) < 0.3)
+    a = CSRHost.from_dense(d)
+    np.testing.assert_array_equal(a.to_dense(), d)
+
+
+def test_csr_matvec_oracle_matches_dense():
+    a = random_csr(33, 21, 4, seed=1)
+    x = np.random.default_rng(2).standard_normal(21)
+    np.testing.assert_allclose(a.matvec(x), a.to_dense() @ x, rtol=1e-12)
+
+
+def test_csr_transpose():
+    a = random_csr(13, 17, 3, seed=3)
+    np.testing.assert_allclose(a.transpose().to_dense(), a.to_dense().T)
+
+
+def test_csr_extract_rows():
+    a = random_csr(20, 20, 3, seed=4)
+    sub = a.extract_rows(5, 12)
+    np.testing.assert_array_equal(sub.to_dense(), a.to_dense()[5:12])
+
+
+def test_split_lower_diag():
+    a = random_csr(10, 10, 4, seed=5, symmetric=True)
+    lower, diag = a.split_lower_diag()
+    dense = a.to_dense()
+    np.testing.assert_allclose(np.tril(dense, -1), lower.to_dense())
+    np.testing.assert_allclose(np.diag(dense), diag)
+    # reassembled: L + D + L^T == A for symmetric A
+    np.testing.assert_allclose(
+        lower.to_dense() + np.diag(diag) + lower.to_dense().T, dense, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("nrows,ncols,k", [(5, 5, 3), (17, 11, 4), (1, 3, 2)])
+def test_ell_roundtrip(nrows, ncols, k):
+    a = random_csr(nrows, ncols, k, seed=6)
+    e = csr_to_ell(a, row_align=8, k_align=4)
+    assert e.nrows_pad % 8 == 0 and e.k % 4 == 0
+    # reconstruct dense from ELL
+    dense = np.zeros((e.nrows_pad, ncols))
+    ci = np.asarray(e.colind)
+    v = np.asarray(e.values)
+    for r in range(e.nrows_pad):
+        for s in range(e.k):
+            dense[r, ci[r, s]] += v[r, s]
+    np.testing.assert_allclose(dense[:nrows], a.to_dense())
+    np.testing.assert_allclose(dense[nrows:], 0)
+    assert e.nnz_stored == a.nnz
+
+
+def test_ell_symmetric_stores_lower_only():
+    a = random_csr(12, 12, 3, seed=7, symmetric=True)
+    e = csr_to_ell(a, symmetric=True)
+    lower, diag = a.split_lower_diag()
+    assert e.nnz_stored == lower.nnz
+    np.testing.assert_allclose(np.asarray(e.diagonal)[:12], diag)
+
+
+def test_dia_laplace_1d_offsets():
+    a = create_laplace_1d(32, gamma=0.25)
+    d = csr_to_dia(a)
+    assert d.offsets == (-1, 0, 1)
+    data = np.asarray(d.data)
+    np.testing.assert_allclose(data[1][:32], 1.5)
+    np.testing.assert_allclose(data[0][1:32], -0.25)  # sub-diagonal, rows 1..
+    np.testing.assert_allclose(data[2][:31], -0.25)
+
+
+def test_dia_laplace_2d_offsets():
+    a = create_laplace_2d(6, 5)
+    d = csr_to_dia(a)
+    assert d.offsets == (-6, -1, 0, 1, 6)
+
+
+def test_dia_rejects_unstructured():
+    a = random_csr(64, 64, 8, seed=8)
+    with pytest.raises(ValueError, match="diagonals"):
+        csr_to_dia(a, max_diags=4)
+
+
+def test_laplace_2d_is_spd_stencil():
+    a = create_laplace_2d(4, 4)
+    dense = a.to_dense()
+    np.testing.assert_allclose(dense, dense.T)
+    assert np.all(np.linalg.eigvalsh(dense) > 0)
+    assert a.nnz == 5 * 16 - 2 * 4 - 2 * 4  # 5n - 2*nx - 2*ny

@@ -1,0 +1,125 @@
+"""Single-device SpMV vs the sequential oracle.
+
+Mirrors the reference's oracle strategy (reference tests/test_spmv.cpp:72-80:
+dense row-loop computed redundantly, compared by global L2 norm) — plus
+elementwise comparison, fp32 coverage, and the transpose product the
+reference never tests (SURVEY.md section 4 "what is NOT tested").
+Includes the reference's hard-coded 5x5/15-nnz fixture.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.formats.dia import csr_to_dia
+from spmv_tpu.formats.ell import csr_to_ell
+from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, gaussian_bump, random_csr
+from spmv_tpu.ops.spmv_dia import spmv_dia
+from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
+
+
+def fixture_5x5():
+    """The reference test fixture: 5x5, 15 nnz, symmetric
+    (reference tests/test_spmv.cpp:56-70 uses a small hard-coded CSR)."""
+    dense = np.array(
+        [
+            [4.0, -1.0, 0.0, -1.0, 0.0],
+            [-1.0, 4.0, -1.0, 0.0, -1.0],
+            [0.0, -1.0, 4.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0, 4.0, -1.0],
+            [0.0, -1.0, 0.0, -1.0, 4.0],
+        ]
+    )
+    assert (dense != 0).sum() == 15
+    return CSRHost.from_dense(dense)
+
+
+def rel_err(got, want):
+    got = np.asarray(got)[: len(want)]
+    return np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-300)
+
+
+def test_fixture_ell_matches_oracle():
+    a = fixture_5x5()
+    x = gaussian_bump(5)
+    want = a.matvec(x)
+    got = spmv_ell(csr_to_ell(a), jnp.asarray(x))
+    assert rel_err(got, want) < 1e-14
+    np.testing.assert_allclose(np.asarray(got)[5:], 0)
+
+
+def test_fixture_symmetric_storage_matches():
+    a = fixture_5x5()
+    x = gaussian_bump(5)
+    want = a.matvec(x)
+    got = spmv_ell(csr_to_ell(a, symmetric=True), jnp.asarray(x))
+    assert rel_err(got, want) < 1e-14
+
+
+@pytest.mark.parametrize("dtype,tol", [(np.float64, 1e-13), (np.float32, 1e-5)])
+@pytest.mark.parametrize("shape", [(5, 5), (64, 64), (100, 37), (33, 129)])
+def test_ell_random(dtype, tol, shape):
+    a = random_csr(*shape, 5, seed=shape[0], dtype=dtype)
+    x = np.random.default_rng(9).standard_normal(shape[1]).astype(dtype)
+    got = spmv_ell(csr_to_ell(a, k_align=4), jnp.asarray(x))
+    assert rel_err(got, a.matvec(x)) < tol
+
+
+@pytest.mark.parametrize("dtype,tol", [(np.float64, 1e-13), (np.float32, 1e-5)])
+def test_ell_symmetric_random(dtype, tol):
+    a = random_csr(40, 40, 4, seed=11, dtype=dtype, symmetric=True)
+    x = np.random.default_rng(12).standard_normal(40).astype(dtype)
+    got = spmv_ell(csr_to_ell(a, symmetric=True), jnp.asarray(x))
+    assert rel_err(got, a.matvec(x)) < tol
+
+
+def test_ell_alpha_beta():
+    """GEMV semantics of SubMatrix::mult(alpha, in, beta, out)
+    (reference spmv/sub_matrix.h)."""
+    a = random_csr(24, 24, 3, seed=13)
+    e = csr_to_ell(a)
+    x = np.random.default_rng(14).standard_normal(24)
+    y = np.random.default_rng(15).standard_normal(e.nrows_pad)
+    got = spmv_ell(e, jnp.asarray(x), alpha=2.5, beta=-0.5, y=jnp.asarray(y))
+    want = 2.5 * a.matvec(x) - 0.5 * y[:24]
+    assert rel_err(np.asarray(got)[:24], want) < 1e-13
+
+
+def test_ell_transpose():
+    a = random_csr(20, 31, 4, seed=16)
+    x = np.random.default_rng(17).standard_normal(20)
+    got = spmv_ell_transpose(csr_to_ell(a), jnp.asarray(x))
+    want = a.to_dense().T @ x
+    assert rel_err(np.asarray(got)[:31], want) < 1e-13
+
+
+@pytest.mark.parametrize("gen", ["lap1d", "lap2d"])
+def test_dia_matches_ell_and_oracle(gen):
+    a = create_laplace_1d(200, 0.3) if gen == "lap1d" else create_laplace_2d(17, 13)
+    x = gaussian_bump(a.ncols)
+    want = a.matvec(x)
+    got_dia = spmv_dia(csr_to_dia(a), jnp.asarray(x))
+    got_ell = spmv_ell(csr_to_ell(a), jnp.asarray(x))
+    assert rel_err(got_dia, want) < 1e-14
+    assert rel_err(got_ell, want) < 1e-14
+
+
+def test_dia_alpha_beta():
+    a = create_laplace_1d(50)
+    d = csr_to_dia(a)
+    x = np.random.default_rng(18).standard_normal(50)
+    y = np.random.default_rng(19).standard_normal(d.nrows_pad)
+    got = spmv_dia(d, jnp.asarray(x), alpha=3.0, beta=2.0, y=jnp.asarray(y))
+    want = 3.0 * a.matvec(x) + 2.0 * y[:50]
+    assert rel_err(np.asarray(got)[:50], want) < 1e-13
+
+
+def test_dia_rectangular_wide():
+    """Band reaching beyond the square part (ncols > nrows)."""
+    rows = np.array([0, 0, 1, 1, 2])
+    cols = np.array([0, 3, 1, 4, 2])
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    a = CSRHost.from_coo(rows, cols, vals, 3, 5)
+    x = np.arange(1.0, 6.0)
+    got = spmv_dia(csr_to_dia(a), jnp.asarray(x))
+    assert rel_err(np.asarray(got)[:3], a.matvec(x)) < 1e-14
