@@ -18,9 +18,17 @@ static per-round maxima so the executed program is shape-static SPMD.
 
 Execution model per round (offset d): every device src gathers its send
 values, ``ppermute``s them to (src+d) % n, and the receiver scatters them
-into its ghost tail. Padding slots carry an out-of-bounds position and are
+into its ghost buffer. Padding slots carry an out-of-bounds position and are
 dropped by the scatter (forward) or gather-filled with 0 (reverse), so no
 masks are materialized.
+
+Layout note: the reference appends ghosts as a tail of the owned vector
+("padded vectors", reference spmv/cg.cpp:36-42). Here ghosts live in a
+SEPARATE buffer instead: the local-block SpMV then has no data dependence on
+the halo exchange at all, so XLA's scheduler is free to overlap the ppermute
+rounds with the interior kernel — the reference needs nonblocking MPI plus
+an explicit update_finalise call for the same effect
+(reference spmv/Matrix.cpp:498-511, spmv/L2GMap.cpp:528-561).
 """
 from __future__ import annotations
 
@@ -43,8 +51,8 @@ class CommPlan:
     everything else:
       send_idx: (D, R, S) int32 — owned-local indices each device gathers to
                 send in round r (pad = 0; harmless, dropped at receiver)
-      recv_pos: (D, R, S) int32 — positions in the padded vector (ghost tail)
-                where round r's received values land (pad = OOB -> dropped)
+      recv_pos: (D, R, S) int32 — positions in the ghost buffer where round
+                r's received values land (pad = OOB -> dropped)
       nlocal:   (D,) int32 — logical owned size per shard (varies by +-1)
       nghosts:  (D,) int32 — logical ghost count per shard
     Static:
@@ -60,11 +68,6 @@ class CommPlan:
     n_devices: int
     nlocal_pad: int
     nghost_pad: int
-
-    @property
-    def vec_size(self) -> int:
-        """Per-shard padded vector length: owned(+pad) then ghost tail."""
-        return self.nlocal_pad + self.nghost_pad
 
 
 jax.tree_util.register_dataclass(
@@ -128,9 +131,9 @@ def compile_plan(
         r = rounds.index((d - o) % n)
         c = len(glob)
         send_idx[o, r, :c] = (glob - ranges[o]).astype(np.int32)
-        # receiver scatters into its ghost tail at the ghost-list position
+        # receiver scatters into its ghost buffer at the ghost-list position
         gpos = np.searchsorted(ghost_lists[d], glob)
-        recv_pos[d, r, :c] = (nlocal_pad + gpos).astype(np.int32)
+        recv_pos[d, r, :c] = gpos.astype(np.int32)
 
     return CommPlan(
         send_idx=jnp.asarray(send_idx),
@@ -154,51 +157,50 @@ def _perm(n: int, d: int) -> list[tuple[int, int]]:
     return [(j, (j + d) % n) for j in range(n)]
 
 
-def halo_update(
-    x: jax.Array,
-    send_idx: jax.Array,  # (R, S)
-    recv_pos: jax.Array,  # (R, S)
+def halo_gather(
+    x: jax.Array,          # (nlocal_pad,) owned values
+    send_idx: jax.Array,   # (R, S)
+    recv_pos: jax.Array,   # (R, S)
     rounds: tuple[int, ...],
     n_devices: int,
+    nghost_pad: int,
     axis_name: str = "shards",
 ) -> jax.Array:
-    """Forward halo exchange: fill x's ghost tail from owner shards.
+    """Forward halo exchange: build this shard's ghost buffer from owners.
 
     The TPU analogue of L2GMap::update (reference spmv/L2GMap.cpp:501-526):
     device-side gather into the send buffer (= gather_ghosts_run,
     reference_executor.cpp:150-164) then one collective per round landing
-    directly in the ghost tail.
+    directly in the ghost buffer. Returns the (nghost_pad,) ghost values.
     """
+    g = jnp.zeros((nghost_pad,), dtype=x.dtype)
     for i, d in enumerate(rounds):
         buf = jnp.take(x, send_idx[i], axis=0)
         buf = jax.lax.ppermute(buf, axis_name, perm=_perm(n_devices, d))
-        x = x.at[recv_pos[i]].set(buf, mode="drop")
-    return x
+        g = g.at[recv_pos[i]].set(buf, mode="drop")
+    return g
 
 
-def halo_reverse(
-    x: jax.Array,
+def halo_scatter_add(
+    gz: jax.Array,         # (nghost_pad,) ghost-slot contributions
+    y: jax.Array,          # (nlocal_pad,) owned accumulator
     send_idx: jax.Array,
     recv_pos: jax.Array,
     rounds: tuple[int, ...],
     n_devices: int,
     axis_name: str = "shards",
 ) -> jax.Array:
-    """Reverse halo exchange: send ghost-tail values back to their owners and
-    ACCUMULATE into the owned entries — the scatter-add semantics of
-    L2GMap::reverse_update (reference spmv/L2GMap.cpp:907-959), implemented
-    for every schedule (the reference covers only 2 of its 8 comm models,
-    spmv/L2GMap.cpp:955-958).
+    """Reverse halo exchange: route ghost-slot contributions back to their
+    owners and ACCUMULATE into the owned entries — the scatter-add semantics
+    of L2GMap::reverse_update (reference spmv/L2GMap.cpp:907-959), here
+    implemented for every schedule (the reference covers only 2 of its 8 comm
+    models, spmv/L2GMap.cpp:955-958). Used by the symmetric-matrix remote
+    reduce-scatter and by transpose products.
     """
     for i, d in enumerate(rounds):
-        # read my ghost tail (padding slots gather-fill 0)
-        buf = x.at[recv_pos[i]].get(mode="fill", fill_value=0)
+        # read my ghost contributions (padding slots gather-fill 0)
+        buf = gz.at[recv_pos[i]].get(mode="fill", fill_value=0)
         buf = jax.lax.ppermute(buf, axis_name, perm=_perm(n_devices, (-d) % n_devices))
         # accumulate at the owner (padding adds 0 at index 0 — harmless)
-        x = x.at[send_idx[i]].add(buf, mode="promise_in_bounds")
-    return x
-
-
-def zero_ghosts(x: jax.Array, nlocal_pad: int) -> jax.Array:
-    """Clear the ghost tail (and keep owned+pad region)."""
-    return x.at[nlocal_pad:].set(0)
+        y = y.at[send_idx[i]].add(buf, mode="promise_in_bounds")
+    return y

@@ -1,0 +1,267 @@
+"""DistMatrix — the sharded distributed matrix (reference L4, Matrix<T>).
+
+Holds the local/remote ELL blocks of every shard stacked along a 1-D device
+mesh axis, plus the CommPlan. ``mult`` runs inside ``jax.shard_map``:
+
+    ghosts = halo_gather(x)            # ppermute rounds over ICI
+    y  = local_block @ x               # no dependence on the halo
+    y += remote_block @ ghosts         # first use of received values
+
+Because the local block never reads the ghost buffer, XLA's latency-hiding
+scheduler can run the halo collectives concurrently with the interior SpMV —
+the comm/compute overlap the reference gets from nonblocking MPI plus an
+explicit split mult (reference spmv/Matrix.cpp:498-511 ``spmv_overlap``,
+spmv/L2GMap.cpp:528-561). The local/remote column split itself mirrors
+reference spmv/Matrix.h:116-117.
+
+The symmetric path stores only the strict lower triangle plus diagonal
+(reference spmv/Matrix.cpp:337-349): the transpose contributions to owned
+columns are a deterministic scatter-add, and contributions to ghost columns
+are pushed back to their owners with the reverse plan — the "remote
+reduce-scatter" of the north star (BASELINE.json).
+
+Distributed CG needs no separate implementation: ``DistMatrix.matvec`` plugs
+into ``spmv_tpu.solvers.cg`` as the operator, and global dots over sharded
+vectors lower to psum automatically under jit (replacing the reference's
+MPI_Allreduce calls, spmv/cg.cpp:49,65,75).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.parallel.comm_plan import (
+    CommPlan,
+    compile_plan,
+    halo_gather,
+    halo_scatter_add,
+)
+from spmv_tpu.parallel.partition import owner_ranges, partition_csr
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _stack_ell(
+    blocks: list[CSRHost], nrows_pad: int, k: int, col_offset_fn=None, dtype=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stack per-shard CSR blocks into (D, nrows_pad, k) ELL arrays."""
+    d = len(blocks)
+    colind = np.zeros((d, nrows_pad, k), dtype=np.int32)
+    values = np.zeros((d, nrows_pad, k), dtype=dtype or blocks[0].dtype)
+    for s, b in enumerate(blocks):
+        lens = b.row_nnz()
+        if b.nnz == 0:
+            continue
+        rows = np.repeat(np.arange(b.nrows), lens)
+        slot = np.arange(b.nnz) - np.repeat(b.rowptr[:-1], lens)
+        colind[s, rows, slot] = b.colind
+        values[s, rows, slot] = b.values
+    return colind, values
+
+
+@dataclasses.dataclass
+class DistMatrix:
+    """Row-block-sharded square sparse matrix on a 1-D mesh axis."""
+
+    local_colind: jax.Array   # (D, R, Kl) int32, columns in [0, nlocal_pad)
+    local_values: jax.Array   # (D, R, Kl)
+    remote_colind: jax.Array  # (D, R, Kr) int32, columns into ghost buffer
+    remote_values: jax.Array  # (D, R, Kr)
+    diagonal: jax.Array | None  # (D, R) when symmetric
+    plan: CommPlan
+    nrows_global: int
+    symmetric: bool
+    nnz_global: int
+    mesh: Mesh
+    axis_name: str
+
+    # ----- static geometry -----
+    @property
+    def n_devices(self) -> int:
+        return self.plan.n_devices
+
+    @property
+    def nlocal_pad(self) -> int:
+        return self.plan.nlocal_pad
+
+    @property
+    def padded_global(self) -> int:
+        """Length of the distributed padded vector layout (D * nlocal_pad)."""
+        return self.n_devices * self.nlocal_pad
+
+    @property
+    def dtype(self):
+        return self.local_values.dtype
+
+    def format_size_bytes(self) -> int:
+        """Device bytes actually held (reference Matrix::format_size parity,
+        spmv/Matrix.h:94-111)."""
+        total = 0
+        for arr in (self.local_colind, self.local_values, self.remote_colind,
+                    self.remote_values, self.diagonal):
+            if arr is not None:
+                total += arr.size * arr.dtype.itemsize
+        return total
+
+    # ----- vector layout helpers -----
+    def to_dist(self, x_global: np.ndarray) -> jax.Array:
+        """Scatter a host global vector into the sharded padded layout:
+        shard s owns slots [s*nlocal_pad, s*nlocal_pad + nlocal_s)."""
+        ranges = owner_ranges(self.nrows_global, self.n_devices)
+        out = np.zeros((self.n_devices, self.nlocal_pad), dtype=x_global.dtype)
+        for s in range(self.n_devices):
+            r0, r1 = int(ranges[s]), int(ranges[s + 1])
+            out[s, : r1 - r0] = x_global[r0:r1]
+        flat = out.reshape(-1)
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        return jax.device_put(jnp.asarray(flat), sharding)
+
+    def from_dist(self, x: jax.Array) -> np.ndarray:
+        """Gather the sharded padded layout back to a host global vector."""
+        ranges = owner_ranges(self.nrows_global, self.n_devices)
+        mat = np.asarray(x).reshape(self.n_devices, self.nlocal_pad)
+        return np.concatenate(
+            [mat[s, : int(ranges[s + 1] - ranges[s])] for s in range(self.n_devices)]
+        )
+
+    # ----- distributed SpMV -----
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y = A @ x on the padded sharded layout ((D*nlocal_pad,) arrays)."""
+        r = self.nlocal_pad
+        spec = P(self.axis_name)
+        mspec = P(self.axis_name, None, None)
+
+        has_diag = self.diagonal is not None
+
+        def per_shard(x_s, lci, lv, rci, rv, send_idx, recv_pos, *rest):
+            diag = rest[0][0] if has_diag else None
+            y = _shard_mult(
+                x_s.reshape(r), lci[0], lv[0], rci[0], rv[0], diag,
+                send_idx[0], recv_pos[0], self.plan, self.symmetric,
+                self.axis_name,
+            )
+            return y.reshape(x_s.shape)
+
+        args = [
+            self.local_colind, self.local_values,
+            self.remote_colind, self.remote_values,
+            self.plan.send_idx, self.plan.recv_pos,
+        ]
+        in_specs = [spec, mspec, mspec, mspec, mspec, mspec, mspec]
+        if has_diag:
+            args.append(self.diagonal)
+            in_specs.append(P(self.axis_name, None))
+        return jax.shard_map(
+            per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
+            out_specs=spec,
+        )(x, *args)
+
+    def as_linear_operator(self):
+        """Closure for solvers: matvec on the padded sharded layout."""
+        return lambda p: self.matvec(p)
+
+
+def _shard_mult(
+    x, lci, lv, rci, rv, diag, send_idx, recv_pos,
+    plan: CommPlan, symmetric: bool, axis_name: str,
+):
+    """One shard's y = A_s @ x. Runs inside shard_map."""
+    have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
+    if have_ghosts:
+        ghosts = halo_gather(
+            x, send_idx, recv_pos, plan.rounds, plan.n_devices,
+            plan.nghost_pad, axis_name,
+        )
+    # interior SpMV — independent of the halo, overlappable by XLA
+    y = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
+    if have_ghosts:
+        y = y + jnp.einsum("rk,rk->r", rv, jnp.take(ghosts, rci, axis=0))
+    if symmetric:
+        y = y + diag * x
+        # transpose contributions to owned columns (deterministic scatter-add)
+        contrib = lv * x[:, None]
+        y = y.at[lci.reshape(-1)].add(
+            contrib.reshape(-1), mode="promise_in_bounds"
+        )
+        if have_ghosts:
+            # contributions to ghost columns -> reverse reduce-scatter to owners
+            gz = jnp.zeros((plan.nghost_pad,), dtype=y.dtype)
+            gcontrib = rv * x[:, None]
+            gz = gz.at[rci.reshape(-1)].add(
+                gcontrib.reshape(-1), mode="promise_in_bounds"
+            )
+            y = halo_scatter_add(
+                gz, y, send_idx, recv_pos, plan.rounds, plan.n_devices, axis_name
+            )
+    return y
+
+
+def build_dist_matrix(
+    a: CSRHost,
+    mesh: Mesh | None = None,
+    axis_name: str = "shards",
+    n_devices: int | None = None,
+    symmetric: bool = False,
+    dtype=None,
+    row_align: int = 8,
+) -> DistMatrix:
+    """Assemble a DistMatrix from a global host CSR.
+
+    The TPU-native replacement for Matrix::create_matrix's distributed
+    assembly (reference spmv/Matrix.cpp:164-480): partition rows, classify
+    local/remote(/diagonal) entries, discover ghosts, compile the comm plan,
+    and upload stacked ELL blocks — all vectorized host-side, one device_put.
+    """
+    if mesh is None:
+        devs = jax.devices()[: (n_devices or len(jax.devices()))]
+        mesh = Mesh(np.array(devs), (axis_name,))
+    nd = mesh.shape[axis_name]
+
+    shards = partition_csr(a, nd, symmetric=symmetric)
+    ranges = owner_ranges(a.nrows, nd)
+    plan = compile_plan(ranges, [s.ghosts for s in shards], row_align=row_align)
+    r = plan.nlocal_pad
+
+    kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)
+    kr = max(max((int(s.remote.row_nnz().max()) if s.remote.nnz else 0) for s in shards), 1)
+    lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
+    rci, rv = _stack_ell([s.remote for s in shards], r, kr, dtype=dtype)
+
+    diag = None
+    if symmetric:
+        diag = np.zeros((nd, r), dtype=lv.dtype)
+        for s, sh in enumerate(shards):
+            diag[s, : sh.nlocal] = sh.diagonal
+
+    def put(arr, spec):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
+    mspec = P(axis_name, None, None)
+    plan = dataclasses.replace(
+        plan,
+        send_idx=put(plan.send_idx, mspec),
+        recv_pos=put(plan.recv_pos, mspec),
+        nlocal=put(plan.nlocal, P(axis_name)),
+        nghosts=put(plan.nghosts, P(axis_name)),
+    )
+    return DistMatrix(
+        local_colind=put(lci, mspec),
+        local_values=put(lv, mspec),
+        remote_colind=put(rci, mspec),
+        remote_values=put(rv, mspec),
+        diagonal=None if diag is None else put(diag, P(axis_name, None)),
+        plan=plan,
+        nrows_global=a.nrows,
+        symmetric=symmetric,
+        nnz_global=a.nnz,
+        mesh=mesh,
+        axis_name=axis_name,
+    )
