@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: single-chip SpMV throughput on a 10M-row 2-D Laplacian
+(fp32, DIA Pallas kernel) — BASELINE.md north-star config 1.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": GFLOP/s, "unit": "GFLOP/s", "vs_baseline": r}
+where r = (achieved HBM-traffic bandwidth / measured streaming roofline) / 0.8
+— r >= 1.0 means the north-star target (>=80% of roofline, BASELINE.json) is
+met. The roofline denominator is measured on the attached chip with the same
+methodology.
+
+Measurement methodology (see .claude/skills/verify/SKILL.md): on this TPU
+tunnel, block_until_ready does not truly synchronize and per-dispatch
+wall-clock includes ~23 ms of tunnel round-trip. So each measurement runs K
+chained iterations inside ONE jitted lax.fori_loop (device-side loop, no
+dispatch gaps), uses fresh input values per call (defeats tunnel caching),
+and syncs by pulling one scalar to the host.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+K = 50  # iterations inside the device-side loop
+
+
+def device_loop_seconds(fn_loop, arg, sync_index=(7, 5)) -> float:
+    """Median seconds/iteration over 3 measured calls of a K-iteration
+    device loop, first call (compile) discarded, host-pull synced."""
+    times = []
+    for trial in range(4):
+        t0 = time.perf_counter()
+        out = fn_loop(arg)
+        _ = float(np.asarray(out)[sync_index])
+        dt = time.perf_counter() - t0
+        times.append(dt / K)
+    return float(np.median(times[1:]))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from spmv_tpu.formats.dia import csr_to_dia
+    from spmv_tpu.gen import create_laplace_2d
+    from spmv_tpu.ops.spmv_dia_pallas import (
+        dia_pallas_supported,
+        dia_to_2d,
+        spmv_dia_pallas_2d,
+    )
+
+    nx = 3200  # 10.24M rows, lane-aligned
+    a = create_laplace_2d(nx, nx, dtype=np.float32)
+    d = csr_to_dia(a, row_align=1024, dtype=np.float32)
+    assert dia_pallas_supported(d), "Pallas layout must be supported here"
+    itemsize = 4
+    scale = jnp.float32(0.125)
+
+    # roofline: chained big copy with identical loop methodology
+    n = 64 * 1024 * 1024  # 256 MB fp32
+    @jax.jit
+    def copy_loop(v):
+        return jax.lax.fori_loop(
+            0, K, lambda i, u: u * jnp.float32(1.0000001), v
+        )
+
+    copy_sec = device_loop_seconds(
+        copy_loop, jnp.ones((n // 128, 128), jnp.float32)
+    )
+    roofline_gbs = 2 * n * itemsize / copy_sec / 1e9
+
+    @jax.jit
+    def spmv_loop(v):
+        return jax.lax.fori_loop(
+            0, K, lambda i, u: spmv_dia_pallas_2d(d, u) * scale, v
+        )
+
+    x2 = dia_to_2d(d, jnp.full((d.nrows_pad,), 1e-3, jnp.float32))
+    sec = device_loop_seconds(spmv_loop, x2)
+
+    traffic = d.data.size * itemsize + 2 * d.nrows_pad * itemsize
+    achieved_gbs = traffic / sec / 1e9
+    gflops = 2.0 * a.nnz / sec / 1e9
+    frac = achieved_gbs / roofline_gbs
+
+    print(
+        f"# n={a.nrows} nnz={a.nnz} {sec*1e3:.3f} ms/apply | "
+        f"{achieved_gbs:.0f} GB/s of {roofline_gbs:.0f} GB/s roofline "
+        f"({100*frac:.1f}%)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_lap2d_10M_fp32_gflops",
+                "value": round(gflops, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(frac / 0.8, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""demo_cg — distributed CG solver CLI.
+
+Parity with the reference demo (reference demos/cg.cpp): load matrix + RHS
+(or generate), solve to rtol 1e-10 within kmax 100 iterations, then verify by
+independently recomputing r = A x - b and printing r.norm / x.norm /
+iteration count (cg.cpp:64-96).
+
+Usage:
+  python demos/demo_cg.py --lap2d 64                       # generated problem
+  python demos/demo_cg.py --petsc A.petsc --rhs b.petsc    # PETSc files
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--petsc", help="PETSc binary matrix file")
+    src.add_argument("--lap2d", type=int, help="generate NxN 2-D Laplacian")
+    src.add_argument("--lap1d", type=int, help="generate N-row 1-D operator")
+    ap.add_argument("--rhs", help="PETSc binary RHS vector (default: Gaussian bump)")
+    ap.add_argument("--kmax", type=int, default=100, help="max iterations (reference: 100)")
+    ap.add_argument("--rtol", type=float, default=1e-10, help="relative tolerance")
+    ap.add_argument("--devices", type=int, default=0)
+    ap.add_argument("--symmetric", action="store_true")
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        import os
+        if args.devices > 1:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            )
+    if not args.fp32:
+        jax.config.update("jax_enable_x64", True)
+
+    from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, gaussian_bump
+    from spmv_tpu.io.petsc import (
+        read_petsc_binary_matrix_host,
+        read_petsc_binary_vector_host,
+    )
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.cg import cg
+    from spmv_tpu.utils.timing import PhaseTimer, device_sync
+
+    dtype = np.float32 if args.fp32 else np.float64
+    timer = PhaseTimer()
+
+    t0 = time.perf_counter()
+    if args.petsc:
+        a = read_petsc_binary_matrix_host(args.petsc)
+    elif args.lap2d:
+        a = create_laplace_2d(args.lap2d, args.lap2d)
+    else:
+        a = create_laplace_1d(args.lap1d)
+    b_host = (
+        read_petsc_binary_vector_host(args.rhs).astype(dtype)
+        if args.rhs
+        else gaussian_bump(a.nrows, dtype=dtype)
+    )
+    timer.add("0.ReadPetsc", time.perf_counter() - t0)
+
+    n_dev = args.devices or len(jax.devices())
+    A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype)
+    b = A.to_dist(b_host)
+    solve = jax.jit(
+        lambda bb: cg(A.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol)
+    )
+    res = solve(b)  # warm-up/compile
+    t0 = time.perf_counter()
+    res = solve(b)
+    device_sync(res.rnorm)
+    timer.add("1.Solve", time.perf_counter() - t0)
+
+    x_host = A.from_dist(res.x)
+    r = a.matvec(x_host.astype(np.float64)) - b_host.astype(np.float64)
+
+    print(timer.report())
+    iters = int(res.iterations)
+    print(f"Converged: {bool(res.converged)} in {iters} iterations "
+          f"({iters / max(timer.acc['1.Solve'], 1e-12):.1f} it/s)")
+    print(f"r.norm = {np.linalg.norm(r):.12e}")
+    print(f"x.norm = {np.linalg.norm(x_host):.12e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

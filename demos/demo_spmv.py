@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""demo_spmv — distributed SpMV benchmark CLI.
+
+Parity with the reference demo (reference demos/spmv.cpp): load or generate a
+matrix, build the Gaussian-bump input, run warm-up + N SpMV applications with
+per-phase timings (0.MatCreate, 1.VecCreate, 2.SpUpdate+SpMV fused — on TPU
+the halo exchange and the mult live in one compiled program, so the phases
+the reference times separately are deliberately fused, 4.Copy), and report
+the final vector norm as the cheap correctness signal (spmv.cpp:120-130).
+
+Usage:
+  python demos/demo_spmv.py --lap2d 1024                 # generated 2-D Laplacian
+  python demos/demo_spmv.py --petsc matrix.petsc         # PETSc binary file
+  python demos/demo_spmv.py --lap2d 512 --devices 8 --cpu --symmetric
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--petsc", help="PETSc binary matrix file")
+    src.add_argument("--lap2d", type=int, help="generate NxN 2-D Laplacian")
+    src.add_argument("--lap1d", type=int, help="generate N-row 1-D operator")
+    ap.add_argument("--iters", type=int, default=100, help="SpMV applications (reference: 100)")
+    ap.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
+    ap.add_argument("--symmetric", action="store_true", help="lower-triangle storage")
+    ap.add_argument("--fp32", action="store_true", help="float32 (default float64)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU virtual devices")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        import os
+        if args.devices > 1:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            )
+    if not args.fp32:
+        jax.config.update("jax_enable_x64", True)
+
+    from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, gaussian_bump
+    from spmv_tpu.io.petsc import read_petsc_binary_matrix_host
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.utils.timing import PhaseTimer, device_sync
+
+    dtype = np.float32 if args.fp32 else np.float64
+    timer = PhaseTimer()
+
+    t0 = time.perf_counter()
+    if args.petsc:
+        a = read_petsc_binary_matrix_host(args.petsc)
+    elif args.lap2d:
+        a = create_laplace_2d(args.lap2d, args.lap2d)
+    else:
+        a = create_laplace_1d(args.lap1d)
+    n_dev = args.devices or len(jax.devices())
+    A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype)
+    timer.add("0.MatCreate", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    x = A.to_dist(gaussian_bump(a.nrows, dtype=dtype))
+    timer.add("1.VecCreate", time.perf_counter() - t0)
+
+    print(f"matrix: {a.nrows} rows, {a.nnz} nnz, {n_dev} shard(s), "
+          f"{'symmetric' if args.symmetric else 'vanilla'}, {np.dtype(dtype).name}",
+          file=sys.stderr)
+
+    mult = jax.jit(A.matvec)
+    y = mult(x)  # warm-up compile, like the reference's untimed warm-up run
+    device_sync(y)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        y = mult(x)
+    device_sync(y)
+    timer.add("2.SpUpdate+SpMV", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    y_host = A.from_dist(y)
+    timer.add("4.Copy", time.perf_counter() - t0)
+
+    print(timer.report())
+    per_it = timer.acc["2.SpUpdate+SpMV"] / args.iters
+    gflops = 2.0 * a.nnz / per_it / 1e9
+    print(f"SpMV: {per_it * 1e3:.3f} ms/apply, {gflops:.1f} GFLOP/s")
+    print(f"norm(y) = {np.linalg.norm(y_host):.12e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

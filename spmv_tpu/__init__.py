@@ -36,6 +36,9 @@ from spmv_tpu.io.petsc import (
     write_petsc_binary_matrix,
     write_petsc_binary_vector,
 )
+from spmv_tpu.parallel.comm_plan import CommPlan, compile_plan
+from spmv_tpu.parallel.dist_matrix import DistMatrix, build_dist_matrix
+from spmv_tpu.parallel.partition import owner_ranges, partition_csr
 
 __version__ = "0.1.0"
 
@@ -56,4 +59,10 @@ __all__ = [
     "read_petsc_binary_vector_host",
     "write_petsc_binary_matrix",
     "write_petsc_binary_vector",
+    "CommPlan",
+    "compile_plan",
+    "DistMatrix",
+    "build_dist_matrix",
+    "owner_ranges",
+    "partition_csr",
 ]

@@ -103,11 +103,14 @@ class CSRHost:
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
         """Sequential oracle SpMV — the test reference, mirroring the dense
-        row-loop oracle of reference tests/test_spmv.cpp:72-80."""
+        row-loop oracle of reference tests/test_spmv.cpp:72-80 (bincount is
+        the vectorized segment-sum; row order within a row is preserved by
+        construction, summation order may differ from a literal row loop by
+        ULPs only)."""
         rows = np.repeat(np.arange(self.nrows), self.row_nnz())
-        out = np.zeros(self.nrows, dtype=np.result_type(self.values, x))
-        np.add.at(out, rows, self.values * np.asarray(x)[self.colind])
-        return out
+        prod = self.values.astype(np.float64) * np.asarray(x, dtype=np.float64)[self.colind]
+        out = np.bincount(rows, weights=prod, minlength=self.nrows)
+        return out.astype(np.result_type(self.values, x))
 
     def transpose(self) -> "CSRHost":
         rows = np.repeat(np.arange(self.nrows), self.row_nnz())

@@ -25,13 +25,19 @@ _D = np.dtype(">f8")
 
 
 def read_petsc_binary_matrix_host(
-    path: str, row_range: tuple[int, int] | None = None
+    path: str, row_range: tuple[int, int] | None = None, native: bool = True
 ) -> CSRHost:
     """Read a PETSc binary matrix into host CSR (float64).
 
     With ``row_range=(r0, r1)``, reads only those rows (global column
     indices preserved), seeking directly to their index/value spans.
+    Uses the mmap'd C++ parser (spmv_tpu.native) when available; the numpy
+    path below is the reference implementation and the fallback.
     """
+    if native:
+        out = _read_matrix_native(path, row_range)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         header = np.fromfile(f, dtype=_I, count=4)
         if len(header) != 4 or header[0] != MAT_CLASSID:
@@ -62,6 +68,56 @@ def read_petsc_binary_matrix_host(
         values=values.astype(np.float64),
         ncols=ncols,
     )
+
+
+def _read_matrix_native(
+    path: str, row_range: tuple[int, int] | None
+) -> CSRHost | None:
+    """mmap'd C++ fast path; returns None when the native lib is missing so
+    the caller falls back to numpy. Raises the same ValueErrors as the numpy
+    path for malformed files."""
+    import ctypes
+
+    from spmv_tpu.native.lib import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    nrows = ctypes.c_int64()
+    ncols = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    rc = lib.spmv_petsc_matrix_header(
+        path.encode(), ctypes.byref(nrows), ctypes.byref(ncols), ctypes.byref(nnz)
+    )
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc == -2:
+        raise ValueError(f"{path}: not a PETSc binary matrix")
+    if rc != 0:
+        raise ValueError(f"{path}: truncated matrix payload")
+    r0, r1 = row_range if row_range is not None else (0, nrows.value)
+    if not (0 <= r0 <= r1 <= nrows.value):
+        raise ValueError(f"bad row_range {row_range} for {nrows.value} rows")
+    rowptr = np.zeros(r1 - r0 + 1, dtype=np.int64)
+    slice_nnz = ctypes.c_int64()
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.spmv_petsc_matrix_read_slice(
+        path.encode(), r0, r1, rowptr.ctypes.data_as(i64p), None, None,
+        ctypes.byref(slice_nnz),
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: matrix read failed (rc={rc})")
+    colind = np.empty(slice_nnz.value, dtype=np.int32)
+    values = np.empty(slice_nnz.value, dtype=np.float64)
+    rc = lib.spmv_petsc_matrix_read_slice(
+        path.encode(), r0, r1, rowptr.ctypes.data_as(i64p),
+        colind.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(slice_nnz),
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: matrix read failed (rc={rc})")
+    return CSRHost(rowptr=rowptr, colind=colind, values=values, ncols=ncols.value)
 
 
 def read_petsc_binary_vector_host(

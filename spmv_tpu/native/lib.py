@@ -1,0 +1,78 @@
+"""ctypes loader for libspmv_host with lazy on-first-use compilation.
+
+pybind11 is not available in this image, so the native tier exposes a plain
+C ABI consumed via ctypes. The .so is compiled once with g++ and cached next
+to this file; if no toolchain is present everything falls back to the numpy
+implementations (spmv_tpu.io.petsc, spmv_tpu.formats.ell).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "spmv_host.cpp")
+_SO = os.path.join(_HERE, "libspmv_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        return res.returncode == 0 and os.path.exists(_SO)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.spmv_petsc_matrix_header.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
+    lib.spmv_petsc_matrix_header.restype = ctypes.c_int
+    lib.spmv_petsc_matrix_read_slice.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p, i64p,
+    ]
+    lib.spmv_petsc_matrix_read_slice.restype = ctypes.c_int
+    lib.spmv_petsc_vector_header.argtypes = [ctypes.c_char_p, i64p]
+    lib.spmv_petsc_vector_header.restype = ctypes.c_int
+    lib.spmv_petsc_vector_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, f64p,
+    ]
+    lib.spmv_petsc_vector_read.restype = ctypes.c_int
+    lib.spmv_pack_ell.argtypes = [
+        i64p, i32p, f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, f64p,
+    ]
+    lib.spmv_pack_ell.restype = ctypes.c_int
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The bound library, building it on first call; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            _lib = _bind(ctypes.CDLL(_SO))
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None

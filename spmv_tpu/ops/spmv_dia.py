@@ -21,9 +21,33 @@ def spmv_dia(
     alpha=1.0,
     beta=0.0,
     y: jax.Array | None = None,
+    method: str = "auto",
 ) -> jax.Array:
     """Apply a DIA matrix. x must have length >= a.ncols. Returns length
-    a.nrows_pad (rows >= a.nrows zero-padded, as in spmv_ell)."""
+    a.nrows_pad (rows >= a.nrows zero-padded, as in spmv_ell).
+
+    method: "auto" uses the Pallas kernel on TPU when the layout supports it
+    (see spmv_dia_pallas), else the fused-XLA formulation; "xla"/"pallas"
+    force a path.
+    """
+    if method != "xla":
+        from spmv_tpu.ops.spmv_dia_pallas import (
+            dia_pallas_supported,
+            spmv_dia_pallas,
+        )
+
+        use_pallas = method == "pallas" or (
+            jax.default_backend() == "tpu" and dia_pallas_supported(a, x)
+        )
+        if use_pallas:
+            out = spmv_dia_pallas(a, x)
+            if y is None:
+                return alpha * out
+            npad_ = a.nrows_pad
+            yp_ = y if y.shape[0] == npad_ else jnp.pad(
+                y[:npad_], (0, max(0, npad_ - y.shape[0]))
+            )
+            return alpha * out + beta * yp_
     npad = a.nrows_pad
     omin = min(min(a.offsets), 0)
     omax = max(a.offsets)

@@ -1,0 +1,296 @@
+"""Pallas TPU kernels for DIA SpMV — the hand-tuned stencil fast path.
+
+Why a kernel at all: the pure-XLA DIA path (spmv_tpu.ops.spmv_dia) measures
+~10% of streaming roofline on the attached chip: the shifted slices and the
+halo pad materialize as separate HBM passes, and big 1-D vector ops are
+pathologically slow through this stack. This kernel makes the optimal
+formulation explicit: one pass over the diagonal data, one windowed read of
+x, one write of y — everything in 2-D (rows, 128) lane layout.
+
+Framed input layout: x is passed as (nrows/128 + 2*HR, 128) with HR zero
+"frame" rows above and below the live domain, HR = ceil(max|offset|/128).
+The frame plays the role of the reference's ghost padding (reference
+spmv/cg.cpp:36-42 padded vectors) but for the *intra-device* halo: a shifted
+read x[i + off] is then a statically-offset window of the framed buffer.
+Framing is a cheap 2-D concat (``dia_frame``); the output comes back
+unframed (nrows, 128), pipelined by the Pallas grid machinery.
+
+Per grid step i (rows [i*TR, (i+1)*TR)):
+  - the x window (TR + 2*HR rows) is DMA'd HBM->VMEM, double-buffered so the
+    window of tile i+1 transfers while tile i computes;
+  - each diagonal contributes data[k] * shift(x) where the shift decomposes
+    into whole rows q and lanes r; lane shifts are two lane-rolls + a select
+    (Mosaic rejects the equivalent concat of sublane-shifted slices).
+
+Plays the role of the reference's per-backend CSR kernels for its stencil
+benchmarks (reference spmv/csr_kernels.*; the reference has no DIA format —
+running stencils through CSR costs it index storage and gather bandwidth the
+TPU formulation avoids entirely).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_tpu.formats.dia import DiaMatrix
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def dia_halo_rows(a: DiaMatrix) -> int:
+    """Frame rows needed for this matrix's offsets."""
+    return _round_up(max(max(abs(o) for o in a.offsets), 1), LANES) // LANES
+
+
+def dia_to_2d(a: DiaMatrix, x: jax.Array) -> jax.Array:
+    """Reshape a flat vector into the kernel's (nrows, 128) lane layout
+    (free when len(x) == nrows_pad; zero-fills/truncates otherwise)."""
+    npad = a.nrows_pad
+    nrows = npad // LANES
+    if x.ndim == 2:
+        return x
+    if x.shape[0] == npad:
+        return x.reshape(nrows, LANES)
+    take = min(x.shape[0], npad)
+    flat = jnp.zeros((npad,), x.dtype).at[:take].set(x[:take])
+    return flat.reshape(nrows, LANES)
+
+
+def _dia_kernel(
+    data_ref,   # (K, TR, 128) VMEM — diagonal data tile (pipelined)
+    x_hbm,      # (nrows, 128) ANY — UNFRAMED x, windows DMA'd manually
+    y_ref,      # (TR, 128) VMEM — output tile (pipelined)
+    xwin,       # (2, TR + 2*HR, 128) VMEM scratch
+    xsem,       # (2,) DMA semaphores
+    *,
+    offsets: tuple[int, ...],
+    tr: int,
+    hr: int,
+    n_tiles: int,
+):
+    i = pl.program_id(0)
+    wrows = tr + 2 * hr
+
+    # The window for tile t covers x rows [t*tr - hr, t*tr + tr + hr); the
+    # first/last tiles clamp to the domain and zero the out-of-domain frame
+    # rows in VMEM instead (zero Dirichlet halo — exactly what a framed
+    # vector would hold). Start/wait pairs branch identically so each wait
+    # matches its start. Requires tr >= hr (enforced by _pick_tile_rows).
+    def dma_mid(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tr - hr, wrows), :],
+            xwin.at[slot], xsem.at[slot],
+        )
+
+    def dma_first(slot):
+        rows = min(tr + hr, n_tiles * tr)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, rows), :],
+            xwin.at[slot, pl.ds(hr, rows), :], xsem.at[slot],
+        )
+
+    def dma_last(slot):
+        rows = min(tr + hr, n_tiles * tr)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(n_tiles * tr - rows, rows), :],
+            xwin.at[slot, pl.ds(0, rows), :], xsem.at[slot],
+        )
+
+    def start(slot, tile):
+        if n_tiles == 1:
+            # whole domain in one window, centered at offset hr
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, tr), :],
+                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
+            ).start()
+            return
+
+        @pl.when(tile == 0)
+        def _():
+            dma_first(slot).start()
+
+        @pl.when(tile == n_tiles - 1)
+        def _():
+            dma_last(slot).start()
+
+        @pl.when((tile > 0) & (tile < n_tiles - 1))
+        def _():
+            dma_mid(slot, tile).start()
+
+    def wait(slot, tile):
+        if n_tiles == 1:
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, tr), :],
+                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
+            ).wait()
+            return
+
+        @pl.when(tile == 0)
+        def _():
+            dma_first(slot).wait()
+
+        @pl.when(tile == n_tiles - 1)
+        def _():
+            dma_last(slot).wait()
+
+        @pl.when((tile > 0) & (tile < n_tiles - 1))
+        def _():
+            dma_mid(slot, tile).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        start((i + 1) % 2, i + 1)
+
+    wait(i % 2, i)
+
+    # zero the out-of-domain frame rows of edge tiles (slot was DMA-filled
+    # only over the in-domain span)
+    @pl.when(i == 0)
+    def _():
+        xwin[i % 2, 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        xwin[i % 2, tr + hr : wrows, :] = jnp.zeros((hr, LANES), xwin.dtype)
+
+    xw = xwin[i % 2]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
+    acc = jnp.zeros((tr, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        t = hr * LANES + off
+        q, r = divmod(t, LANES)
+        if r == 0:
+            v = xw[q : q + tr, :]
+        else:
+            # v[:, j] = flat window element 128*q + j + r — two lane-rolls
+            # plus a lane select (Mosaic rejects the equivalent concat of
+            # sublane-shifted slices)
+            r0 = pltpu.roll(xw[q : q + tr, :], LANES - r, 1)
+            r1 = pltpu.roll(xw[q + 1 : q + tr + 1, :], LANES - r, 1)
+            v = jnp.where(lane < LANES - r, r0, r1)
+        acc = acc + data_ref[k].astype(jnp.float32) * v.astype(jnp.float32)
+    y_ref[:, :] = acc.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tile_rows", "hr", "interpret")
+)
+def _spmv_dia_pallas_2d(
+    data, x2, offsets: tuple[int, ...], tile_rows: int, hr: int,
+    interpret: bool = False,
+):
+    """data: (K, npad); x2 (npad/128, 128) -> y (npad/128, 128)."""
+    k, npad = data.shape
+    nrows = npad // LANES
+    tr = tile_rows
+    n_tiles = nrows // tr
+    d3 = data.reshape(k, nrows, LANES)
+
+    kernel = functools.partial(
+        _dia_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tr + 2 * hr, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * npad,
+            bytes_accessed=(k + 2) * npad * data.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d3, x2)
+
+
+def dia_pallas_supported(a: DiaMatrix, x: jax.Array | None = None) -> bool:
+    dt = a.dtype
+    if dt not in (jnp.float32, jnp.bfloat16):
+        return False
+    if x is not None and x.dtype != dt:
+        return False
+    if a.nrows_pad % (8 * LANES) != 0:
+        return False
+    hr = dia_halo_rows(a)
+    if hr > 512:
+        return False
+    return _pick_tile_rows(
+        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize
+    ) > 0
+
+
+def _pick_tile_rows(nrows: int, k: int, hr: int, itemsize: int) -> int:
+    """Largest divisor-of-nrows tile (in 128-lane rows, multiple of 8, and
+    >= hr for the edge-window math) fitting the VMEM budget: double-buffered
+    window (2*(tr+2hr)) + pipelined data (2*k*tr) + pipelined y (2*tr).
+    Bigger tiles amortize per-grid-step overhead. Returns 0 when no valid
+    tile exists (caller falls back to the XLA path)."""
+    budget = 10 * 1024 * 1024
+
+    def fits(tr: int) -> bool:
+        need = (2 * (tr + 2 * hr) + 2 * k * tr + 2 * tr) * LANES * itemsize
+        return need <= budget
+
+    best = 0
+    d = 1
+    while d * d <= nrows:
+        if nrows % d == 0:
+            for tr in (d, nrows // d):
+                if tr % 8 == 0 and tr >= hr and fits(tr) and tr > best:
+                    best = tr
+        d += 1
+    return best
+
+
+def spmv_dia_pallas_2d(
+    a: DiaMatrix, x2: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Zero-copy SpMV in lane layout: x2 (nrows, 128) -> y (nrows, 128).
+    The solver hot path — repeated applies chain with no data movement."""
+    nrows = a.nrows_pad // LANES
+    hr = dia_halo_rows(a)
+    tr = _pick_tile_rows(nrows, len(a.offsets), hr, a.data.dtype.itemsize)
+    if tr == 0:
+        raise ValueError("no valid tile; check dia_pallas_supported first")
+    return _spmv_dia_pallas_2d(
+        a.data, x2, a.offsets, tr, hr, interpret=interpret
+    )
+
+
+def spmv_dia_pallas(
+    a: DiaMatrix, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Flat-vector convenience wrapper (a reshape when len(x) == nrows_pad).
+    ``interpret=True`` runs in the Pallas interpreter (CPU) — the testing
+    analogue of the reference's ReferenceExecutor-vs-device split
+    (reference spmv/reference_executor.h)."""
+    y2 = spmv_dia_pallas_2d(a, dia_to_2d(a, x), interpret=interpret)
+    return y2.reshape(a.nrows_pad)

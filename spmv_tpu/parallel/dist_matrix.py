@@ -168,6 +168,51 @@ class DistMatrix:
         """Closure for solvers: matvec on the padded sharded layout."""
         return lambda p: self.matvec(p)
 
+    def matvec_transpose(self, x: jax.Array) -> jax.Array:
+        """y = A^T @ x on the padded sharded layout.
+
+        The working transpose product the reference declares but never
+        implemented (reference spmv/Matrix.cpp:144-148 ``transpmult`` throws;
+        its restriction/prolongation demo needs it,
+        reference demos/restrictmain.cpp:60-91). Column partition mirrors the
+        row partition (square matrices), so A^T's rows-of-shard-s are A's
+        columns-of-shard-s: local-block transpose scatters stay owned;
+        remote-block transpose contributions land on ghost columns and are
+        pushed back to their owners with the reverse plan.
+        """
+        if self.symmetric:
+            return self.matvec(x)  # symmetric: A^T = A
+        r = self.nlocal_pad
+        spec = P(self.axis_name)
+        mspec = P(self.axis_name, None, None)
+
+        def per_shard(x_s, lci, lv, rci, rv, send_idx, recv_pos):
+            x_s = x_s.reshape(r)
+            lci_, lv_, rci_, rv_ = lci[0], lv[0], rci[0], rv[0]
+            plan = self.plan
+            # owned columns: scatter-add v * x[row] at local colind
+            y = jnp.zeros((r,), dtype=x_s.dtype)
+            y = y.at[lci_.reshape(-1)].add(
+                (lv_ * x_s[:, None]).reshape(-1), mode="promise_in_bounds"
+            )
+            if plan.nghost_pad > 0 and len(plan.rounds) > 0:
+                gz = jnp.zeros((plan.nghost_pad,), dtype=x_s.dtype)
+                gz = gz.at[rci_.reshape(-1)].add(
+                    (rv_ * x_s[:, None]).reshape(-1), mode="promise_in_bounds"
+                )
+                y = halo_scatter_add(
+                    gz, y, send_idx[0], recv_pos[0], plan.rounds,
+                    plan.n_devices, self.axis_name,
+                )
+            return y.reshape(x_s.shape)
+
+        return jax.shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(spec, mspec, mspec, mspec, mspec, mspec, mspec),
+            out_specs=spec,
+        )(x, self.local_colind, self.local_values, self.remote_colind,
+          self.remote_values, self.plan.send_idx, self.plan.recv_pos)
+
 
 def _shard_mult(
     x, lci, lv, rci, rv, diag, send_idx, recv_pos,

@@ -60,3 +60,37 @@ def test_big_endian_on_disk(tmp_path):
     write_petsc_binary_matrix(path, a)
     raw = open(path, "rb").read(4)
     assert int.from_bytes(raw, "big") == 1211216
+
+
+def test_native_reader_matches_numpy(tmp_path):
+    """C++ mmap parser vs the numpy reference implementation."""
+    from spmv_tpu.native.lib import native_available
+
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("native toolchain unavailable")
+    a = random_csr(53, 41, 6, seed=34)
+    path = str(tmp_path / "a.petsc")
+    write_petsc_binary_matrix(path, a)
+    nat = read_petsc_binary_matrix_host(path, native=True)
+    ref = read_petsc_binary_matrix_host(path, native=False)
+    np.testing.assert_array_equal(nat.rowptr, ref.rowptr)
+    np.testing.assert_array_equal(nat.colind, ref.colind)
+    np.testing.assert_allclose(nat.values, ref.values)
+    # sliced
+    nat_s = read_petsc_binary_matrix_host(path, row_range=(10, 30), native=True)
+    ref_s = read_petsc_binary_matrix_host(path, row_range=(10, 30), native=False)
+    np.testing.assert_array_equal(nat_s.to_dense(), ref_s.to_dense())
+
+
+def test_native_reader_bad_magic(tmp_path):
+    from spmv_tpu.native.lib import native_available
+
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("native toolchain unavailable")
+    path = str(tmp_path / "bad.petsc")
+    with open(path, "wb") as f:
+        np.array([99, 3, 3, 1], dtype=">i4").tofile(f)
+    with pytest.raises(ValueError, match="not a PETSc"):
+        read_petsc_binary_matrix_host(path, native=True)

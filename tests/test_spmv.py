@@ -123,3 +123,30 @@ def test_dia_rectangular_wide():
     x = np.arange(1.0, 6.0)
     got = spmv_dia(csr_to_dia(a), jnp.asarray(x))
     assert rel_err(np.asarray(got)[:3], a.matvec(x)) < 1e-14
+
+
+def test_dia_pallas_interpret_matches_oracle():
+    """The Pallas DIA kernel in interpreter mode (CPU) vs the oracle —
+    including lane-crossing offsets (+-1) and row offsets (+-nx)."""
+    from spmv_tpu.ops.spmv_dia_pallas import spmv_dia_pallas
+
+    a = create_laplace_2d(128, 16)  # offsets (-128, -1, 0, 1, 128)
+    d = csr_to_dia(a, row_align=1024, dtype=np.float32)
+    x = np.random.default_rng(77).standard_normal(a.ncols).astype(np.float32)
+    xp = jnp.asarray(np.pad(x, (0, d.nrows_pad - a.ncols)))
+    got = np.asarray(spmv_dia_pallas(d, xp, interpret=True))[: a.nrows]
+    want = a.matvec(x.astype(np.float64))
+    assert rel_err(got, want) < 1e-5
+
+
+def test_dia_pallas_interpret_odd_offsets():
+    """Offsets with arbitrary lane remainders (nx not a multiple of 128)."""
+    from spmv_tpu.ops.spmv_dia_pallas import spmv_dia_pallas
+
+    a = create_laplace_2d(70, 16)  # offsets (-70, -1, 0, 1, 70): r=70, 58
+    d = csr_to_dia(a, row_align=1024, dtype=np.float32)
+    x = np.random.default_rng(78).standard_normal(a.ncols).astype(np.float32)
+    xp = jnp.asarray(np.pad(x, (0, d.nrows_pad - a.ncols)))
+    got = np.asarray(spmv_dia_pallas(d, xp, interpret=True))[: a.nrows]
+    want = a.matvec(x.astype(np.float64))
+    assert rel_err(got, want) < 1e-5
