@@ -76,6 +76,7 @@ class DistMatrix:
     remote_colind: jax.Array  # (D, R, Kr) int32, columns into ghost buffer
     remote_values: jax.Array  # (D, R, Kr)
     diagonal: jax.Array | None  # (D, R) when symmetric
+    jacobi_diag: jax.Array      # (D, R) dense diagonal (preconditioning)
     plan: CommPlan
     nrows_global: int
     symmetric: bool
@@ -167,6 +168,17 @@ class DistMatrix:
     def as_linear_operator(self):
         """Closure for solvers: matvec on the padded sharded layout."""
         return lambda p: self.matvec(p)
+
+    def jacobi_preconditioner(self):
+        """z = r / diag(A) closure for cg(preconditioner=...) — optional
+        diagonal scaling the reference never offered. Zero diagonal entries
+        (and padding slots) pass through unscaled."""
+        dflat = self.jacobi_diag.reshape(-1)
+
+        def apply(r):
+            return jnp.where(dflat != 0, r / jnp.where(dflat != 0, dflat, 1), r)
+
+        return apply
 
     def matvec_transpose(self, x: jax.Array) -> jax.Array:
         """y = A^T @ x on the padded sharded layout.
@@ -286,6 +298,19 @@ def build_dist_matrix(
         for s, sh in enumerate(shards):
             diag[s, : sh.nlocal] = sh.diagonal
 
+    # dense diagonal for Jacobi preconditioning (vanilla storage keeps the
+    # diagonal inside the local block; extract it here once, host-side)
+    jd = np.zeros((nd, r), dtype=lv.dtype)
+    if symmetric:
+        jd[:] = diag
+    else:
+        for s, sh in enumerate(shards):
+            loc = sh.local
+            lens = loc.row_nnz()
+            rows = np.repeat(np.arange(loc.nrows), lens)
+            on_diag = loc.colind == rows
+            jd[s, rows[on_diag]] = loc.values[on_diag]
+
     def put(arr, spec):
         return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
 
@@ -303,6 +328,7 @@ def build_dist_matrix(
         remote_colind=put(rci, mspec),
         remote_values=put(rv, mspec),
         diagonal=None if diag is None else put(diag, P(axis_name, None)),
+        jacobi_diag=put(jd, P(axis_name, None)),
         plan=plan,
         nrows_global=a.nrows,
         symmetric=symmetric,

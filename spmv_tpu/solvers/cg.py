@@ -51,41 +51,55 @@ def cg(
     kmax: int = 100,
     rtol: float = 1e-10,
     dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    preconditioner: Callable[[jax.Array], jax.Array] | None = None,
 ) -> CGResult:
     """Solve A x = b to relative residual ``rtol`` within ``kmax`` iterations.
 
     Defaults mirror the reference demo (kmax=100, rtol=1e-10,
     reference demos/cg.cpp:64-65). All vectors share b's (padded) shape;
     padding entries of b must be zero so default dots are exact.
+
+    ``preconditioner``: optional M^-1 apply (e.g. Jacobi: z = r / diag(A)).
+    The reference has no preconditioning; with one, this is standard PCG
+    (left-preconditioned, rho = r.z) and the convergence test stays on the
+    TRUE residual |r|/|r0| so tolerances mean the same thing either way.
     """
     if dot is None:
         dot = lambda u, v: jnp.vdot(u, v)
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    precond = preconditioner if preconditioner is not None else (lambda r: r)
 
     # r0 = b - A x0; the reference starts from r = b (x0 = 0, cg.cpp:43-46).
     r0 = b - matvec(x0)
+    z0 = precond(r0)
+    rho0 = dot(r0, z0)
     rnorm2_0 = dot(r0, r0)
     rnorm0 = jnp.sqrt(rnorm2_0)
     eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
 
     def cond(state):
-        k, _x, _r, _p, rnorm2 = state
+        k, _x, _r, _p, _rho, rnorm2 = state
         return (k < kmax) & (jnp.sqrt(rnorm2) / jnp.maximum(rnorm0, eps) >= rtol)
 
     def body(state):
-        k, x, r, p, rnorm2 = state
+        k, x, r, p, rho, _rnorm2 = state
         ap = matvec(p)
-        alpha = rnorm2 / dot(p, ap)
+        alpha = rho / dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        rnorm2_new = dot(r, r)
-        beta = rnorm2_new / rnorm2
-        p = r + beta * p
-        return (k + 1, x, r, p, rnorm2_new)
+        z = precond(r)
+        rho_new = dot(r, z)
+        beta = rho_new / rho
+        p = z + beta * p
+        # unpreconditioned: rho IS |r|^2 — keep the reference's 3 reductions
+        # per iteration (cg.cpp:49,65,75); PCG pays one extra for the true
+        # residual the convergence test is defined on
+        rnorm2_new = dot(r, r) if preconditioner is not None else rho_new
+        return (k + 1, x, r, p, rho_new, rnorm2_new)
 
-    k, x, r, _p, rnorm2 = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), x0, r0, r0, rnorm2_0)
+    k, x, r, _p, _rho, rnorm2 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, z0, rho0, rnorm2_0)
     )
     rnorm = jnp.sqrt(rnorm2)
     return CGResult(

@@ -100,3 +100,43 @@ def test_cg_zero_rhs():
     res = cg(lambda p: spmv_ell(e, p), jnp.zeros(e.nrows_pad))
     assert int(res.iterations) == 0
     np.testing.assert_allclose(np.asarray(res.x), 0)
+
+
+def test_pcg_jacobi_converges_no_slower():
+    """Jacobi-PCG (beyond reference parity) must converge and not exceed the
+    unpreconditioned iteration count on a scaled SPD system."""
+    import jax as _jax
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    # badly scaled diagonal: Jacobi should help a lot
+    n = 80
+    rng = np.random.default_rng(70)
+    scale = 10.0 ** rng.uniform(-2, 2, size=n)
+    base = create_laplace_1d(n, gamma=0.3).to_dense()
+    dense = scale[:, None] * base * scale[None, :]
+    from spmv_tpu.formats.csr import CSRHost
+    a = CSRHost.from_dense(dense)
+
+    A = build_dist_matrix(a, n_devices=4)
+    b = A.to_dist(gaussian_bump(n))
+    plain = cg(A.as_linear_operator(), b, kmax=2000, rtol=1e-10)
+    pcg = cg(A.as_linear_operator(), b, kmax=2000, rtol=1e-10,
+             preconditioner=A.jacobi_preconditioner())
+    assert bool(pcg.converged)
+    assert int(pcg.iterations) <= int(plain.iterations)
+    x = A.from_dist(pcg.x)
+    r = a.matvec(x) - gaussian_bump(n)
+    assert np.linalg.norm(r) / np.linalg.norm(gaussian_bump(n)) < 1e-8
+
+
+def test_pcg_identity_matches_plain_cg():
+    """preconditioner=identity must reproduce plain CG exactly."""
+    a = create_laplace_1d(64, gamma=0.2)
+    from spmv_tpu.formats.ell import csr_to_ell
+    e = csr_to_ell(a)
+    b = padded(gaussian_bump(64), e.nrows_pad)
+    mv = lambda p: spmv_ell(e, p)
+    r1 = cg(mv, b, kmax=100, rtol=1e-10)
+    r2 = cg(mv, b, kmax=100, rtol=1e-10, preconditioner=lambda r: r)
+    assert int(r1.iterations) == int(r2.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12)
