@@ -83,6 +83,12 @@ class DistMatrix:
     nnz_global: int
     mesh: Mesh
     axis_name: str
+    # stencil fast path: when local_format == "dia", the local block is
+    # stored diagonally and multiplied with the Pallas DIA kernel on TPU
+    # (spmv_tpu.ops.spmv_dia_pallas); remote/ghost entries stay ELL.
+    local_format: str = "ell"
+    local_dia_data: jax.Array | None = None  # (D, Kd, R)
+    dia_offsets: tuple[int, ...] = ()
 
     # ----- static geometry -----
     @property
@@ -141,13 +147,17 @@ class DistMatrix:
         mspec = P(self.axis_name, None, None)
 
         has_diag = self.diagonal is not None
+        has_dia = self.local_format == "dia"
 
         def per_shard(x_s, lci, lv, rci, rv, send_idx, recv_pos, *rest):
-            diag = rest[0][0] if has_diag else None
+            rest = list(rest)
+            diag = rest.pop(0)[0] if has_diag else None
+            dia_data = rest.pop(0)[0] if has_dia else None
             y = _shard_mult(
                 x_s.reshape(r), lci[0], lv[0], rci[0], rv[0], diag,
                 send_idx[0], recv_pos[0], self.plan, self.symmetric,
-                self.axis_name,
+                self.axis_name, self.local_format, dia_data,
+                self.dia_offsets,
             )
             return y.reshape(x_s.shape)
 
@@ -160,6 +170,9 @@ class DistMatrix:
         if has_diag:
             args.append(self.diagonal)
             in_specs.append(P(self.axis_name, None))
+        if has_dia:
+            args.append(self.local_dia_data)
+            in_specs.append(mspec)
         return jax.shard_map(
             per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
             out_specs=spec,
@@ -194,6 +207,11 @@ class DistMatrix:
         """
         if self.symmetric:
             return self.matvec(x)  # symmetric: A^T = A
+        if self.local_format == "dia":
+            raise NotImplementedError(
+                "transpose with local_format='dia' lands with the symmetric "
+                "DIA path; rebuild with local_format='ell'"
+            )
         r = self.nlocal_pad
         spec = P(self.axis_name)
         mspec = P(self.axis_name, None, None)
@@ -229,6 +247,7 @@ class DistMatrix:
 def _shard_mult(
     x, lci, lv, rci, rv, diag, send_idx, recv_pos,
     plan: CommPlan, symmetric: bool, axis_name: str,
+    local_format: str = "ell", dia_data=None, dia_offsets: tuple = (),
 ):
     """One shard's y = A_s @ x. Runs inside shard_map."""
     have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
@@ -238,7 +257,17 @@ def _shard_mult(
             plan.nghost_pad, axis_name,
         )
     # interior SpMV — independent of the halo, overlappable by XLA
-    y = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
+    if local_format == "dia":
+        from spmv_tpu.formats.dia import DiaMatrix
+        from spmv_tpu.ops.spmv_dia import spmv_dia
+
+        dm = DiaMatrix(
+            data=dia_data, offsets=dia_offsets,
+            nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
+        )
+        y = spmv_dia(dm, x)
+    else:
+        y = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
     if have_ghosts:
         y = y + jnp.einsum("rk,rk->r", rv, jnp.take(ghosts, rci, axis=0))
     if symmetric:
@@ -269,6 +298,7 @@ def build_dist_matrix(
     symmetric: bool = False,
     dtype=None,
     row_align: int = 8,
+    local_format: str = "ell",
 ) -> DistMatrix:
     """Assemble a DistMatrix from a global host CSR.
 
@@ -277,6 +307,16 @@ def build_dist_matrix(
     local/remote(/diagonal) entries, discover ghosts, compile the comm plan,
     and upload stacked ELL blocks — all vectorized host-side, one device_put.
     """
+    if local_format not in ("ell", "dia"):
+        raise ValueError(f"unknown local_format {local_format!r}")
+    if local_format == "dia":
+        if symmetric:
+            raise NotImplementedError(
+                "local_format='dia' with symmetric storage: use ELL for now"
+            )
+        # Pallas DIA kernel wants 128-lane rows and >= 8*128 elements
+        row_align = max(row_align, 1024)
+
     if mesh is None:
         devs = jax.devices()[: (n_devices or len(jax.devices()))]
         mesh = Mesh(np.array(devs), (axis_name,))
@@ -287,9 +327,47 @@ def build_dist_matrix(
     plan = compile_plan(ranges, [s.ghosts for s in shards], row_align=row_align)
     r = plan.nlocal_pad
 
+    dia_data = None
+    dia_offsets: tuple[int, ...] = ()
+    if local_format == "dia":
+        # union of diagonal offsets across shards; per-shard data stacked to
+        # (D, Kd, R) with absent diagonals all-zero
+        per_shard = []
+        all_offs = []
+        for sh in shards:
+            loc = sh.local
+            lens = loc.row_nnz()
+            rows = np.repeat(np.arange(loc.nrows, dtype=np.int64), lens)
+            offs = loc.colind.astype(np.int64) - rows
+            per_shard.append((rows, offs, loc.values))
+            all_offs.append(np.unique(offs))
+        union = np.unique(np.concatenate(all_offs)) if all_offs else np.array([0])
+        if len(union) > 64:
+            raise ValueError(
+                f"local blocks have {len(union)} distinct diagonals; "
+                "local_format='dia' is for banded/stencil operators"
+            )
+        kd = max(len(union), 1)
+        dd = np.zeros((nd, kd, r), dtype=dtype or a.dtype)
+        for s, (rows, offs, vals) in enumerate(per_shard):
+            if len(rows) == 0:
+                continue
+            dsel = np.searchsorted(union, offs)
+            flat = dsel * np.int64(r) + rows
+            dd[s] += np.bincount(
+                flat, weights=vals, minlength=kd * r
+            ).reshape(kd, r).astype(dd.dtype)
+        dia_data = dd
+        dia_offsets = tuple(int(o) for o in union)
+
     kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)
     kr = max(max((int(s.remote.row_nnz().max()) if s.remote.nnz else 0) for s in shards), 1)
-    lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
+    if local_format == "dia":
+        kl = 1  # local ELL arrays unused; keep placeholders tiny
+        lci = np.zeros((nd, r, 1), dtype=np.int32)
+        lv = np.zeros((nd, r, 1), dtype=dtype or a.dtype)
+    else:
+        lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
     rci, rv = _stack_ell([s.remote for s in shards], r, kr, dtype=dtype)
 
     diag = None
@@ -335,4 +413,7 @@ def build_dist_matrix(
         nnz_global=a.nnz,
         mesh=mesh,
         axis_name=axis_name,
+        local_format=local_format,
+        local_dia_data=None if dia_data is None else put(dia_data, mspec),
+        dia_offsets=dia_offsets,
     )

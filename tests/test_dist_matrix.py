@@ -129,3 +129,39 @@ def test_dist_transpose_symmetric_equals_forward():
     np.testing.assert_allclose(
         np.asarray(A.matvec_transpose(x)), np.asarray(A.matvec(x)), rtol=1e-12
     )
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_dist_dia_local_format(n_dev):
+    """Stencil fast path: DIA local blocks must match ELL results exactly."""
+    a = create_laplace_2d(40, 26)  # 1040 rows, banded
+    x_host = gaussian_bump(a.nrows)
+    A_ell = build_dist_matrix(a, n_devices=n_dev)
+    A_dia = build_dist_matrix(a, n_devices=n_dev, local_format="dia")
+    y_ell = A_ell.from_dist(jax.jit(A_ell.matvec)(A_ell.to_dist(x_host)))
+    y_dia = A_dia.from_dist(jax.jit(A_dia.matvec)(A_dia.to_dist(x_host)))
+    want = a.matvec(x_host)
+    assert np.linalg.norm(y_dia - want) / np.linalg.norm(want) < 1e-12
+    np.testing.assert_allclose(y_dia, y_ell, rtol=1e-12, atol=1e-14)
+
+
+def test_dist_dia_cg():
+    a = create_laplace_2d(16, 16)
+    A = build_dist_matrix(a, n_devices=4, local_format="dia")
+    b_host = gaussian_bump(a.nrows)
+    res = cg(A.as_linear_operator(), A.to_dist(b_host), kmax=400, rtol=1e-10)
+    assert bool(res.converged)
+    r = a.matvec(A.from_dist(res.x)) - b_host
+    assert np.linalg.norm(r) / np.linalg.norm(b_host) < 1e-9
+
+
+def test_dist_dia_rejects_unstructured():
+    a = random_csr(256, 256, 8, seed=80)
+    with pytest.raises(ValueError, match="diagonals"):
+        build_dist_matrix(a, n_devices=2, local_format="dia")
+
+
+def test_dist_dia_rejects_symmetric():
+    a = create_laplace_1d(64)
+    with pytest.raises(NotImplementedError):
+        build_dist_matrix(a, n_devices=2, local_format="dia", symmetric=True)
