@@ -35,7 +35,9 @@ def device_loop_seconds(fn_loop, arg, sync_index=(7, 5)) -> float:
     for trial in range(3):
         t0 = time.perf_counter()
         out = fn_loop(arg)
-        _ = float(np.asarray(out)[sync_index])
+        # slice ON DEVICE before transferring: np.asarray(out) would drag the
+        # whole array through the tunnel (~2 GB/s) and swamp the measurement
+        _ = float(out[sync_index])
         dt = time.perf_counter() - t0
         times.append(dt / K)
         print(f"#   trial {trial}: {dt/K*1e3:.3f} ms/iter", file=sys.stderr)

@@ -23,7 +23,12 @@ from spmv_tpu.formats.csr import CSRHost
 class DiaMatrix:
     """Device-resident diagonal-format matrix.
 
-    data:    (ndiags, nrows_pad) — data[d, i] = A[i, i + offsets[d]]
+    data:    (ndiags, nrows_pad // 128, 128) — flattened row-major it reads
+             data[d, i] = A[i, i + offsets[d]]. Stored 3-D in the TPU lane
+             layout so the Pallas kernel consumes it directly: reshaping a
+             2-D (ndiags, nrows_pad) view inside a solver loop materializes
+             a full copy of the matrix per iteration (XLA does not hoist
+             the layout change), which measured ~45%% of SpMV runtime.
     offsets: static tuple of diagonal offsets (j - i), ascending
     """
 
@@ -35,7 +40,13 @@ class DiaMatrix:
 
     @property
     def nrows_pad(self) -> int:
-        return self.data.shape[1]
+        return self.data.shape[1] * self.data.shape[2]
+
+    @property
+    def data_flat(self) -> jax.Array:
+        """(ndiags, nrows_pad) logical view — for the XLA fallback path and
+        host-side inspection. Do NOT use inside hot loops."""
+        return self.data.reshape(self.data.shape[0], -1)
 
     @property
     def ndiags(self) -> int:
@@ -66,13 +77,15 @@ def _round_up(x: int, m: int) -> int:
 
 def csr_to_dia(
     a: CSRHost,
-    row_align: int = 8,
+    row_align: int = 128,
     max_diags: int = 64,
     dtype=None,
 ) -> DiaMatrix:
     """Convert host CSR to DIA. Raises if the matrix has more than
     ``max_diags`` distinct diagonals (then it is not band-structured and ELL
-    should be used instead)."""
+    should be used instead). Rows pad to a multiple of 128 (the TPU lane
+    layout of ``DiaMatrix.data``)."""
+    row_align = max(_round_up(row_align, 128), 128)
     lens = a.row_nnz()
     rows = np.repeat(np.arange(a.nrows), lens)
     offs = a.colind.astype(np.int64) - rows
@@ -93,7 +106,7 @@ def csr_to_dia(
         acc = np.bincount(flat, weights=a.values, minlength=ndiags * nrows_pad)
         data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
     return DiaMatrix(
-        data=jnp.asarray(data),
+        data=jnp.asarray(data.reshape(ndiags, nrows_pad // 128, 128)),
         offsets=tuple(int(o) for o in uniq) or (0,),
         nrows=a.nrows,
         ncols=a.ncols,

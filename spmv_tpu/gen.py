@@ -39,27 +39,30 @@ def create_laplace_2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSRHo
     SPD; the weak-scaling benchmark operator (BASELINE.md config 5: 10M-100M
     rows). Row-major grid numbering, so it is banded with offsets
     {-nx, -1, 0, +1, +nx} — ideal for the DIA fast path.
+
+    Builds CSR directly in row order (no triplet sort) so 100M-row assembly
+    stays linear-time and memory-lean (SURVEY.md section 7 risk 5).
     """
     ny = ny if ny is not None else nx
     n = nx * ny
     idx = np.arange(n, dtype=np.int64)
     ix = idx % nx
     iy = idx // nx
-    rows = [idx]
-    cols = [idx]
-    vals = [np.full(n, 4.0, dtype=dtype)]
-    # left/right neighbors exist when not on the x-boundary
-    m = ix > 0
-    rows.append(idx[m]); cols.append(idx[m] - 1); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
-    m = ix < nx - 1
-    rows.append(idx[m]); cols.append(idx[m] + 1); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
-    m = iy > 0
-    rows.append(idx[m]); cols.append(idx[m] - nx); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
-    m = iy < ny - 1
-    rows.append(idx[m]); cols.append(idx[m] + nx); vals.append(np.full(m.sum(), -1.0, dtype=dtype))
-    return CSRHost.from_coo(
-        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n, n
+    # candidate columns per row, already in ascending offset order
+    offsets = np.array([-nx, -1, 0, 1, nx], dtype=np.int64)
+    cand = idx[:, None] + offsets[None, :]  # (n, 5)
+    valid = np.stack(
+        [iy > 0, ix > 0, np.ones(n, dtype=bool), ix < nx - 1, iy < ny - 1],
+        axis=1,
     )
+    lens = valid.sum(axis=1).astype(np.int64)
+    rowptr = np.concatenate([[0], np.cumsum(lens)])
+    colind = cand[valid]
+    valmat = np.full((n, 5), -1.0, dtype=dtype)
+    valmat[:, 2] = 4.0
+    values = valmat[valid]
+    return CSRHost(rowptr=rowptr, colind=colind.astype(np.int32),
+                   values=values, ncols=n)
 
 
 def gaussian_bump(n: int, global_offset: int = 0, global_size: int | None = None,

@@ -45,6 +45,8 @@ def save_dist_matrix(path: str, a: DistMatrix) -> None:
     }
     if a.diagonal is not None:
         arrays["diagonal"] = np.asarray(a.diagonal)
+    if a.local_dia_data is not None:
+        arrays["local_dia_data"] = np.asarray(a.local_dia_data)
     np.savez_compressed(path, **arrays)
     meta = {
         "version": 1,
@@ -52,6 +54,8 @@ def save_dist_matrix(path: str, a: DistMatrix) -> None:
         "symmetric": a.symmetric,
         "nnz_global": a.nnz_global,
         "axis_name": a.axis_name,
+        "local_format": a.local_format,
+        "dia_offsets": list(a.dia_offsets),
         "plan": {
             "rounds": list(a.plan.rounds),
             "n_devices": a.plan.n_devices,
@@ -109,6 +113,13 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
         nnz_global=meta["nnz_global"],
         mesh=mesh,
         axis_name=axis,
+        local_format=meta.get("local_format", "ell"),
+        local_dia_data=(
+            put(z["local_dia_data"], P(axis, None, None, None))
+            if "local_dia_data" in z
+            else None
+        ),
+        dia_offsets=tuple(meta.get("dia_offsets", [])),
     )
 
 

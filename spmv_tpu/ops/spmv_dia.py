@@ -56,9 +56,10 @@ def spmv_dia(
     xw = jnp.zeros(span, dtype=x.dtype)
     take = min(x.shape[0], a.ncols)
     xw = jax.lax.dynamic_update_slice(xw, x[:take], (-omin,))
+    data = a.data_flat
     out = None
     for d, off in enumerate(a.offsets):
-        term = a.data[d] * jax.lax.dynamic_slice(xw, (off - omin,), (npad,))
+        term = data[d] * jax.lax.dynamic_slice(xw, (off - omin,), (npad,))
         out = term if out is None else out + term
     if y is None:
         return alpha * out

@@ -192,12 +192,14 @@ def _spmv_dia_pallas_2d(
     data, x2, offsets: tuple[int, ...], tile_rows: int, hr: int,
     interpret: bool = False,
 ):
-    """data: (K, npad); x2 (npad/128, 128) -> y (npad/128, 128)."""
-    k, npad = data.shape
-    nrows = npad // LANES
+    """data: (K, npad/128, 128) — ALREADY in lane layout (a reshape here
+    would materialize a copy of the whole matrix per call inside solver
+    loops); x2 (npad/128, 128) -> y (npad/128, 128)."""
+    k, nrows, _ = data.shape
+    npad = nrows * LANES
     tr = tile_rows
     n_tiles = nrows // tr
-    d3 = data.reshape(k, nrows, LANES)
+    d3 = data
 
     kernel = functools.partial(
         _dia_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles
@@ -248,12 +250,14 @@ def dia_pallas_supported(a: DiaMatrix, x: jax.Array | None = None) -> bool:
 
 
 def _pick_tile_rows(nrows: int, k: int, hr: int, itemsize: int) -> int:
-    """Largest divisor-of-nrows tile (in 128-lane rows, multiple of 8, and
-    >= hr for the edge-window math) fitting the VMEM budget: double-buffered
-    window (2*(tr+2hr)) + pipelined data (2*k*tr) + pipelined y (2*tr).
-    Bigger tiles amortize per-grid-step overhead. Returns 0 when no valid
-    tile exists (caller falls back to the XLA path)."""
+    """Largest divisor-of-nrows tile (in 128-lane rows, a multiple of the
+    dtype's sublane tile — 8 rows for fp32, 16 for bf16 — and >= hr for the
+    edge-window math) fitting the VMEM budget: double-buffered window
+    (2*(tr+2hr)) + pipelined data (2*k*tr) + pipelined y (2*tr). Bigger
+    tiles amortize per-grid-step overhead. Returns 0 when no valid tile
+    exists (caller falls back to the XLA path)."""
     budget = 10 * 1024 * 1024
+    sublanes = 8 if itemsize >= 4 else 16
 
     def fits(tr: int) -> bool:
         need = (2 * (tr + 2 * hr) + 2 * k * tr + 2 * tr) * LANES * itemsize
@@ -264,7 +268,7 @@ def _pick_tile_rows(nrows: int, k: int, hr: int, itemsize: int) -> int:
     while d * d <= nrows:
         if nrows % d == 0:
             for tr in (d, nrows // d):
-                if tr % 8 == 0 and tr >= hr and fits(tr) and tr > best:
+                if tr % sublanes == 0 and tr >= hr and fits(tr) and tr > best:
                     best = tr
         d += 1
     return best

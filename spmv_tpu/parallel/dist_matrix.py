@@ -84,10 +84,11 @@ class DistMatrix:
     mesh: Mesh
     axis_name: str
     # stencil fast path: when local_format == "dia", the local block is
-    # stored diagonally and multiplied with the Pallas DIA kernel on TPU
-    # (spmv_tpu.ops.spmv_dia_pallas); remote/ghost entries stay ELL.
+    # stored diagonally (lane layout, see DiaMatrix.data) and multiplied
+    # with the Pallas DIA kernel on TPU (spmv_tpu.ops.spmv_dia_pallas);
+    # remote/ghost entries stay ELL.
     local_format: str = "ell"
-    local_dia_data: jax.Array | None = None  # (D, Kd, R)
+    local_dia_data: jax.Array | None = None  # (D, Kd, R/128, 128)
     dia_offsets: tuple[int, ...] = ()
 
     # ----- static geometry -----
@@ -172,7 +173,7 @@ class DistMatrix:
             in_specs.append(P(self.axis_name, None))
         if has_dia:
             args.append(self.local_dia_data)
-            in_specs.append(mspec)
+            in_specs.append(P(self.axis_name, None, None, None))
         return jax.shard_map(
             per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
             out_specs=spec,
@@ -357,7 +358,7 @@ def build_dist_matrix(
             dd[s] += np.bincount(
                 flat, weights=vals, minlength=kd * r
             ).reshape(kd, r).astype(dd.dtype)
-        dia_data = dd
+        dia_data = dd.reshape(nd, kd, r // 128, 128)  # lane layout
         dia_offsets = tuple(int(o) for o in union)
 
     kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)

@@ -80,7 +80,7 @@ def test_dia_laplace_1d_offsets():
     a = create_laplace_1d(32, gamma=0.25)
     d = csr_to_dia(a)
     assert d.offsets == (-1, 0, 1)
-    data = np.asarray(d.data)
+    data = np.asarray(d.data_flat)
     np.testing.assert_allclose(data[1][:32], 1.5)
     np.testing.assert_allclose(data[0][1:32], -0.25)  # sub-diagonal, rows 1..
     np.testing.assert_allclose(data[2][:31], -0.25)
