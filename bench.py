@@ -25,23 +25,30 @@ import numpy as np
 K = 30  # iterations inside the device-side loop
 
 
-def device_loop_seconds(fn_loop, arg, sync_index=(7, 5)) -> float:
-    """Best seconds/iteration over 2 measured calls of a K-iteration device
-    loop, first call (compile) discarded, host-pull synced. Best-of is used
-    rather than median because the tunnel's throughput fluctuates — the
-    fastest observation is closest to the hardware's capability, and the
-    roofline denominator is measured identically so the ratio stays fair."""
-    times = []
-    for trial in range(3):
-        t0 = time.perf_counter()
-        out = fn_loop(arg)
-        # slice ON DEVICE before transferring: np.asarray(out) would drag the
-        # whole array through the tunnel (~2 GB/s) and swamp the measurement
-        _ = float(out[sync_index])
-        dt = time.perf_counter() - t0
-        times.append(dt / K)
-        print(f"#   trial {trial}: {dt/K*1e3:.3f} ms/iter", file=sys.stderr)
-    return float(min(times[1:]))
+def _timed_call(fn_loop, arg, sync_index=(7, 5)) -> float:
+    t0 = time.perf_counter()
+    out = fn_loop(arg)
+    # slice ON DEVICE before transferring: np.asarray(out) would drag the
+    # whole array through the tunnel (~2 GB/s) and swamp the measurement
+    _ = float(out[sync_index])
+    return (time.perf_counter() - t0) / K
+
+
+def interleaved_loop_seconds(loops_and_args, trials=4):
+    """Best seconds/iteration for each device loop, measured INTERLEAVED
+    (a,b,a,b,...) with the first round (compile) discarded. The chip's
+    throughput fluctuates minute to minute; interleaving makes the
+    spmv/roofline ratio sample the same conditions, and best-of is closest
+    to the hardware's capability."""
+    n = len(loops_and_args)
+    times = [[] for _ in range(n)]
+    for trial in range(trials):
+        for i, (fn, arg) in enumerate(loops_and_args):
+            dt = _timed_call(fn, arg)
+            times[i].append(dt)
+            print(f"#   loop{i} trial {trial}: {dt*1e3:.3f} ms/iter",
+                  file=sys.stderr)
+    return [float(min(t[1:])) for t in times]
 
 
 def main() -> int:
@@ -71,11 +78,6 @@ def main() -> int:
             0, K, lambda i, u: u * jnp.float32(1.0000001), v
         )
 
-    copy_sec = device_loop_seconds(
-        copy_loop, jnp.ones((n // 128, 128), jnp.float32)
-    )
-    roofline_gbs = 2 * n * itemsize / copy_sec / 1e9
-
     @jax.jit
     def spmv_loop(v):
         return jax.lax.fori_loop(
@@ -83,7 +85,13 @@ def main() -> int:
         )
 
     x2 = dia_to_2d(d, jnp.full((d.nrows_pad,), 1e-3, jnp.float32))
-    sec = device_loop_seconds(spmv_loop, x2)
+    copy_sec, sec = interleaved_loop_seconds(
+        [
+            (copy_loop, jnp.ones((n // 128, 128), jnp.float32)),
+            (spmv_loop, x2),
+        ]
+    )
+    roofline_gbs = 2 * n * itemsize / copy_sec / 1e9
 
     traffic = d.data.size * itemsize + 2 * d.nrows_pad * itemsize
     achieved_gbs = traffic / sec / 1e9

