@@ -36,6 +36,7 @@ class DiaMatrix:
     offsets: tuple[int, ...]
     nrows: int
     ncols: int
+    symmetric: bool = False  # offsets <= 0 only; A = L + D + L^T implied
     _nnz: int = 0
 
     @property
@@ -67,7 +68,7 @@ class DiaMatrix:
 jax.tree_util.register_dataclass(
     DiaMatrix,
     data_fields=["data"],
-    meta_fields=["offsets", "nrows", "ncols", "_nnz"],
+    meta_fields=["offsets", "nrows", "ncols", "symmetric", "_nnz"],
 )
 
 
@@ -80,15 +81,28 @@ def csr_to_dia(
     row_align: int = 128,
     max_diags: int = 64,
     dtype=None,
+    symmetric: bool = False,
 ) -> DiaMatrix:
     """Convert host CSR to DIA. Raises if the matrix has more than
     ``max_diags`` distinct diagonals (then it is not band-structured and ELL
     should be used instead). Rows pad to a multiple of 128 (the TPU lane
-    layout of ``DiaMatrix.data``)."""
+    layout of ``DiaMatrix.data``).
+
+    With ``symmetric=True`` (input must be structurally+numerically
+    symmetric), only diagonals with offset <= 0 are stored — the DIA form of
+    the reference's lower-triangle optimization (reference
+    spmv/Matrix.cpp:337-349). Unlike the ELL symmetric path, applying it
+    needs no scatter at all: the transpose of diagonal o is diagonal -o with
+    the same data shifted by -o.
+    """
     row_align = max(_round_up(row_align, 128), 128)
     lens = a.row_nnz()
     rows = np.repeat(np.arange(a.nrows), lens)
     offs = a.colind.astype(np.int64) - rows
+    vals_all = a.values
+    if symmetric:
+        keep = offs <= 0
+        rows, offs, vals_all = rows[keep], offs[keep], vals_all[keep]
     uniq = np.unique(offs)
     if len(uniq) > max_diags:
         raise ValueError(
@@ -98,17 +112,18 @@ def csr_to_dia(
     nrows_pad = max(_round_up(a.nrows, row_align), row_align)
     ndiags = max(len(uniq), 1)
     data = np.zeros((ndiags, nrows_pad), dtype=dtype or a.dtype)
-    if a.nnz:
+    if len(rows):
         dsel = np.searchsorted(uniq, offs)
         # accumulate (duplicate CSR entries sum, matching CSR semantics) via
         # bincount — np.add.at is orders of magnitude slower at 10M+ rows
         flat = dsel * np.int64(nrows_pad) + rows
-        acc = np.bincount(flat, weights=a.values, minlength=ndiags * nrows_pad)
+        acc = np.bincount(flat, weights=vals_all, minlength=ndiags * nrows_pad)
         data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
     return DiaMatrix(
         data=jnp.asarray(data.reshape(ndiags, nrows_pad // 128, 128)),
         offsets=tuple(int(o) for o in uniq) or (0,),
         nrows=a.nrows,
         ncols=a.ncols,
-        _nnz=int(a.nnz),
+        symmetric=symmetric,
+        _nnz=int(len(rows)),
     )

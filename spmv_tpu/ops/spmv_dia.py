@@ -50,17 +50,27 @@ def spmv_dia(
             return alpha * out + beta * yp_
     npad = a.nrows_pad
     omin = min(min(a.offsets), 0)
-    omax = max(a.offsets)
+    # symmetric storage implies the mirrored (positive) offsets too
+    omax = max(max(a.offsets), (-omin) if a.symmetric else 0)
     # Window of x covering every diagonal's reach, one pad, static slices after.
     span = npad + omax - omin
     xw = jnp.zeros(span, dtype=x.dtype)
     take = min(x.shape[0], a.ncols)
     xw = jax.lax.dynamic_update_slice(xw, x[:take], (-omin,))
     data = a.data_flat
+    dpad = jnp.pad(data, ((0, 0), (0, -omin))) if (a.symmetric and omin < 0) else data
     out = None
     for d, off in enumerate(a.offsets):
         term = data[d] * jax.lax.dynamic_slice(xw, (off - omin,), (npad,))
         out = term if out is None else out + term
+        if a.symmetric and off < 0:
+            # transpose of diagonal `off` = diagonal -off with shifted data:
+            # y[i] += A[i-off, i] * x[i-off] = d_off[i-off] * x[i-off]
+            s = -off
+            out = out + (
+                jax.lax.dynamic_slice(dpad[d], (s,), (npad,))
+                * jax.lax.dynamic_slice(xw, (s - omin,), (npad,))
+            )
     if y is None:
         return alpha * out
     yp = y if y.shape[0] == npad else jnp.pad(y[:npad], (0, max(0, npad - y.shape[0])))

@@ -185,6 +185,236 @@ def _dia_kernel(
     y_ref[:, :] = acc.astype(y_ref.dtype)
 
 
+def _dia_sym_kernel(
+    x_hbm,      # (nrows, 128) ANY — unframed x
+    d_hbm,      # (K, nrows, 128) ANY — lower-triangle diagonals (offsets<=0)
+    y_ref,      # (TR, 128) VMEM — output tile (pipelined)
+    xwin,       # (2, TR + 2*HR, 128) VMEM scratch
+    dwin,       # (2, K, TR + HR, 128) VMEM scratch (upper halo only)
+    xsem,       # (2,) DMA semaphores
+    dsem,       # (2,) DMA semaphores
+    *,
+    offsets: tuple[int, ...],
+    tr: int,
+    hr: int,
+    n_tiles: int,
+):
+    """Symmetric DIA SpMV: A = L + D + L^T with only offsets <= 0 stored.
+
+    The transpose of diagonal o is diagonal -o with the SAME data shifted by
+    -o rows/lanes: y[i] += d_o[i-o] * x[i-o]. So besides the x window, the
+    kernel reads a data window with an upper halo — no scatter, no atomics,
+    ~40%% less matrix traffic than full storage for a 5-point stencil.
+    """
+    i = pl.program_id(0)
+    k = len(offsets)
+    wrows = tr + 2 * hr
+
+    def x_start(slot, tile):
+        if n_tiles == 1:
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, tr), :],
+                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
+            ).start()
+            return
+
+        @pl.when(tile == 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, tr + hr), :],
+                xwin.at[slot, pl.ds(hr, tr + hr), :], xsem.at[slot],
+            ).start()
+
+        @pl.when(tile == n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(n_tiles * tr - (tr + hr), tr + hr), :],
+                xwin.at[slot, pl.ds(0, tr + hr), :], xsem.at[slot],
+            ).start()
+
+        @pl.when((tile > 0) & (tile < n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(tile * tr - hr, wrows), :],
+                xwin.at[slot], xsem.at[slot],
+            ).start()
+
+    def x_wait(slot, tile):
+        # reconstruct the started descriptor so the wait matches exactly
+        if n_tiles == 1:
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, tr), :],
+                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
+            ).wait()
+            return
+
+        @pl.when(tile == 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, tr + hr), :],
+                xwin.at[slot, pl.ds(hr, tr + hr), :], xsem.at[slot],
+            ).wait()
+
+        @pl.when(tile == n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(n_tiles * tr - (tr + hr), tr + hr), :],
+                xwin.at[slot, pl.ds(0, tr + hr), :], xsem.at[slot],
+            ).wait()
+
+        @pl.when((tile > 0) & (tile < n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(tile * tr - hr, wrows), :],
+                xwin.at[slot], xsem.at[slot],
+            ).wait()
+
+    def d_start(slot, tile):
+        last = tile == n_tiles - 1
+        if n_tiles == 1:
+            pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(0, tr), :],
+                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
+            ).start()
+            return
+
+        @pl.when(last)
+        def _():
+            pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(tile * tr, tr), :],
+                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
+            ).start()
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(tile * tr, tr + hr), :],
+                dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
+            ).start()
+
+    def d_wait(slot, tile):
+        last = tile == n_tiles - 1
+        if n_tiles == 1:
+            pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(0, tr), :],
+                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
+            ).wait()
+            return
+
+        @pl.when(last)
+        def _():
+            pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(tile * tr, tr), :],
+                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
+            ).wait()
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(tile * tr, tr + hr), :],
+                dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
+            ).wait()
+
+    @pl.when(i == 0)
+    def _():
+        x_start(0, 0)
+        d_start(0, 0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        x_start((i + 1) % 2, i + 1)
+        d_start((i + 1) % 2, i + 1)
+
+    x_wait(i % 2, i)
+    d_wait(i % 2, i)
+
+    # zero the out-of-domain rows of edge windows
+    @pl.when(i == 0)
+    def _():
+        xwin[i % 2, 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        xwin[i % 2, tr + hr : wrows, :] = jnp.zeros((hr, LANES), xwin.dtype)
+        dwin[i % 2, :, pl.ds(tr, hr), :] = jnp.zeros(
+            (k, hr, LANES), dwin.dtype
+        )
+
+    xw = xwin[i % 2]
+    dw = dwin[i % 2]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
+
+    def shifted(buf, base_rows, t):
+        """buf rows [base..base+tr(+1)] viewed at flat element offset t."""
+        q, rr = divmod(t, LANES)
+        if rr == 0:
+            return buf[base_rows + q : base_rows + q + tr, :]
+        r0 = pltpu.roll(buf[base_rows + q : base_rows + q + tr, :], LANES - rr, 1)
+        r1 = pltpu.roll(
+            buf[base_rows + q + 1 : base_rows + q + tr + 1, :], LANES - rr, 1
+        )
+        return jnp.where(lane < LANES - rr, r0, r1)
+
+    acc = jnp.zeros((tr, LANES), jnp.float32)
+    for kk, off in enumerate(offsets):
+        dk = dw[kk]  # (tr + hr, 128), rows [i*tr, i*tr + tr + hr)
+        # forward: y[i] += d_o[i] * x[i + o]
+        acc = acc + dk[0:tr, :].astype(jnp.float32) * shifted(
+            xw, 0, hr * LANES + off
+        ).astype(jnp.float32)
+        if off < 0:
+            s = -off
+            # transpose: y[i] += d_o[i + s] * x[i + s]
+            acc = acc + shifted(dk, 0, s).astype(jnp.float32) * shifted(
+                xw, 0, hr * LANES + s
+            ).astype(jnp.float32)
+    y_ref[:, :] = acc.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tile_rows", "hr", "interpret")
+)
+def _spmv_dia_sym_pallas_2d(
+    data, x2, offsets: tuple[int, ...], tile_rows: int, hr: int,
+    interpret: bool = False,
+):
+    """Symmetric kernel wrapper: data (K, npad/128, 128) with offsets<=0."""
+    k, nrows, _ = data.shape
+    tr = tile_rows
+    n_tiles = nrows // tr
+    kernel = functools.partial(
+        _dia_sym_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tr + 2 * hr, LANES), x2.dtype),
+            pltpu.VMEM((2, k, tr + hr, LANES), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * k * nrows * LANES,
+            bytes_accessed=(k + 2) * nrows * LANES * data.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, data)
+
+
 @functools.partial(
     jax.jit, static_argnames=("offsets", "tile_rows", "hr", "interpret")
 )
@@ -245,22 +475,29 @@ def dia_pallas_supported(a: DiaMatrix, x: jax.Array | None = None) -> bool:
     if hr > 512:
         return False
     return _pick_tile_rows(
-        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize
+        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize,
+        sym=a.symmetric,
     ) > 0
 
 
-def _pick_tile_rows(nrows: int, k: int, hr: int, itemsize: int) -> int:
+def _pick_tile_rows(
+    nrows: int, k: int, hr: int, itemsize: int, sym: bool = False
+) -> int:
     """Largest divisor-of-nrows tile (in 128-lane rows, a multiple of the
     dtype's sublane tile — 8 rows for fp32, 16 for bf16 — and >= hr for the
     edge-window math) fitting the VMEM budget: double-buffered window
-    (2*(tr+2hr)) + pipelined data (2*k*tr) + pipelined y (2*tr). Bigger
-    tiles amortize per-grid-step overhead. Returns 0 when no valid tile
-    exists (caller falls back to the XLA path)."""
-    budget = 10 * 1024 * 1024
+    (2*(tr+2hr)) + data (pipelined 2*k*tr, or haloed window 2*k*(tr+hr) for
+    the symmetric kernel) + pipelined y (2*tr). Bigger tiles amortize
+    per-grid-step overhead. Returns 0 when no valid tile exists (caller
+    falls back to the XLA path)."""
+    # the symmetric kernel's roll/select chains keep several (tr, 128) vreg
+    # temporaries live — leave Mosaic extra scoped-stack headroom
+    budget = (4 if sym else 10) * 1024 * 1024
     sublanes = 8 if itemsize >= 4 else 16
 
     def fits(tr: int) -> bool:
-        need = (2 * (tr + 2 * hr) + 2 * k * tr + 2 * tr) * LANES * itemsize
+        dneed = 2 * k * (tr + hr) if sym else 2 * k * tr
+        need = (2 * (tr + 2 * hr) + dneed + 2 * tr) * LANES * itemsize
         return need <= budget
 
     best = 0
@@ -278,12 +515,20 @@ def spmv_dia_pallas_2d(
     a: DiaMatrix, x2: jax.Array, interpret: bool = False
 ) -> jax.Array:
     """Zero-copy SpMV in lane layout: x2 (nrows, 128) -> y (nrows, 128).
-    The solver hot path — repeated applies chain with no data movement."""
+    The solver hot path — repeated applies chain with no data movement.
+    Dispatches to the symmetric (lower-triangle-only) kernel when
+    ``a.symmetric``."""
     nrows = a.nrows_pad // LANES
     hr = dia_halo_rows(a)
-    tr = _pick_tile_rows(nrows, len(a.offsets), hr, a.data.dtype.itemsize)
+    tr = _pick_tile_rows(
+        nrows, len(a.offsets), hr, a.data.dtype.itemsize, sym=a.symmetric
+    )
     if tr == 0:
         raise ValueError("no valid tile; check dia_pallas_supported first")
+    if a.symmetric:
+        return _spmv_dia_sym_pallas_2d(
+            a.data, x2, a.offsets, tr, hr, interpret=interpret
+        )
     return _spmv_dia_pallas_2d(
         a.data, x2, a.offsets, tr, hr, interpret=interpret
     )

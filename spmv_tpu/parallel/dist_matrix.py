@@ -262,9 +262,13 @@ def _shard_mult(
         from spmv_tpu.formats.dia import DiaMatrix
         from spmv_tpu.ops.spmv_dia import spmv_dia
 
+        # symmetric: the DIA block stores offsets <= 0 (incl. diagonal) and
+        # spmv_dia applies L + D + L^T of the LOCAL block itself — only the
+        # remote/ghost transpose contributions remain for the reverse plan
         dm = DiaMatrix(
             data=dia_data, offsets=dia_offsets,
             nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
+            symmetric=symmetric,
         )
         y = spmv_dia(dm, x)
     else:
@@ -272,12 +276,13 @@ def _shard_mult(
     if have_ghosts:
         y = y + jnp.einsum("rk,rk->r", rv, jnp.take(ghosts, rci, axis=0))
     if symmetric:
-        y = y + diag * x
-        # transpose contributions to owned columns (deterministic scatter-add)
-        contrib = lv * x[:, None]
-        y = y.at[lci.reshape(-1)].add(
-            contrib.reshape(-1), mode="promise_in_bounds"
-        )
+        if local_format != "dia":
+            y = y + diag * x
+            # transpose contributions to owned cols (deterministic scatter-add)
+            contrib = lv * x[:, None]
+            y = y.at[lci.reshape(-1)].add(
+                contrib.reshape(-1), mode="promise_in_bounds"
+            )
         if have_ghosts:
             # contributions to ghost columns -> reverse reduce-scatter to owners
             gz = jnp.zeros((plan.nghost_pad,), dtype=y.dtype)
@@ -311,10 +316,6 @@ def build_dist_matrix(
     if local_format not in ("ell", "dia"):
         raise ValueError(f"unknown local_format {local_format!r}")
     if local_format == "dia":
-        if symmetric:
-            raise NotImplementedError(
-                "local_format='dia' with symmetric storage: use ELL for now"
-            )
         # Pallas DIA kernel wants 128-lane rows and >= 8*128 elements
         row_align = max(row_align, 1024)
 
@@ -340,7 +341,16 @@ def build_dist_matrix(
             lens = loc.row_nnz()
             rows = np.repeat(np.arange(loc.nrows, dtype=np.int64), lens)
             offs = loc.colind.astype(np.int64) - rows
-            per_shard.append((rows, offs, loc.values))
+            vals = loc.values
+            if symmetric:
+                # symmetric shards keep the diagonal separately
+                # (partition_csr); fold it in as offset 0 so the symmetric
+                # DIA block holds all offsets <= 0
+                drows = np.arange(sh.nlocal, dtype=np.int64)
+                rows = np.concatenate([rows, drows])
+                offs = np.concatenate([offs, np.zeros_like(drows)])
+                vals = np.concatenate([vals, sh.diagonal])
+            per_shard.append((rows, offs, vals))
             all_offs.append(np.unique(offs))
         union = np.unique(np.concatenate(all_offs)) if all_offs else np.array([0])
         if len(union) > 64:

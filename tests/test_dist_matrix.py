@@ -161,7 +161,24 @@ def test_dist_dia_rejects_unstructured():
         build_dist_matrix(a, n_devices=2, local_format="dia")
 
 
-def test_dist_dia_rejects_symmetric():
-    a = create_laplace_1d(64)
-    with pytest.raises(NotImplementedError):
-        build_dist_matrix(a, n_devices=2, local_format="dia", symmetric=True)
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_dist_dia_symmetric(n_dev):
+    """Symmetric lower-triangle DIA local blocks + ELL remote reduce-scatter."""
+    a = create_laplace_2d(40, 26)
+    x_host = gaussian_bump(a.nrows)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="dia", symmetric=True)
+    got = A.from_dist(jax.jit(A.matvec)(A.to_dist(x_host)))
+    want = a.matvec(x_host)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    # storage really is lower-triangle only
+    assert all(o <= 0 for o in A.dia_offsets)
+
+
+def test_dist_dia_symmetric_cg():
+    a = create_laplace_2d(16, 16)
+    A = build_dist_matrix(a, n_devices=4, local_format="dia", symmetric=True)
+    b_host = gaussian_bump(a.nrows)
+    res = cg(A.as_linear_operator(), A.to_dist(b_host), kmax=400, rtol=1e-10)
+    assert bool(res.converged)
+    r = a.matvec(A.from_dist(res.x)) - b_host
+    assert np.linalg.norm(r) / np.linalg.norm(b_host) < 1e-9

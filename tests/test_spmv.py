@@ -150,3 +150,61 @@ def test_dia_pallas_interpret_odd_offsets():
     got = np.asarray(spmv_dia_pallas(d, xp, interpret=True))[: a.nrows]
     want = a.matvec(x.astype(np.float64))
     assert rel_err(got, want) < 1e-5
+
+
+def test_dia_symmetric_matches_full():
+    """Lower-triangle-only DIA (no scatter needed: transpose of a diagonal
+    is a shifted diagonal) must equal the full-storage result."""
+    for gen_a in (create_laplace_1d(200, 0.3), create_laplace_2d(17, 13)):
+        x = gaussian_bump(gen_a.ncols)
+        d_full = csr_to_dia(gen_a)
+        d_sym = csr_to_dia(gen_a, symmetric=True)
+        assert all(o <= 0 for o in d_sym.offsets)
+        assert d_sym.nnz_stored < d_full.nnz_stored
+        y_full = spmv_dia(d_full, jnp.asarray(x))
+        y_sym = spmv_dia(d_sym, jnp.asarray(x))
+        want = gen_a.matvec(x)
+        assert rel_err(y_sym, want) < 1e-14
+        np.testing.assert_allclose(
+            np.asarray(y_sym)[: gen_a.nrows], np.asarray(y_full)[: gen_a.nrows],
+            rtol=1e-13, atol=1e-15,
+        )
+
+
+def test_dia_symmetric_random_banded():
+    """Symmetric banded matrix with non-constant diagonal values."""
+    rng = np.random.default_rng(90)
+    n = 100
+    dense = np.zeros((n, n))
+    for off in (0, 1, 3):
+        v = rng.standard_normal(n - off)
+        dense += np.diag(v, off)
+        if off:
+            dense += np.diag(v, -off)
+    a = CSRHost.from_dense(dense)
+    x = rng.standard_normal(n)
+    d_sym = csr_to_dia(a, symmetric=True)
+    got = spmv_dia(d_sym, jnp.asarray(x))
+    assert rel_err(got, dense @ x) < 1e-13
+
+
+def test_dia_sym_pallas_interpret():
+    """Symmetric DIA Pallas kernel (interpreter): lane-crossing and row
+    offsets, multiple tiles, vs the oracle."""
+    from spmv_tpu.ops.spmv_dia_pallas import (
+        _spmv_dia_sym_pallas_2d, dia_to_2d, dia_halo_rows,
+    )
+
+    for nx, ny in ((128, 16), (70, 16)):
+        a = create_laplace_2d(nx, ny)
+        d = csr_to_dia(a, dtype=np.float32, symmetric=True)
+        hr = dia_halo_rows(d)
+        x = np.random.default_rng(91).standard_normal(a.ncols).astype(np.float32)
+        x2 = dia_to_2d(d, jnp.asarray(np.pad(x, (0, d.nrows_pad - a.ncols))))
+        nrows = d.nrows_pad // 128
+        tr = 8 if nrows % 8 == 0 else nrows
+        got = np.asarray(
+            _spmv_dia_sym_pallas_2d(d.data, x2, d.offsets, tr, hr, interpret=True)
+        ).reshape(-1)
+        want = a.matvec(x.astype(np.float64))
+        assert rel_err(got[: a.nrows], want) < 1e-5, (nx, ny)
