@@ -27,8 +27,14 @@ from spmv_tpu.formats.csr import CSRHost
 from spmv_tpu.formats.ell import EllMatrix, csr_to_ell
 from spmv_tpu.formats.dia import DiaMatrix, csr_to_dia
 from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, gaussian_bump
-from spmv_tpu.ops.spmv_ell import spmv_ell
+from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
 from spmv_tpu.ops.spmv_dia import spmv_dia
+from spmv_tpu.ops.spmv_dia_pallas import (
+    dia_pallas_supported,
+    dia_to_2d,
+    spmv_dia_pallas,
+    spmv_dia_pallas_2d,
+)
 from spmv_tpu.solvers.cg import cg, CGResult
 from spmv_tpu.io.petsc import (
     read_petsc_binary_matrix_host,
@@ -52,7 +58,12 @@ __all__ = [
     "create_laplace_2d",
     "gaussian_bump",
     "spmv_ell",
+    "spmv_ell_transpose",
     "spmv_dia",
+    "spmv_dia_pallas",
+    "spmv_dia_pallas_2d",
+    "dia_to_2d",
+    "dia_pallas_supported",
     "cg",
     "CGResult",
     "read_petsc_binary_matrix_host",

@@ -96,6 +96,11 @@ def csr_to_dia(
     the same data shifted by -o.
     """
     row_align = max(_round_up(row_align, 128), 128)
+    if a.nrows > 1_000_000:
+        # guarantee the Pallas tile picker a 1024-lane-row divisor — matrix
+        # row counts like 1e8 (781250 lane rows = 2*5^8) otherwise have no
+        # usable tile divisor; the padding overhead is <= 0.14%
+        row_align = max(row_align, 1024 * 128)
     lens = a.row_nnz()
     rows = np.repeat(np.arange(a.nrows), lens)
     offs = a.colind.astype(np.int64) - rows

@@ -245,6 +245,24 @@ class DistMatrix:
           self.remote_values, self.plan.send_idx, self.plan.recv_pos)
 
 
+# Pytree registration: pass DistMatrix THROUGH jit as an argument
+# (jax.jit(lambda A, x: A.matvec(x))(A, x)). Closing over the matrix inside a
+# jitted function instead would embed its arrays as literal constants in the
+# lowered program — observed shipping a 2 GB matrix through the remote
+# compile service. Mesh and all shape/format descriptors are static.
+jax.tree_util.register_dataclass(
+    DistMatrix,
+    data_fields=[
+        "local_colind", "local_values", "remote_colind", "remote_values",
+        "diagonal", "jacobi_diag", "plan", "local_dia_data",
+    ],
+    meta_fields=[
+        "nrows_global", "symmetric", "nnz_global", "mesh", "axis_name",
+        "local_format", "dia_offsets",
+    ],
+)
+
+
 def _shard_mult(
     x, lci, lv, rci, rv, diag, send_idx, recv_pos,
     plan: CommPlan, symmetric: bool, axis_name: str,
@@ -315,14 +333,19 @@ def build_dist_matrix(
     """
     if local_format not in ("ell", "dia"):
         raise ValueError(f"unknown local_format {local_format!r}")
-    if local_format == "dia":
-        # Pallas DIA kernel wants 128-lane rows and >= 8*128 elements
-        row_align = max(row_align, 1024)
 
     if mesh is None:
         devs = jax.devices()[: (n_devices or len(jax.devices()))]
         mesh = Mesh(np.array(devs), (axis_name,))
     nd = mesh.shape[axis_name]
+
+    if local_format == "dia":
+        # Pallas DIA kernel wants 128-lane rows and >= 8*128 elements; very
+        # large shards additionally align to a 1024-lane-row multiple so the
+        # kernel's tile picker always finds a divisor (see csr_to_dia)
+        row_align = max(row_align, 1024)
+        if a.nrows // nd > 1_000_000:
+            row_align = max(row_align, 1024 * 128)
 
     shards = partition_csr(a, nd, symmetric=symmetric)
     ranges = owner_ranges(a.nrows, nd)

@@ -208,3 +208,18 @@ def test_dia_sym_pallas_interpret():
         ).reshape(-1)
         want = a.matvec(x.astype(np.float64))
         assert rel_err(got[: a.nrows], want) < 1e-5, (nx, ny)
+
+
+def test_bf16_storage_ell_and_dia():
+    """bfloat16 matrix storage (halves HBM traffic for bandwidth-bound SpMV);
+    accuracy degrades to ~1e-2 relative, which is the expected bf16 epsilon
+    for short dot products."""
+    a = create_laplace_2d(20, 20)
+    x = gaussian_bump(a.nrows, dtype=np.float32)
+    want = a.matvec(x.astype(np.float64))
+    e = csr_to_ell(a, dtype=jnp.bfloat16)
+    d = csr_to_dia(a, dtype=jnp.bfloat16)
+    y_e = np.asarray(spmv_ell(e, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+    y_d = np.asarray(spmv_dia(d, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+    assert rel_err(y_e[: a.nrows], want) < 4e-2
+    assert rel_err(y_d[: a.nrows], want) < 4e-2
