@@ -25,9 +25,9 @@ import numpy as np
 K = 30  # iterations inside the device-side loop
 
 
-def _timed_call(fn_loop, arg, sync_index=(7, 5)) -> float:
+def _timed_call(fn_loop, args, sync_index=(7, 5)) -> float:
     t0 = time.perf_counter()
-    out = fn_loop(arg)
+    out = fn_loop(*args)
     # slice ON DEVICE before transferring: np.asarray(out) would drag the
     # whole array through the tunnel (~2 GB/s) and swamp the measurement
     _ = float(out[sync_index])
@@ -43,8 +43,8 @@ def interleaved_loop_seconds(loops_and_args, trials=4):
     n = len(loops_and_args)
     times = [[] for _ in range(n)]
     for trial in range(trials):
-        for i, (fn, arg) in enumerate(loops_and_args):
-            dt = _timed_call(fn, arg)
+        for i, (fn, args) in enumerate(loops_and_args):
+            dt = _timed_call(fn, args)
             times[i].append(dt)
             print(f"#   loop{i} trial {trial}: {dt*1e3:.3f} ms/iter",
                   file=sys.stderr)
@@ -79,16 +79,19 @@ def main() -> int:
         )
 
     @jax.jit
-    def spmv_loop(v):
+    def spmv_loop(dd, v):
+        # dd passed as an ARGUMENT: closing over the matrix would embed its
+        # arrays as literal constants in the lowered program (2 GB at 100M
+        # rows) and ship them through the remote compile service
         return jax.lax.fori_loop(
-            0, K, lambda i, u: spmv_dia_pallas_2d(d, u) * scale, v
+            0, K, lambda i, u: spmv_dia_pallas_2d(dd, u) * scale, v
         )
 
     x2 = dia_to_2d(d, jnp.full((d.nrows_pad,), 1e-3, jnp.float32))
     copy_sec, sec = interleaved_loop_seconds(
         [
-            (copy_loop, jnp.ones((n // 128, 128), jnp.float32)),
-            (spmv_loop, x2),
+            (copy_loop, (jnp.ones((n // 128, 128), jnp.float32),)),
+            (spmv_loop, (d, x2)),
         ]
     )
     roofline_gbs = 2 * n * itemsize / copy_sec / 1e9

@@ -82,12 +82,15 @@ def main() -> int:
     A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,
                           local_format="dia" if args.dia else "ell")
     b = A.to_dist(b_host)
+    # A passed as a pytree ARGUMENT (closure capture would embed the matrix
+    # as literal constants in the compiled program)
     solve = jax.jit(
-        lambda bb: cg(A.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol)
+        lambda A_, bb: cg(A_.as_linear_operator(), bb,
+                          kmax=args.kmax, rtol=args.rtol)
     )
-    res = solve(b)  # warm-up/compile
+    res = solve(A, b)  # warm-up/compile
     t0 = time.perf_counter()
-    res = solve(b)
+    res = solve(A, b)
     device_sync(res.rnorm)
     timer.add("1.Solve", time.perf_counter() - t0)
 

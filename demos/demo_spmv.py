@@ -81,13 +81,15 @@ def main() -> int:
           f"{'symmetric' if args.symmetric else 'vanilla'}, {np.dtype(dtype).name}",
           file=sys.stderr)
 
-    mult = jax.jit(A.matvec)
-    y = mult(x)  # warm-up compile, like the reference's untimed warm-up run
+    # A passed as a pytree ARGUMENT (closure capture would embed the matrix
+    # as literal constants in the compiled program)
+    mult = jax.jit(lambda A_, x_: A_.matvec(x_))
+    y = mult(A, x)  # warm-up compile, like the reference's untimed warm-up run
     device_sync(y)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        y = mult(x)
+        y = mult(A, x)
     device_sync(y)
     timer.add("2.SpUpdate+SpMV", time.perf_counter() - t0)
 
