@@ -89,6 +89,7 @@ def main() -> int:
                           kmax=args.kmax, rtol=args.rtol)
     )
     res = solve(A, b)  # warm-up/compile
+    device_sync(res.rnorm)  # block until compilation really finished
     t0 = time.perf_counter()
     res = solve(A, b)
     device_sync(res.rnorm)

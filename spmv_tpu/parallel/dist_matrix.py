@@ -119,21 +119,28 @@ class DistMatrix:
                 total += arr.size * arr.dtype.itemsize
         return total
 
+    @property
+    def lane_rows(self) -> int:
+        """Per-shard vector rows in the (rows, 128) lane layout."""
+        return self.nlocal_pad // 128
+
     # ----- vector layout helpers -----
     def to_dist(self, x_global: np.ndarray) -> jax.Array:
-        """Scatter a host global vector into the sharded padded layout:
-        shard s owns slots [s*nlocal_pad, s*nlocal_pad + nlocal_s)."""
+        """Scatter a host global vector into the sharded 2-D lane layout
+        (D*nlocal_pad/128, 128): shard s owns flat slots
+        [s*nlocal_pad, s*nlocal_pad + nlocal_s). The 2-D layout matters:
+        big 1-D vector ops hit pathologically slow paths on TPU."""
         ranges = owner_ranges(self.nrows_global, self.n_devices)
         out = np.zeros((self.n_devices, self.nlocal_pad), dtype=x_global.dtype)
         for s in range(self.n_devices):
             r0, r1 = int(ranges[s]), int(ranges[s + 1])
             out[s, : r1 - r0] = x_global[r0:r1]
-        flat = out.reshape(-1)
-        sharding = NamedSharding(self.mesh, P(self.axis_name))
-        return jax.device_put(jnp.asarray(flat), sharding)
+        arr = out.reshape(self.n_devices * self.lane_rows, 128)
+        sharding = NamedSharding(self.mesh, P(self.axis_name, None))
+        return jax.device_put(jnp.asarray(arr), sharding)
 
     def from_dist(self, x: jax.Array) -> np.ndarray:
-        """Gather the sharded padded layout back to a host global vector."""
+        """Gather the sharded lane layout back to a host global vector."""
         ranges = owner_ranges(self.nrows_global, self.n_devices)
         mat = np.asarray(x).reshape(self.n_devices, self.nlocal_pad)
         return np.concatenate(
@@ -142,9 +149,8 @@ class DistMatrix:
 
     # ----- distributed SpMV -----
     def matvec(self, x: jax.Array) -> jax.Array:
-        """y = A @ x on the padded sharded layout ((D*nlocal_pad,) arrays)."""
-        r = self.nlocal_pad
-        spec = P(self.axis_name)
+        """y = A @ x on the sharded lane layout ((D*R/128, 128) arrays)."""
+        spec = P(self.axis_name, None)
         mspec = P(self.axis_name, None, None)
 
         has_diag = self.diagonal is not None
@@ -155,12 +161,12 @@ class DistMatrix:
             diag = rest.pop(0)[0] if has_diag else None
             dia_data = rest.pop(0)[0] if has_dia else None
             y = _shard_mult(
-                x_s.reshape(r), lci[0], lv[0], rci[0], rv[0], diag,
+                x_s, lci[0], lv[0], rci[0], rv[0], diag,
                 send_idx[0], recv_pos[0], self.plan, self.symmetric,
                 self.axis_name, self.local_format, dia_data,
                 self.dia_offsets,
             )
-            return y.reshape(x_s.shape)
+            return y
 
         args = [
             self.local_colind, self.local_values,
@@ -176,7 +182,7 @@ class DistMatrix:
             in_specs.append(P(self.axis_name, None, None, None))
         return jax.shard_map(
             per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
-            out_specs=spec,
+            out_specs=spec, check_vma=False,  # pallas_call inside shard_map
         )(x, *args)
 
     def as_linear_operator(self):
@@ -187,10 +193,10 @@ class DistMatrix:
         """z = r / diag(A) closure for cg(preconditioner=...) — optional
         diagonal scaling the reference never offered. Zero diagonal entries
         (and padding slots) pass through unscaled."""
-        dflat = self.jacobi_diag.reshape(-1)
+        d2 = self.jacobi_diag.reshape(self.n_devices * self.lane_rows, 128)
 
         def apply(r):
-            return jnp.where(dflat != 0, r / jnp.where(dflat != 0, dflat, 1), r)
+            return jnp.where(d2 != 0, r / jnp.where(d2 != 0, d2, 1), r)
 
         return apply
 
@@ -214,11 +220,11 @@ class DistMatrix:
                 "DIA path; rebuild with local_format='ell'"
             )
         r = self.nlocal_pad
-        spec = P(self.axis_name)
+        spec = P(self.axis_name, None)
         mspec = P(self.axis_name, None, None)
 
-        def per_shard(x_s, lci, lv, rci, rv, send_idx, recv_pos):
-            x_s = x_s.reshape(r)
+        def per_shard(x_s2, lci, lv, rci, rv, send_idx, recv_pos):
+            x_s = x_s2.reshape(r)
             lci_, lv_, rci_, rv_ = lci[0], lv[0], rci[0], rv[0]
             plan = self.plan
             # owned columns: scatter-add v * x[row] at local colind
@@ -235,12 +241,12 @@ class DistMatrix:
                     gz, y, send_idx[0], recv_pos[0], plan.rounds,
                     plan.n_devices, self.axis_name,
                 )
-            return y.reshape(x_s.shape)
+            return y.reshape(x_s2.shape)
 
         return jax.shard_map(
             per_shard, mesh=self.mesh,
             in_specs=(spec, mspec, mspec, mspec, mspec, mspec, mspec),
-            out_specs=spec,
+            out_specs=spec, check_vma=False,
         )(x, self.local_colind, self.local_values, self.remote_colind,
           self.remote_values, self.plan.send_idx, self.plan.recv_pos)
 
@@ -264,11 +270,18 @@ jax.tree_util.register_dataclass(
 
 
 def _shard_mult(
-    x, lci, lv, rci, rv, diag, send_idx, recv_pos,
+    x2, lci, lv, rci, rv, diag, send_idx, recv_pos,
     plan: CommPlan, symmetric: bool, axis_name: str,
     local_format: str = "ell", dia_data=None, dia_offsets: tuple = (),
 ):
-    """One shard's y = A_s @ x. Runs inside shard_map."""
+    """One shard's y = A_s @ x. Runs inside shard_map.
+
+    Vectors arrive in the 2-D lane layout x2: (nlocal_pad/128, 128). The DIA
+    fast path consumes them directly (zero reshapes on the hot loop); the
+    ELL/general machinery works on a flat row-major view, whose reshape XLA
+    fuses into the consuming gathers.
+    """
+    x = x2.reshape(-1)
     have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
     if have_ghosts:
         ghosts = halo_gather(
@@ -278,21 +291,35 @@ def _shard_mult(
     # interior SpMV — independent of the halo, overlappable by XLA
     if local_format == "dia":
         from spmv_tpu.formats.dia import DiaMatrix
-        from spmv_tpu.ops.spmv_dia import spmv_dia
+        from spmv_tpu.ops.spmv_dia_pallas import (
+            dia_pallas_supported,
+            spmv_dia_pallas_2d,
+        )
 
         # symmetric: the DIA block stores offsets <= 0 (incl. diagonal) and
-        # spmv_dia applies L + D + L^T of the LOCAL block itself — only the
+        # applies L + D + L^T of the LOCAL block itself — only the
         # remote/ghost transpose contributions remain for the reverse plan
         dm = DiaMatrix(
             data=dia_data, offsets=dia_offsets,
             nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
             symmetric=symmetric,
         )
-        y = spmv_dia(dm, x)
+        if jax.default_backend() == "tpu" and dia_pallas_supported(dm):
+            y2 = spmv_dia_pallas_2d(dm, x2)
+        else:
+            from spmv_tpu.ops.spmv_dia import spmv_dia
+
+            y2 = spmv_dia(dm, x, method="xla").reshape(x2.shape)
+        y = None
     else:
         y = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
+        y2 = None
     if have_ghosts:
-        y = y + jnp.einsum("rk,rk->r", rv, jnp.take(ghosts, rci, axis=0))
+        gy = jnp.einsum("rk,rk->r", rv, jnp.take(ghosts, rci, axis=0))
+        if y is None:
+            y2 = y2 + gy.reshape(x2.shape)
+        else:
+            y = y + gy
     if symmetric:
         if local_format != "dia":
             y = y + diag * x
@@ -303,15 +330,20 @@ def _shard_mult(
             )
         if have_ghosts:
             # contributions to ghost columns -> reverse reduce-scatter to owners
-            gz = jnp.zeros((plan.nghost_pad,), dtype=y.dtype)
+            gz = jnp.zeros((plan.nghost_pad,), dtype=x.dtype)
             gcontrib = rv * x[:, None]
             gz = gz.at[rci.reshape(-1)].add(
                 gcontrib.reshape(-1), mode="promise_in_bounds"
             )
+            if y is None:
+                y = y2.reshape(-1)
+                y2 = None
             y = halo_scatter_add(
                 gz, y, send_idx, recv_pos, plan.rounds, plan.n_devices, axis_name
             )
-    return y
+    if y2 is not None:
+        return y2
+    return y.reshape(x2.shape)
 
 
 def build_dist_matrix(
@@ -333,6 +365,8 @@ def build_dist_matrix(
     """
     if local_format not in ("ell", "dia"):
         raise ValueError(f"unknown local_format {local_format!r}")
+    # distributed vectors live in the (rows, 128) lane layout
+    row_align = max(row_align, 128)
 
     if mesh is None:
         devs = jax.devices()[: (n_devices or len(jax.devices()))]

@@ -77,10 +77,11 @@ def measure_copy_bandwidth_gbs(nbytes: int = 256 * 1024 * 1024) -> float:
     Self-calibrating: no hard-coded HBM spec for whatever chip the tunnel
     exposes."""
     n = nbytes // 4
-    x0 = jnp.ones((n,), jnp.float32)
+    # (rows, 128) lane layout — big 1-D arrays hit slow paths on TPU
+    x0 = jnp.ones((n // 128, 128), jnp.float32)
     f = jax.jit(lambda v: v * jnp.float32(1.0000001))
     sec = bench_chained(f, x0, iters=10)
-    return 2 * n * 4 / sec / 1e9
+    return 2 * x0.size * 4 / sec / 1e9
 
 
 def spmv_traffic_bytes(format_bytes: int, n_in: int, n_out: int, itemsize: int) -> int:
