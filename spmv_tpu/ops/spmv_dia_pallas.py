@@ -46,8 +46,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def dia_halo_rows(a: DiaMatrix) -> int:
-    """Frame rows needed for this matrix's offsets."""
-    return _round_up(max(max(abs(o) for o in a.offsets), 1), LANES) // LANES
+    """Window halo rows for this matrix's offsets, rounded to a multiple of
+    8 so every partial-window DMA length (tr + hr) stays sublane-aligned
+    (Mosaic requires slice shapes aligned to the dtype tiling)."""
+    hr = _round_up(max(max(abs(o) for o in a.offsets), 1), LANES) // LANES
+    # 16 covers the strictest sublane tiling (bf16); DMA offsets like
+    # tile*tr - hr must be provably tiling-divisible
+    return _round_up(hr, 16)
 
 
 def dia_to_2d(a: DiaMatrix, x: jax.Array) -> jax.Array:
@@ -85,8 +90,9 @@ def _dia_kernel(
     # vector would hold). Start/wait pairs branch identically so each wait
     # matches its start. Requires tr >= hr (enforced by _pick_tile_rows).
     def dma_mid(slot, tile):
+        start_row = pl.multiple_of(tile * tr - hr, 16)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(tile * tr - hr, wrows), :],
+            x_hbm.at[pl.ds(start_row, wrows), :],
             xwin.at[slot], xsem.at[slot],
         )
 
@@ -121,9 +127,10 @@ def _dia_kernel(
         def _():
             dma_last(slot).start()
 
-        @pl.when((tile > 0) & (tile < n_tiles - 1))
-        def _():
-            dma_mid(slot, tile).start()
+        if n_tiles > 2:  # mid tiles exist; static guard keeps small cases
+            @pl.when((tile > 0) & (tile < n_tiles - 1))
+            def _():
+                dma_mid(slot, tile).start()
 
     def wait(slot, tile):
         if n_tiles == 1:
@@ -141,9 +148,10 @@ def _dia_kernel(
         def _():
             dma_last(slot).wait()
 
-        @pl.when((tile > 0) & (tile < n_tiles - 1))
-        def _():
-            dma_mid(slot, tile).wait()
+        if n_tiles > 2:
+            @pl.when((tile > 0) & (tile < n_tiles - 1))
+            def _():
+                dma_mid(slot, tile).wait()
 
     @pl.when(i == 0)
     def _():
@@ -173,15 +181,20 @@ def _dia_kernel(
         t = hr * LANES + off
         q, r = divmod(t, LANES)
         if r == 0:
-            v = xw[q : q + tr, :]
+            v = xw[q : q + tr, :].astype(jnp.float32)
         else:
             # v[:, j] = flat window element 128*q + j + r — two lane-rolls
             # plus a lane select (Mosaic rejects the equivalent concat of
-            # sublane-shifted slices)
-            r0 = pltpu.roll(xw[q : q + tr, :], LANES - r, 1)
-            r1 = pltpu.roll(xw[q + 1 : q + tr + 1, :], LANES - r, 1)
+            # sublane-shifted slices; rotate only supports 32-bit data, so
+            # sub-32-bit windows are upcast before rolling)
+            r0 = pltpu.roll(
+                xw[q : q + tr, :].astype(jnp.float32), LANES - r, 1
+            )
+            r1 = pltpu.roll(
+                xw[q + 1 : q + tr + 1, :].astype(jnp.float32), LANES - r, 1
+            )
             v = jnp.where(lane < LANES - r, r0, r1)
-        acc = acc + data_ref[k].astype(jnp.float32) * v.astype(jnp.float32)
+        acc = acc + data_ref[k].astype(jnp.float32) * v
     y_ref[:, :] = acc.astype(y_ref.dtype)
 
 
@@ -232,12 +245,13 @@ def _dia_sym_kernel(
                 xwin.at[slot, pl.ds(0, tr + hr), :], xsem.at[slot],
             ).start()
 
-        @pl.when((tile > 0) & (tile < n_tiles - 1))
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(tile * tr - hr, wrows), :],
-                xwin.at[slot], xsem.at[slot],
-            ).start()
+        if n_tiles > 2:
+            @pl.when((tile > 0) & (tile < n_tiles - 1))
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, 16), wrows), :],
+                    xwin.at[slot], xsem.at[slot],
+                ).start()
 
     def x_wait(slot, tile):
         # reconstruct the started descriptor so the wait matches exactly
@@ -262,12 +276,13 @@ def _dia_sym_kernel(
                 xwin.at[slot, pl.ds(0, tr + hr), :], xsem.at[slot],
             ).wait()
 
-        @pl.when((tile > 0) & (tile < n_tiles - 1))
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(tile * tr - hr, wrows), :],
-                xwin.at[slot], xsem.at[slot],
-            ).wait()
+        if n_tiles > 2:
+            @pl.when((tile > 0) & (tile < n_tiles - 1))
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, 16), wrows), :],
+                    xwin.at[slot], xsem.at[slot],
+                ).wait()
 
     def d_start(slot, tile):
         last = tile == n_tiles - 1
@@ -281,14 +296,14 @@ def _dia_sym_kernel(
         @pl.when(last)
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(tile * tr, tr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr), :],
                 dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
             ).start()
 
         @pl.when(jnp.logical_not(last))
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(tile * tr, tr + hr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr + hr), :],
                 dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
             ).start()
 
@@ -304,14 +319,14 @@ def _dia_sym_kernel(
         @pl.when(last)
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(tile * tr, tr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr), :],
                 dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
             ).wait()
 
         @pl.when(jnp.logical_not(last))
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(tile * tr, tr + hr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr + hr), :],
                 dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
             ).wait()
 
@@ -346,13 +361,19 @@ def _dia_sym_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
 
     def shifted(buf, base_rows, t):
-        """buf rows [base..base+tr(+1)] viewed at flat element offset t."""
+        """buf rows [base..base+tr(+1)] viewed at flat element offset t
+        (f32 result; sub-32-bit buffers upcast before the lane rotate,
+        which Mosaic only implements for 32-bit data)."""
         q, rr = divmod(t, LANES)
         if rr == 0:
-            return buf[base_rows + q : base_rows + q + tr, :]
-        r0 = pltpu.roll(buf[base_rows + q : base_rows + q + tr, :], LANES - rr, 1)
+            return buf[base_rows + q : base_rows + q + tr, :].astype(jnp.float32)
+        r0 = pltpu.roll(
+            buf[base_rows + q : base_rows + q + tr, :].astype(jnp.float32),
+            LANES - rr, 1,
+        )
         r1 = pltpu.roll(
-            buf[base_rows + q + 1 : base_rows + q + tr + 1, :], LANES - rr, 1
+            buf[base_rows + q + 1 : base_rows + q + tr + 1, :].astype(jnp.float32),
+            LANES - rr, 1,
         )
         return jnp.where(lane < LANES - rr, r0, r1)
 
@@ -362,13 +383,11 @@ def _dia_sym_kernel(
         # forward: y[i] += d_o[i] * x[i + o]
         acc = acc + dk[0:tr, :].astype(jnp.float32) * shifted(
             xw, 0, hr * LANES + off
-        ).astype(jnp.float32)
+        )
         if off < 0:
             s = -off
             # transpose: y[i] += d_o[i + s] * x[i + s]
-            acc = acc + shifted(dk, 0, s).astype(jnp.float32) * shifted(
-                xw, 0, hr * LANES + s
-            ).astype(jnp.float32)
+            acc = acc + shifted(dk, 0, s) * shifted(xw, 0, hr * LANES + s)
     y_ref[:, :] = acc.astype(y_ref.dtype)
 
 

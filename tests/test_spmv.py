@@ -195,14 +195,24 @@ def test_dia_sym_pallas_interpret():
         _spmv_dia_sym_pallas_2d, dia_to_2d, dia_halo_rows,
     )
 
-    for nx, ny in ((128, 16), (70, 16)):
+    from spmv_tpu.ops.spmv_dia_pallas import _pick_tile_rows
+
+    # sizes chosen so the kernel runs multi-tile (nrows a multiple of the
+    # halo-respecting tile)
+    for nx, ny in ((128, 64), (70, 120)):
         a = create_laplace_2d(nx, ny)
-        d = csr_to_dia(a, dtype=np.float32, symmetric=True)
+        d = csr_to_dia(a, dtype=np.float32, symmetric=True, row_align=4096)
         hr = dia_halo_rows(d)
         x = np.random.default_rng(91).standard_normal(a.ncols).astype(np.float32)
         x2 = dia_to_2d(d, jnp.asarray(np.pad(x, (0, d.nrows_pad - a.ncols))))
         nrows = d.nrows_pad // 128
-        tr = 8 if nrows % 8 == 0 else nrows
+        # force multi-tile when a valid smaller tile exists
+        tr = _pick_tile_rows(nrows, len(d.offsets), hr, 4, sym=True)
+        for cand in range(hr, nrows, 16):
+            if nrows % cand == 0:
+                tr = cand
+                break
+        assert tr > 0, (nrows, tr)
         got = np.asarray(
             _spmv_dia_sym_pallas_2d(d.data, x2, d.offsets, tr, hr, interpret=True)
         ).reshape(-1)
