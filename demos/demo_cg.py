@@ -35,6 +35,7 @@ def main() -> int:
     ap.add_argument("--rtol", type=float, default=1e-10, help="relative tolerance")
     ap.add_argument("--devices", type=int, default=0)
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
+    ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
     ap.add_argument("--symmetric", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -85,8 +86,10 @@ def main() -> int:
     # A passed as a pytree ARGUMENT (closure capture would embed the matrix
     # as literal constants in the compiled program)
     solve = jax.jit(
-        lambda A_, bb: cg(A_.as_linear_operator(), bb,
-                          kmax=args.kmax, rtol=args.rtol)
+        lambda A_, bb: cg(
+            A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
+            preconditioner=A_.jacobi_preconditioner() if args.jacobi else None,
+        )
     )
     res = solve(A, b)  # warm-up/compile
     device_sync(res.rnorm)  # block until compilation really finished

@@ -82,6 +82,34 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pack_ell_native(a: CSRHost, k: int, colind: np.ndarray,
+                     values: np.ndarray) -> bool:
+    """Pack via the C++ tier (native/spmv_host.cpp spmv_pack_ell). Returns
+    False (caller falls back to numpy) when the library is unavailable or
+    the inputs are not in the expected layouts."""
+    import ctypes
+
+    from spmv_tpu.native.lib import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+    src_col = np.ascontiguousarray(a.colind, dtype=np.int32)
+    src_val = np.ascontiguousarray(a.values, dtype=np.float64)
+    if values.dtype != np.float64 or not values.flags.c_contiguous:
+        return False
+    rc = lib.spmv_pack_ell(
+        rowptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        src_col.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        src_val.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        a.nrows, colind.shape[0], k,
+        colind.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return rc == 0
+
+
 def csr_to_ell(
     a: CSRHost,
     row_align: int = 8,
@@ -108,10 +136,16 @@ def csr_to_ell(
     colind = np.zeros((nrows_pad, k), dtype=np.int32)
     values = np.zeros((nrows_pad, k), dtype=dtype or a.dtype)
     if a.nnz:
-        rows = np.repeat(np.arange(a.nrows), lens)
-        slot = np.arange(a.nnz) - np.repeat(a.rowptr[:-1], lens)
-        colind[rows, slot] = a.colind
-        values[rows, slot] = a.values
+        packed = False
+        if a.nnz > 1_000_000 and values.dtype == np.float64:
+            # C++ packer (spmv_tpu.native): avoids the two nnz-sized index
+            # temporaries the numpy path allocates — matters at 100M+ nnz
+            packed = _pack_ell_native(a, k, colind, values)
+        if not packed:
+            rows = np.repeat(np.arange(a.nrows), lens)
+            slot = np.arange(a.nnz) - np.repeat(a.rowptr[:-1], lens)
+            colind[rows, slot] = a.colind
+            values[rows, slot] = a.values
 
     if symmetric:
         diag = np.zeros(nrows_pad, dtype=values.dtype)

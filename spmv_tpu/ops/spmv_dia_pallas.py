@@ -7,20 +7,22 @@ pathologically slow through this stack. This kernel makes the optimal
 formulation explicit: one pass over the diagonal data, one windowed read of
 x, one write of y — everything in 2-D (rows, 128) lane layout.
 
-Framed input layout: x is passed as (nrows/128 + 2*HR, 128) with HR zero
-"frame" rows above and below the live domain, HR = ceil(max|offset|/128).
-The frame plays the role of the reference's ghost padding (reference
-spmv/cg.cpp:36-42 padded vectors) but for the *intra-device* halo: a shifted
-read x[i + off] is then a statically-offset window of the framed buffer.
-Framing is a cheap 2-D concat (``dia_frame``); the output comes back
-unframed (nrows, 128), pipelined by the Pallas grid machinery.
+Zero-copy vector flow: vectors are plain (nrows/128, 128) lane-layout
+arrays in and out, so repeated applies (CG) chain with no data movement.
+The halo a shifted read needs (the intra-device analogue of the reference's
+ghost padding, reference spmv/cg.cpp:36-42) is handled per tile: the x
+window covers [tile*TR - HR, tile*TR + TR + HR) rows, edge tiles clamp to
+the domain and zero the out-of-range window rows in VMEM (zero Dirichlet
+halo), HR = ceil(max|offset|/128) rounded to the sublane tiling.
 
 Per grid step i (rows [i*TR, (i+1)*TR)):
   - the x window (TR + 2*HR rows) is DMA'd HBM->VMEM, double-buffered so the
     window of tile i+1 transfers while tile i computes;
   - each diagonal contributes data[k] * shift(x) where the shift decomposes
     into whole rows q and lanes r; lane shifts are two lane-rolls + a select
-    (Mosaic rejects the equivalent concat of sublane-shifted slices).
+    (Mosaic rejects the equivalent concat of sublane-shifted slices, and
+    rotates only 32-bit data — sub-32-bit windows upcast first);
+  - diagonal data and output tiles are pipelined by the grid machinery.
 
 Plays the role of the reference's per-backend CSR kernels for its stencil
 benchmarks (reference spmv/csr_kernels.*; the reference has no DIA format —

@@ -28,7 +28,6 @@ MPI_Allreduce calls, spmv/cg.cpp:49,65,75).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _stack_ell(
-    blocks: list[CSRHost], nrows_pad: int, k: int, col_offset_fn=None, dtype=None
+    blocks: list[CSRHost], nrows_pad: int, k: int, dtype=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Stack per-shard CSR blocks into (D, nrows_pad, k) ELL arrays."""
     d = len(blocks)

@@ -199,3 +199,14 @@ def test_dist_matrix_is_pytree_jit_argument():
     B = build_dist_matrix(a, n_devices=2, local_format="dia")
     got2 = B.from_dist(f(B, B.to_dist(x_host)))
     np.testing.assert_allclose(got2, a.matvec(x_host), rtol=1e-12)
+
+
+@pytest.mark.parametrize("n_dev", [3, 5, 7])
+def test_dist_spmv_odd_mesh_sizes(n_dev):
+    """Non-power-of-two meshes (uneven owner ranges differ by one row)."""
+    a = create_laplace_2d(13, 17)
+    x_host = np.random.default_rng(99).standard_normal(a.nrows)
+    A = build_dist_matrix(a, n_devices=n_dev, symmetric=True)
+    got = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x_host)))
+    want = a.matvec(x_host)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12

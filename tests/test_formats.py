@@ -104,3 +104,21 @@ def test_laplace_2d_is_spd_stencil():
     np.testing.assert_allclose(dense, dense.T)
     assert np.all(np.linalg.eigvalsh(dense) > 0)
     assert a.nnz == 5 * 16 - 2 * 4 - 2 * 4  # 5n - 2*nx - 2*ny
+
+
+def test_native_ell_pack_matches_numpy():
+    """C++ ELL packer vs the numpy path on the same matrix."""
+    from spmv_tpu.formats.ell import _pack_ell_native
+    from spmv_tpu.native.lib import native_available
+
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("native toolchain unavailable")
+    a = random_csr(200, 150, 6, seed=95)  # float64 default
+    e_np = csr_to_ell(a, row_align=8, k_align=1)
+    k = e_np.k
+    colind = np.zeros((e_np.nrows_pad, k), dtype=np.int32)
+    values = np.zeros((e_np.nrows_pad, k), dtype=np.float64)
+    assert _pack_ell_native(a, k, colind, values)
+    np.testing.assert_array_equal(colind, np.asarray(e_np.colind))
+    np.testing.assert_allclose(values, np.asarray(e_np.values))
