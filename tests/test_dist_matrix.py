@@ -210,3 +210,21 @@ def test_dist_spmv_odd_mesh_sizes(n_dev):
     got = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x_host)))
     want = a.matvec(x_host)
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_dist_cg_medium_scale_8dev():
+    """Medium-scale sanity: 160k-row Laplacian, 8 shards, DIA local blocks,
+    symmetric storage — the shape of the weak-scaling runs (BASELINE.md
+    config 5) at CPU-testable size."""
+    a = create_laplace_2d(400, 400)
+    A = build_dist_matrix(a, n_devices=8, local_format="dia", symmetric=True)
+    b_host = gaussian_bump(a.nrows)
+    res = jax.jit(
+        lambda A_, bb: cg(A_.as_linear_operator(), bb, kmax=60, rtol=1e-10)
+    )(A, A.to_dist(b_host))
+    # 60 iterations cannot converge at this size; check the residual
+    # recurrence against an independent recomputation instead
+    x_host = A.from_dist(res.x)
+    r_true = a.matvec(x_host) - b_host
+    assert abs(np.linalg.norm(r_true) - float(res.rnorm)) / float(res.rnorm) < 1e-6
+    assert int(res.iterations) == 60
