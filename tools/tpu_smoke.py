@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""On-hardware validation battery.
+
+The CPU test suite runs Pallas kernels in interpreter mode; several failure
+classes only exist on the real chip (Mosaic lowering gaps, VMEM budgets,
+DMA alignment proofs, shard_map+pallas interactions — each bit us during
+round 1). This script exercises every compiled kernel path end-to-end on
+the attached TPU and prints PASS/FAIL per check. Run it after any kernel
+change:
+
+    python tools/tpu_smoke.py            # ~2-4 min warm, longer cold
+
+Exit code 0 iff all checks pass.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS = []
+
+
+def check(name):
+    def deco(fn):
+        RESULTS.append((name, fn))
+        return fn
+    return deco
+
+
+@check("dia kernel fp32 (lane offsets)")
+def _(env):
+    st, jnp, P = env["st"], env["jnp"], env["P"]
+    a = st.create_laplace_2d(256, 256, dtype=np.float32)
+    d = st.csr_to_dia(a, dtype=np.float32)
+    x = jnp.asarray(np.pad(st.gaussian_bump(a.ncols, dtype=np.float32),
+                           (0, d.nrows_pad - a.ncols)))
+    y = np.asarray(P.spmv_dia_pallas(d, x))[: a.nrows]
+    want = a.matvec(np.asarray(x)[: a.ncols].astype(np.float64))
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
+
+
+@check("dia kernel fp32 odd lane remainder")
+def _(env):
+    st, jnp, P = env["st"], env["jnp"], env["P"]
+    a = st.create_laplace_2d(70, 300, dtype=np.float32)  # offsets +-70
+    d = st.csr_to_dia(a, dtype=np.float32, row_align=4096)
+    x = jnp.asarray(np.pad(st.gaussian_bump(a.ncols, dtype=np.float32),
+                           (0, d.nrows_pad - a.ncols)))
+    y = np.asarray(P.spmv_dia_pallas(d, x))[: a.nrows]
+    want = a.matvec(np.asarray(x)[: a.ncols].astype(np.float64))
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
+
+
+@check("dia kernel bf16")
+def _(env):
+    st, jnp, P = env["st"], env["jnp"], env["P"]
+    a = st.create_laplace_2d(256, 256, dtype=np.float32)
+    d = st.csr_to_dia(a, dtype=jnp.bfloat16)
+    xh = st.gaussian_bump(a.ncols, dtype=np.float32)
+    x = jnp.asarray(np.pad(xh, (0, d.nrows_pad - a.ncols))).astype(jnp.bfloat16)
+    y = np.asarray(P.spmv_dia_pallas(d, x).astype(jnp.float32))[: a.nrows]
+    want = a.matvec(xh.astype(np.float64))
+    # bf16 input rounding amplified by stencil cancellation: loose bound
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 0.2
+
+
+@check("dia symmetric kernel")
+def _(env):
+    st, jnp, P = env["st"], env["jnp"], env["P"]
+    a = st.create_laplace_2d(256, 256, dtype=np.float32)
+    d = st.csr_to_dia(a, dtype=np.float32, symmetric=True)
+    x = jnp.asarray(np.pad(st.gaussian_bump(a.ncols, dtype=np.float32),
+                           (0, d.nrows_pad - a.ncols)))
+    y = np.asarray(P.spmv_dia_pallas(d, x))[: a.nrows]
+    want = a.matvec(np.asarray(x)[: a.ncols].astype(np.float64))
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
+
+
+@check("multi-tile kernel (tr < nrows)")
+def _(env):
+    st, jnp, P = env["st"], env["jnp"], env["P"]
+    a = st.create_laplace_2d(1024, 1024, dtype=np.float32)  # forces tiling
+    d = st.csr_to_dia(a, dtype=np.float32)
+    x = jnp.asarray(np.pad(st.gaussian_bump(a.ncols, dtype=np.float32),
+                           (0, d.nrows_pad - a.ncols)))
+    y = np.asarray(P.spmv_dia_pallas(d, x))[: a.nrows]
+    import scipy.sparse as sp
+    A = sp.csr_matrix((a.values, a.colind, a.rowptr), shape=a.shape)
+    want = A @ np.asarray(x)[: a.ncols].astype(np.float64)
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
+
+
+@check("distributed matvec via shard_map (DIA local)")
+def _(env):
+    st, jax = env["st"], env["jax"]
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    a = st.create_laplace_2d(128, 64, dtype=np.float32)
+    A = build_dist_matrix(a, n_devices=1, local_format="dia", dtype=np.float32)
+    xh = st.gaussian_bump(a.nrows, dtype=np.float32)
+    y = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(xh)))
+    want = a.matvec(xh.astype(np.float64))
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
+
+
+@check("distributed CG while_loop (symmetric ELL)")
+def _(env):
+    st, jax = env["st"], env["jax"]
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.cg import cg
+    a = st.create_laplace_2d(64, 64, dtype=np.float32)
+    A = build_dist_matrix(a, n_devices=1, symmetric=True, dtype=np.float32)
+    b = A.to_dist(st.gaussian_bump(a.nrows, dtype=np.float32))
+    res = jax.jit(lambda A_, bb: cg(A_.as_linear_operator(), bb,
+                                    kmax=200, rtol=1e-5))(A, b)
+    r = a.matvec(A.from_dist(res.x).astype(np.float64)) - st.gaussian_bump(a.nrows)
+    return np.linalg.norm(r) / np.linalg.norm(st.gaussian_bump(a.nrows)) < 1e-3
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import spmv_tpu as st
+    import spmv_tpu.ops.spmv_dia_pallas as P
+
+    env = {"jax": jax, "jnp": jnp, "st": st, "P": P}
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    failures = 0
+    for name, fn in RESULTS:
+        t0 = time.perf_counter()
+        try:
+            ok = bool(fn(env))
+        except Exception as e:  # noqa: BLE001 — report, keep going
+            ok = False
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+        dt = time.perf_counter() - t0
+        if ok:
+            print(f"PASS {name} ({dt:.1f}s)")
+        else:
+            failures += 1
+            print(f"FAIL {name} ({dt:.1f}s)")
+    print(f"{len(RESULTS) - failures}/{len(RESULTS)} checks passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
