@@ -30,6 +30,8 @@ def main() -> int:
     src.add_argument("--petsc", help="PETSc binary matrix file")
     src.add_argument("--lap2d", type=int, help="generate NxN 2-D Laplacian")
     src.add_argument("--lap1d", type=int, help="generate N-row 1-D operator")
+    src.add_argument("--lap3d", type=int, help="generate NxNxN 3-D Laplacian")
+    src.add_argument("--mtx", help="Matrix Market file (.mtx / .mtx.gz)")
     ap.add_argument("--rhs", help="PETSc binary RHS vector (default: Gaussian bump)")
     ap.add_argument("--kmax", type=int, default=100, help="max iterations (reference: 100)")
     ap.add_argument("--rtol", type=float, default=1e-10, help="relative tolerance")
@@ -68,6 +70,14 @@ def main() -> int:
     t0 = time.perf_counter()
     if args.petsc:
         a = read_petsc_binary_matrix_host(args.petsc)
+    elif args.mtx:
+        from spmv_tpu.io.matrix_market import read_matrix_market
+
+        a = read_matrix_market(args.mtx)
+    elif args.lap3d:
+        from spmv_tpu.gen import create_laplace_3d
+
+        a = create_laplace_3d(args.lap3d)
     elif args.lap2d:
         a = create_laplace_2d(args.lap2d, args.lap2d)
     else:

@@ -26,7 +26,12 @@ spmv.h (L7)            this module
 from spmv_tpu.formats.csr import CSRHost
 from spmv_tpu.formats.ell import EllMatrix, csr_to_ell
 from spmv_tpu.formats.dia import DiaMatrix, csr_to_dia
-from spmv_tpu.gen import create_laplace_1d, create_laplace_2d, gaussian_bump
+from spmv_tpu.gen import (
+    create_laplace_1d,
+    create_laplace_2d,
+    create_laplace_3d,
+    gaussian_bump,
+)
 from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
 from spmv_tpu.ops.spmv_dia import spmv_dia
 from spmv_tpu.ops.spmv_dia_pallas import (
@@ -42,6 +47,7 @@ from spmv_tpu.io.petsc import (
     write_petsc_binary_matrix,
     write_petsc_binary_vector,
 )
+from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
 from spmv_tpu.parallel.comm_plan import CommPlan, compile_plan
 from spmv_tpu.parallel.dist_matrix import DistMatrix, build_dist_matrix
 from spmv_tpu.parallel.partition import owner_ranges, partition_csr
@@ -56,6 +62,7 @@ __all__ = [
     "csr_to_dia",
     "create_laplace_1d",
     "create_laplace_2d",
+    "create_laplace_3d",
     "gaussian_bump",
     "spmv_ell",
     "spmv_ell_transpose",
@@ -70,6 +77,8 @@ __all__ = [
     "read_petsc_binary_vector_host",
     "write_petsc_binary_matrix",
     "write_petsc_binary_vector",
+    "read_matrix_market",
+    "write_matrix_market",
     "CommPlan",
     "compile_plan",
     "DistMatrix",

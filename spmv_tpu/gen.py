@@ -65,6 +65,35 @@ def create_laplace_2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSRHo
                    values=values, ncols=n)
 
 
+def create_laplace_3d(nx: int, ny: int | None = None, nz: int | None = None,
+                      dtype=np.float64) -> CSRHost:
+    """3-D 7-point Laplacian on an nx x ny x nz grid (Dirichlet): diag 6,
+    neighbors -1. Offsets {-nx*ny, -nx, -1, 0, +1, +nx, +nx*ny} — banded,
+    DIA-friendly. Built directly in CSR row order (no sort)."""
+    ny = ny if ny is not None else nx
+    nz = nz if nz is not None else nx
+    n = nx * ny * nz
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+    offsets = np.array([-nx * ny, -nx, -1, 0, 1, nx, nx * ny], dtype=np.int64)
+    cand = idx[:, None] + offsets[None, :]
+    valid = np.stack(
+        [iz > 0, iy > 0, ix > 0, np.ones(n, dtype=bool),
+         ix < nx - 1, iy < ny - 1, iz < nz - 1],
+        axis=1,
+    )
+    lens = valid.sum(axis=1).astype(np.int64)
+    rowptr = np.concatenate([[0], np.cumsum(lens)])
+    colind = cand[valid]
+    valmat = np.full((n, 7), -1.0, dtype=dtype)
+    valmat[:, 3] = 6.0
+    values = valmat[valid]
+    return CSRHost(rowptr=rowptr, colind=colind.astype(np.int32),
+                   values=values, ncols=n)
+
+
 def gaussian_bump(n: int, global_offset: int = 0, global_size: int | None = None,
                   dtype=np.float64) -> np.ndarray:
     """Gaussian-bump input vector over the global index space, the demo input

@@ -122,3 +122,20 @@ def test_native_ell_pack_matches_numpy():
     assert _pack_ell_native(a, k, colind, values)
     np.testing.assert_array_equal(colind, np.asarray(e_np.colind))
     np.testing.assert_allclose(values, np.asarray(e_np.values))
+
+
+def test_laplace_3d_structure():
+    from spmv_tpu.gen import create_laplace_3d
+    from spmv_tpu.formats.dia import csr_to_dia
+
+    a = create_laplace_3d(4, 3, 2)
+    dense = a.to_dense()
+    np.testing.assert_allclose(dense, dense.T)
+    assert np.all(np.linalg.eigvalsh(dense) > 0)
+    d = csr_to_dia(a)
+    assert d.offsets == (-12, -4, -1, 0, 1, 4, 12)
+    x = np.random.default_rng(1).standard_normal(a.nrows)
+    from spmv_tpu.ops.spmv_dia import spmv_dia
+    import jax.numpy as jnp
+    got = np.asarray(spmv_dia(d, jnp.asarray(x)))[: a.nrows]
+    np.testing.assert_allclose(got, dense @ x, rtol=1e-12)
