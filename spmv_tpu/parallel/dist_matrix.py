@@ -215,8 +215,11 @@ class DistMatrix:
             return self.matvec(x)  # symmetric: A^T = A
         if self.local_format == "dia":
             raise NotImplementedError(
-                "transpose with local_format='dia' lands with the symmetric "
-                "DIA path; rebuild with local_format='ell'"
+                "transpose with local_format='dia': build the transposed "
+                "operator explicitly — build_dist_matrix(a.transpose(), "
+                "local_format='dia') — or rebuild this one with "
+                "local_format='ell' (symmetric operators are self-transpose "
+                "and unaffected)"
             )
         r = self.nlocal_pad
         spec = P(self.axis_name, None)

@@ -228,3 +228,29 @@ def test_dist_cg_medium_scale_8dev():
     r_true = a.matvec(x_host) - b_host
     assert abs(np.linalg.norm(r_true) - float(res.rnorm)) / float(res.rnorm) < 1e-6
     assert int(res.iterations) == 60
+
+
+@pytest.mark.parametrize("n_dev", [2, 5, 8])
+@pytest.mark.parametrize("fmt", ["ell", "dia"])
+def test_dist_random_banded_fuzz(n_dev, fmt):
+    """Random banded matrices (non-constant diagonals, asymmetric values,
+    random missing entries) across formats and mesh sizes vs the oracle."""
+    rng = np.random.default_rng(1000 + n_dev)
+    n = 300
+    rows, cols, vals = [], [], []
+    for off in (-17, -5, -1, 0, 2, 9):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.8  # random holes
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    from spmv_tpu.formats.csr import CSRHost
+    a = CSRHost.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n, n
+    )
+    x_host = rng.standard_normal(n)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format=fmt)
+    got = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x_host)))
+    want = a.matvec(x_host)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12, (n_dev, fmt)
