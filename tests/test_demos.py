@@ -78,3 +78,18 @@ def test_bench_json_shape():
     # the JSON contract is exercised on TPU by the driver; here we check the
     # helper used to produce timings exists and the module imports cleanly
     assert hasattr(bench, "interleaved_loop_seconds")
+
+
+def test_demo_cg_mtx_file(tmp_path):
+    """Matrix Market input through the CLI."""
+    from spmv_tpu.gen import create_laplace_2d
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    a = create_laplace_2d(10, 10)
+    p = str(tmp_path / "A.mtx")
+    write_matrix_market(p, a)
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--mtx", p, "--cpu", "--devices", "2",
+         "--kmax", "200"]
+    )
+    assert "Converged: True" in stdout
