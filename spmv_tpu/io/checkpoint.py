@@ -29,9 +29,18 @@ from spmv_tpu.parallel.comm_plan import CommPlan
 from spmv_tpu.parallel.dist_matrix import DistMatrix
 
 
+def _npz_path(path: str) -> str:
+    """Normalize once in save AND load: np.savez appends '.npz' when absent,
+    while np.load takes the path verbatim — without this, a suffix-less path
+    saves fine but fails to load, and the .meta.json sidecar name diverges
+    from the actual array file."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_dist_matrix(path: str, a: DistMatrix) -> None:
     """Persist the assembled operator (without the mesh — meshes are
     machine-specific and are re-supplied at load)."""
+    path = _npz_path(path)
     arrays = {
         "local_colind": np.asarray(a.local_colind),
         "local_values": np.asarray(a.local_values),
@@ -73,6 +82,7 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    path = _npz_path(path)
     with open(path + ".meta.json") as f:
         meta = json.load(f)
     z = np.load(path)
@@ -126,6 +136,7 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
 def save_solver_state(path: str, a: DistMatrix, x, iteration: int = 0,
                       **extra_vectors) -> None:
     """Persist a mid-solve state (global host layout, mesh-independent)."""
+    path = _npz_path(path)
     arrays = {"x": a.from_dist(x)}
     for name, v in extra_vectors.items():
         arrays[name] = a.from_dist(v)
@@ -136,6 +147,7 @@ def save_solver_state(path: str, a: DistMatrix, x, iteration: int = 0,
 
 def load_solver_state(path: str, a: DistMatrix):
     """Returns (vectors: dict of sharded arrays, iteration)."""
+    path = _npz_path(path)
     z = np.load(path)
     with open(path + ".meta.json") as f:
         meta = json.load(f)

@@ -73,5 +73,12 @@ def write_matrix_market(path: str, a: CSRHost, comment: str = "") -> None:
             for line in comment.splitlines():
                 f.write(f"% {line}\n")
         f.write(f"{a.nrows} {a.ncols} {a.nnz}\n")
-        for r, c, v in zip(rows + 1, a.colind + 1, a.values):
-            f.write(f"{r} {c} {v:.17g}\n")
+        # vectorized writer: a per-nnz Python loop takes minutes at the
+        # 10M-100M nnz scale the assembly path targets
+        if a.nnz:
+            np.savetxt(
+                f,
+                np.column_stack([rows + 1, a.colind.astype(np.int64) + 1,
+                                 a.values]),
+                fmt="%d %d %.17g",
+            )

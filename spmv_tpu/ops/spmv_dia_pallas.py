@@ -82,6 +82,7 @@ def _dia_kernel(
     tr: int,
     hr: int,
     n_tiles: int,
+    sub: int,
 ):
     i = pl.program_id(0)
     wrows = tr + 2 * hr
@@ -92,7 +93,11 @@ def _dia_kernel(
     # vector would hold). Start/wait pairs branch identically so each wait
     # matches its start. Requires tr >= hr (enforced by _pick_tile_rows).
     def dma_mid(slot, tile):
-        start_row = pl.multiple_of(tile * tr - hr, 16)
+        # tr is a multiple of the dtype's sublane tile ``sub`` and hr of 16,
+        # so this offset is provably a multiple of ``sub`` — promising more
+        # (e.g. a blanket 16 with fp32's tr % 8 tiles) would be UB Mosaic is
+        # free to exploit
+        start_row = pl.multiple_of(tile * tr - hr, sub)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start_row, wrows), :],
             xwin.at[slot], xsem.at[slot],
@@ -213,6 +218,7 @@ def _dia_sym_kernel(
     tr: int,
     hr: int,
     n_tiles: int,
+    sub: int,
 ):
     """Symmetric DIA SpMV: A = L + D + L^T with only offsets <= 0 stored.
 
@@ -251,7 +257,7 @@ def _dia_sym_kernel(
             @pl.when((tile > 0) & (tile < n_tiles - 1))
             def _():
                 pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, 16), wrows), :],
+                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, sub), wrows), :],
                     xwin.at[slot], xsem.at[slot],
                 ).start()
 
@@ -282,7 +288,7 @@ def _dia_sym_kernel(
             @pl.when((tile > 0) & (tile < n_tiles - 1))
             def _():
                 pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, 16), wrows), :],
+                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, sub), wrows), :],
                     xwin.at[slot], xsem.at[slot],
                 ).wait()
 
@@ -298,14 +304,14 @@ def _dia_sym_kernel(
         @pl.when(last)
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
                 dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
             ).start()
 
         @pl.when(jnp.logical_not(last))
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr + hr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
                 dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
             ).start()
 
@@ -321,14 +327,14 @@ def _dia_sym_kernel(
         @pl.when(last)
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
                 dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
             ).wait()
 
         @pl.when(jnp.logical_not(last))
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, 16), tr + hr), :],
+                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
                 dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
             ).wait()
 
@@ -404,8 +410,10 @@ def _spmv_dia_sym_pallas_2d(
     k, nrows, _ = data.shape
     tr = tile_rows
     n_tiles = nrows // tr
+    sub = 8 if data.dtype.itemsize >= 4 else 16
     kernel = functools.partial(
-        _dia_sym_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles
+        _dia_sym_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles,
+        sub=sub,
     )
     return pl.pallas_call(
         kernel,
@@ -452,8 +460,9 @@ def _spmv_dia_pallas_2d(
     n_tiles = nrows // tr
     d3 = data
 
+    sub = 8 if data.dtype.itemsize >= 4 else 16
     kernel = functools.partial(
-        _dia_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles
+        _dia_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles, sub=sub
     )
     return pl.pallas_call(
         kernel,
