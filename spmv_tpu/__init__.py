@@ -25,7 +25,7 @@ spmv.h (L7)            this module
 
 from spmv_tpu.formats.csr import CSRHost
 from spmv_tpu.formats.ell import EllMatrix, csr_to_ell
-from spmv_tpu.formats.dia import DiaMatrix, csr_to_dia
+from spmv_tpu.formats.dia import DiaMatrix, csr_to_dia, dia_transpose
 from spmv_tpu.gen import (
     create_laplace_1d,
     create_laplace_2d,
@@ -60,6 +60,7 @@ __all__ = [
     "csr_to_ell",
     "DiaMatrix",
     "csr_to_dia",
+    "dia_transpose",
     "create_laplace_1d",
     "create_laplace_2d",
     "create_laplace_3d",

@@ -76,6 +76,42 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def dia_transpose(a: DiaMatrix) -> DiaMatrix:
+    """A^T as a DiaMatrix — the diagonal of offset o becomes offset -o with
+    the SAME data shifted by o rows: dataT[d', i] = A^T[i, i+o'] = A[i+o', i]
+    = data[d, i+o'] for o = -o'. One pass over the matrix data, no new
+    kernel; gives the DIA-format path the working transpose product the
+    reference declares but never implemented
+    (reference spmv/Matrix.cpp:144-148 ``transpmult`` throws).
+
+    Symmetric-stored matrices are self-transpose and returned as-is.
+    """
+    if a.symmetric:
+        return a
+    if a.nrows != a.ncols:
+        raise ValueError("dia_transpose requires a square matrix")
+    flat = a.data_flat  # (K, npad)
+    npad = a.nrows_pad
+    new_offsets = tuple(-o for o in reversed(a.offsets))
+    rows = []
+    for o_new in new_offsets:
+        row = flat[a.offsets.index(-o_new)]
+        if o_new > 0:
+            row = jnp.concatenate([row[o_new:], jnp.zeros((o_new,), row.dtype)])
+        elif o_new < 0:
+            row = jnp.concatenate([jnp.zeros((-o_new,), row.dtype), row[:o_new]])
+        rows.append(row)
+    data_t = jnp.stack(rows)
+    return DiaMatrix(
+        data=data_t.reshape(a.ndiags, npad // 128, 128),
+        offsets=new_offsets,
+        nrows=a.ncols,
+        ncols=a.nrows,
+        symmetric=False,
+        _nnz=a._nnz,
+    )
+
+
 def csr_to_dia(
     a: CSRHost,
     row_align: int = 128,

@@ -213,27 +213,63 @@ class DistMatrix:
         """
         if self.symmetric:
             return self.matvec(x)  # symmetric: A^T = A
-        if self.local_format == "dia":
-            raise NotImplementedError(
-                "transpose with local_format='dia': build the transposed "
-                "operator explicitly — build_dist_matrix(a.transpose(), "
-                "local_format='dia') — or rebuild this one with "
-                "local_format='ell' (symmetric operators are self-transpose "
-                "and unaffected)"
-            )
         r = self.nlocal_pad
         spec = P(self.axis_name, None)
         mspec = P(self.axis_name, None, None)
 
-        def per_shard(x_s2, lci, lv, rci, rv, send_idx, recv_pos):
+        has_dia = self.local_format == "dia"
+        dia_data_t = None
+        dia_offsets_t: tuple[int, ...] = ()
+        if has_dia:
+            # local-block transpose as a DIA transform (negated offsets +
+            # row-shifted data, see formats.dia.dia_transpose); the shift is
+            # uniform across shards so it runs stacked, one pass over the
+            # matrix data per call. For repeated transpose applies inside a
+            # loop, pre-build the transposed operator instead.
+            nd, k, lr, _ = self.local_dia_data.shape
+            flat = self.local_dia_data.reshape(nd, k, lr * 128)
+            dia_offsets_t = tuple(-o for o in reversed(self.dia_offsets))
+            rows = []
+            for o_new in dia_offsets_t:
+                row = flat[:, self.dia_offsets.index(-o_new), :]
+                if o_new > 0:
+                    row = jnp.concatenate(
+                        [row[:, o_new:], jnp.zeros((nd, o_new), row.dtype)], axis=1
+                    )
+                elif o_new < 0:
+                    row = jnp.concatenate(
+                        [jnp.zeros((nd, -o_new), row.dtype), row[:, :o_new]], axis=1
+                    )
+                rows.append(row)
+            dia_data_t = jnp.stack(rows, axis=1).reshape(nd, k, lr, 128)
+
+        def per_shard(x_s2, lci, lv, rci, rv, send_idx, recv_pos, *rest):
             x_s = x_s2.reshape(r)
             lci_, lv_, rci_, rv_ = lci[0], lv[0], rci[0], rv[0]
             plan = self.plan
-            # owned columns: scatter-add v * x[row] at local colind
-            y = jnp.zeros((r,), dtype=x_s.dtype)
-            y = y.at[lci_.reshape(-1)].add(
-                (lv_ * x_s[:, None]).reshape(-1), mode="promise_in_bounds"
-            )
+            if has_dia:
+                from spmv_tpu.formats.dia import DiaMatrix
+                from spmv_tpu.ops.spmv_dia_pallas import (
+                    dia_pallas_supported,
+                    spmv_dia_pallas_2d,
+                )
+
+                dm = DiaMatrix(
+                    data=rest[0][0], offsets=dia_offsets_t,
+                    nrows=r, ncols=r, symmetric=False,
+                )
+                if jax.default_backend() == "tpu" and dia_pallas_supported(dm):
+                    y = spmv_dia_pallas_2d(dm, x_s2).reshape(r)
+                else:
+                    from spmv_tpu.ops.spmv_dia import spmv_dia
+
+                    y = spmv_dia(dm, x_s, method="xla")
+            else:
+                # owned columns: scatter-add v * x[row] at local colind
+                y = jnp.zeros((r,), dtype=x_s.dtype)
+                y = y.at[lci_.reshape(-1)].add(
+                    (lv_ * x_s[:, None]).reshape(-1), mode="promise_in_bounds"
+                )
             if plan.nghost_pad > 0 and len(plan.rounds) > 0:
                 gz = jnp.zeros((plan.nghost_pad,), dtype=x_s.dtype)
                 gz = gz.at[rci_.reshape(-1)].add(
@@ -245,12 +281,17 @@ class DistMatrix:
                 )
             return y.reshape(x_s2.shape)
 
+        args = [x, self.local_colind, self.local_values, self.remote_colind,
+                self.remote_values, self.plan.send_idx, self.plan.recv_pos]
+        in_specs = [spec, mspec, mspec, mspec, mspec, mspec, mspec]
+        if has_dia:
+            args.append(dia_data_t)
+            in_specs.append(P(self.axis_name, None, None, None))
         return jax.shard_map(
             per_shard, mesh=self.mesh,
-            in_specs=(spec, mspec, mspec, mspec, mspec, mspec, mspec),
+            in_specs=tuple(in_specs),
             out_specs=spec, check_vma=False,
-        )(x, self.local_colind, self.local_values, self.remote_colind,
-          self.remote_values, self.plan.send_idx, self.plan.recv_pos)
+        )(*args)
 
 
 # Pytree registration: pass DistMatrix THROUGH jit as an argument

