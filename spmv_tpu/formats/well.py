@@ -1,0 +1,248 @@
+"""WELL — windowed gather-ELL, the TPU general-sparsity device format.
+
+The problem it solves: TPU has no performant per-lane dynamic gather from
+large arrays (the XLA gather formulation of ELL measured ~1 GB/s on chip,
+BENCH_NOTES.md), so running arbitrary CSR at device speed — what the
+reference gets from vendor kernels (cuSPARSE,
+reference spmv/cuda/csr_kernels.cuda.cu:106-151) — needs a format designed
+around the two gathers Mosaic DOES have:
+
+  1. a full-speed LANE gather (``take_along_axis`` axis=1: any of the 128
+     elements within a row, per output element);
+  2. the MXU: gathering ROWS of a (W, 128) window is a one-hot matmul.
+
+Layout: A-row r lives at output lane ``r % 128`` of group ``g = r // 128``.
+Each group packs its nonzeros into K slots; the invariant is that all 128
+entries of one slot read from a single 128-aligned x segment. Per slot the
+kernel then needs ONE window-row gather (amortized into a single one-hot
+matmul over all slots of a tile) plus one lane gather — both fast.
+
+Storage per group g, slot k, lane j:
+  values[g, k, j]  — the nonzero of row 128g+j assigned to slot k (0 = pad)
+  pos[g, k, j]     — window-relative flat position seg*128 + lane of its
+                     column; padding lanes carry the slot's segment with
+                     lane 0 (the kernel reads the slot segment from lane 0)
+  w0[t]            — per tile of ``tile_groups`` groups: first x segment of
+                     its window (scalar-prefetched for the window DMA)
+
+Slot assignment (host, vectorized): nonzeros of a group are keyed by
+(segment, per-row multiplicity); each distinct segment gets max-multiplicity
+consecutive slots. K = max over groups. Storage efficiency = nnz/(G*K*128);
+conversion reports it and callers gate on it (``well_occupancy``) — RCM
+reordering (spmv_tpu.reorder) typically improves it dramatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.formats.csr import CSRHost
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class WellMatrix:
+    """Device-resident windowed gather-ELL matrix."""
+
+    values: jax.Array   # (K, G, 128) — slot-major so the kernel reduces
+                        #   over slots with contiguous static slices
+    pos: jax.Array      # (K, G, 128) int32, window-relative seg*128+lane
+    w0: jax.Array       # (n_tiles,) int32, window start segment per tile
+    nrows: int
+    ncols: int
+    wseg: int           # window size in 128-wide segments (static)
+    tile_groups: int    # groups per tile (static; fixed at conversion)
+    nseg: int = 0       # x segments incl. window-overrun padding (static)
+    _nnz: int = 0
+
+    @property
+    def ngroups(self) -> int:
+        return self.values.shape[1]
+
+    @property
+    def k_slots(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def nrows_pad(self) -> int:
+        return self.ngroups * LANES
+
+    @property
+    def ncols_pad(self) -> int:
+        """x length the kernel expects (covers every window, incl. zero
+        padding past ncols for end-of-matrix windows)."""
+        return self.nseg * LANES
+
+    @property
+    def n_tiles(self) -> int:
+        return self.ngroups // self.tile_groups
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz_stored(self) -> int:
+        return int(self._nnz)
+
+    @property
+    def occupancy(self) -> float:
+        """Fraction of stored value slots that hold real nonzeros."""
+        return self._nnz / max(self.values.size, 1)
+
+    def format_size_bytes(self) -> int:
+        return (
+            self.values.size * self.values.dtype.itemsize
+            + self.pos.size * self.pos.dtype.itemsize
+            + self.w0.size * self.w0.dtype.itemsize
+        )
+
+
+jax.tree_util.register_dataclass(
+    WellMatrix,
+    data_fields=["values", "pos", "w0"],
+    meta_fields=["nrows", "ncols", "wseg", "tile_groups", "nseg", "_nnz"],
+)
+
+
+def well_occupancy(a: CSRHost, tile_groups: int = 16) -> float:
+    """Predicted storage occupancy of csr_to_well(a) without building the
+    arrays — the conversion gate (cheap: one pass over indices)."""
+    g_, k_, _, _, _, _ = _pack(a, tile_groups, dry_run=True)
+    return a.nnz / max(g_ * k_ * LANES, 1)
+
+
+def _pack(a: CSRHost, tile_groups: int, dry_run: bool = False):
+    """Compute the slot packing. Returns (G, K, wseg, w0, scatter) where
+    scatter = (g, slot, lane_out, seg_rel, lane_in, vals, slot_seg_pairs)."""
+    gpad = _round_up(max(-(-a.nrows // LANES), 1), tile_groups)
+    n_tiles = gpad // tile_groups
+
+    lens = a.row_nnz()
+    rows = np.repeat(np.arange(a.nrows, dtype=np.int64), lens)
+    cols = a.colind.astype(np.int64)
+    g = rows // LANES
+    lane_out = (rows % LANES).astype(np.int64)
+    seg_abs = cols // LANES
+    lane_in = (cols % LANES).astype(np.int64)
+
+    # per-(g, seg, row) multiplicity m, then per-(g, seg) block offsets
+    order = np.lexsort((lane_out, seg_abs, g))
+    g_s, seg_s, lo_s, li_s = g[order], seg_abs[order], lane_out[order], lane_in[order]
+    vals_s = a.values[order]
+    # m: rank within identical (g, seg, row)
+    key_new = np.empty(len(g_s), dtype=bool)
+    key_new[:1] = True
+    key_new[1:] = (
+        (g_s[1:] != g_s[:-1]) | (seg_s[1:] != seg_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    )
+    grp_id = np.cumsum(key_new) - 1
+    first_of_grp = np.flatnonzero(key_new)
+    m = np.arange(len(g_s)) - first_of_grp[grp_id]
+
+    # distinct (g, seg) blocks and their slot widths (max multiplicity + 1)
+    blk_new = np.empty(len(g_s), dtype=bool)
+    blk_new[:1] = True
+    blk_new[1:] = (g_s[1:] != g_s[:-1]) | (seg_s[1:] != seg_s[:-1])
+    blk_id = np.cumsum(blk_new) - 1
+    nblk = int(blk_id[-1]) + 1 if len(g_s) else 0
+    blk_g = g_s[blk_new]
+    blk_seg = seg_s[blk_new]
+    blk_width = np.zeros(nblk, dtype=np.int64)
+    np.maximum.at(blk_width, blk_id, m + 1)
+
+    # per-g exclusive cumsum of widths -> block slot offsets; K = max total
+    blk_off = np.zeros(nblk, dtype=np.int64)
+    kg = np.zeros(gpad, dtype=np.int64)
+    if nblk:
+        excl = np.concatenate([[0], np.cumsum(blk_width)[:-1]])
+        g_first = np.zeros(nblk, dtype=bool)
+        g_first[:1] = True
+        g_first[1:] = blk_g[1:] != blk_g[:-1]
+        gidx = np.cumsum(g_first) - 1  # dense index of this block's g
+        blk_off = excl - excl[np.flatnonzero(g_first)][gidx]
+        np.add.at(kg, blk_g, blk_width)
+    k = max(int(kg.max()) if len(kg) else 1, 1)
+
+    # windows: per tile min/max referenced segment
+    nseg_x = max(_round_up(a.ncols, LANES) // LANES, 1)
+    w0 = np.zeros(n_tiles, dtype=np.int64)
+    wmax = np.zeros(n_tiles, dtype=np.int64)
+    if len(g_s):
+        tile_of = (g_s // tile_groups).astype(np.int64)
+        w0_full = np.full(n_tiles, np.iinfo(np.int64).max)
+        np.minimum.at(w0_full, tile_of, seg_s)
+        np.maximum.at(wmax, tile_of, seg_s)
+        w0 = np.where(w0_full == np.iinfo(np.int64).max, 0, w0_full)
+    w0 = (w0 // 8) * 8  # sublane-aligned window DMA starts
+    wseg = int(max((wmax - w0).max() + 1 if n_tiles else 1, 1))
+    wseg = _round_up(wseg, 8)
+    # windows may extend past ncols: x is PADDED so every window DMA stays
+    # in-bounds (the padding reads zeros) — clamping w0 down instead would
+    # force wider windows for end-of-matrix tiles
+    nseg_x = max(nseg_x, int(w0.max()) + wseg if n_tiles else wseg)
+
+    if dry_run:
+        return gpad, k, wseg, w0, nseg_x, None
+
+    slot = blk_off[blk_id] + m if len(g_s) else np.empty(0, np.int64)
+    seg_rel = seg_s - w0[(g_s // tile_groups).astype(np.int64)] if len(g_s) else g_s
+    return gpad, k, wseg, w0, nseg_x, (
+        g_s, slot, lo_s, seg_rel, li_s, vals_s,
+        (blk_g, blk_seg, blk_off, blk_width, blk_id),
+    )
+
+
+def csr_to_well(
+    a: CSRHost,
+    tile_groups: int = 16,
+    max_k: int = 64,
+    dtype=None,
+) -> WellMatrix:
+    """Convert host CSR to WELL. ``tile_groups`` (groups per kernel tile) is
+    fixed here because ``pos`` is window-relative. Raises when a group needs
+    more than ``max_k`` slots (one pathologically dense/scattered row group
+    would inflate every group's storage)."""
+    gpad, k, wseg, w0, nseg_x, scatter = _pack(a, tile_groups)
+    if k > max_k:
+        raise ValueError(
+            f"WELL packing needs K={k} slots > max_k={max_k}; reorder the "
+            "matrix (spmv_tpu.reorder.rcm_reorder) or raise max_k"
+        )
+    g_s, slot, lo_s, seg_rel, li_s, vals_s, blocks = scatter
+    blk_g, blk_seg, blk_off, blk_width, _ = blocks
+
+    values = np.zeros((k, gpad, LANES), dtype=dtype or a.dtype)
+    pos = np.zeros((k, gpad, LANES), dtype=np.int32)
+    # every lane of a used slot must carry the slot's segment (the kernel
+    # reads it from lane 0); fill the slot blocks with seg*128 first
+    if len(blk_g):
+        blk_seg_rel = blk_seg - w0[(blk_g // tile_groups).astype(np.int64)]
+        for width in range(1, int(blk_width.max()) + 1):
+            sel = blk_width >= width
+            pos[blk_off[sel] + width - 1, blk_g[sel], :] = (
+                blk_seg_rel[sel][:, None] * LANES
+            ).astype(np.int32)
+    if len(g_s):
+        values[slot, g_s, lo_s] = vals_s
+        pos[slot, g_s, lo_s] = (seg_rel * LANES + li_s).astype(np.int32)
+
+    return WellMatrix(
+        values=jnp.asarray(values),
+        pos=jnp.asarray(pos),
+        w0=jnp.asarray(w0.astype(np.int32)),
+        nrows=a.nrows,
+        ncols=a.ncols,
+        wseg=wseg,
+        tile_groups=tile_groups,
+        nseg=nseg_x,
+        _nnz=a.nnz,
+    )

@@ -60,6 +60,8 @@ def save_dist_matrix(path: str, a: DistMatrix) -> None:
     meta = {
         "version": 1,
         "nrows_global": a.nrows_global,
+        "ncols_global": a.ncols_global,
+        "row_pad": a.row_pad,
         "symmetric": a.symmetric,
         "nnz_global": a.nnz_global,
         "axis_name": a.axis_name,
@@ -119,6 +121,8 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
         jacobi_diag=put(z["jacobi_diag"], P(axis, None)),
         plan=plan,
         nrows_global=meta["nrows_global"],
+        ncols_global=meta.get("ncols_global", meta["nrows_global"]),
+        row_pad=meta.get("row_pad", pm["nlocal_pad"]),
         symmetric=meta["symmetric"],
         nnz_global=meta["nnz_global"],
         mesh=mesh,

@@ -1,0 +1,192 @@
+"""Pallas TPU kernel for WELL (windowed gather-ELL) SpMV — the
+general-sparsity fast path.
+
+Per grid step (one tile = ``tile_groups`` row groups = tile_groups*128 rows):
+
+  1. the x window ((wseg, 128) lane-rows starting at the scalar-prefetched
+     ``w0[tile]``) is DMA'd HBM->VMEM, double-buffered across tiles;
+  2. values/pos tiles arrive via the grid pipeline as (K, TG, 128) blocks,
+     flattened to B = K*TG rows of 128;
+  3. each row's window SEGMENT (pos // 128, constant within a row by the
+     format invariant) selects one window lane-row — all B row-gathers are
+     ONE one-hot matmul (B, wseg) @ (wseg, 128) on the MXU (Mosaic has no
+     multi-row sublane gather: axis-0 dynamic_gather only works within one
+     8-sublane vreg, measured; the MXU formulation is exact since one-hot
+     rows are 0/1);
+  4. within-segment positions (pos % 128) resolve with the fast lane gather
+     (``take_along_axis`` axis=1 -> tpu.dynamic_gather, full-speed at any
+     row count);
+  5. contributions multiply by values and reduce over the K slot chunks
+     (contiguous static slices — the reason the format is slot-major).
+
+Plays the role of the reference's general-matrix device kernels
+(cuSPARSE cusparseSpMV, reference spmv/cuda/csr_kernels.cuda.cu:106-151;
+NNZ-balanced OpenMP row split, spmv/openmp/csr_kernels.openmp.cpp:56-87) —
+redesigned around TPU's actual data-movement primitives instead of
+per-thread row loops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_tpu.formats.well import LANES, WellMatrix
+
+
+def _well_kernel(
+    w0_ref,     # (n_tiles,) SMEM scalar-prefetch — window start segments
+    x_hbm,      # (S, 128) ANY — x in lane layout, windows DMA'd manually
+    v_ref,      # (K, TG, 128) VMEM — values tile (pipelined)
+    p_ref,      # (K, TG, 128) VMEM int32 — positions tile (pipelined)
+    y_ref,      # (TG, 128) VMEM — output tile (pipelined)
+    xwin,       # (2, wseg, 128) VMEM scratch
+    xsem,       # (2,) DMA semaphores
+    *,
+    wseg: int,
+    tg: int,
+    k: int,
+    n_tiles: int,
+):
+    i = pl.program_id(0)
+
+    def dma(slot, tile):
+        # w0 entries are multiples of 8 by construction (csr_to_well)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(w0_ref[tile], 8), wseg), :],
+            xwin.at[slot],
+            xsem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    xw = xwin[i % 2].astype(jnp.float32)  # (wseg, 128)
+
+    b = k * tg
+    pos = p_ref[...].reshape(b, LANES)
+    # the slot's segment is constant across its 128 lanes; read it from
+    # lane 0 (>> 7 strips the lane bits of flat pos = seg*128 + lane)
+    seg = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
+    lane = jax.lax.bitwise_and(pos, jnp.int32(LANES - 1))
+    onehot = (
+        seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
+    ).astype(jnp.bfloat16)
+    # The MXU rounds f32 operands to bf16 at default precision — measured
+    # 1e-3..1e-1 SpMV error. The one-hot operand is EXACT in bf16 (0/1), and
+    # each output sums exactly one product, so splitting the window into
+    # three bf16 terms (8 mantissa bits each -> 24 bits total) reconstructs
+    # the f32 gather exactly, at native bf16 MXU rate (faster than an f32
+    # matmul pass, exact unlike it).
+    x_hi = xw.astype(jnp.bfloat16)
+    r1 = xw - x_hi.astype(jnp.float32)
+    x_mid = r1.astype(jnp.bfloat16)
+    x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    rows = (
+        jnp.dot(onehot, x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(onehot, x_mid, preferred_element_type=jnp.float32)
+        + jnp.dot(onehot, x_lo, preferred_element_type=jnp.float32)
+    )  # (b, 128)
+    gathered = jnp.take_along_axis(rows, lane, axis=1)
+    contrib = v_ref[...].reshape(b, LANES).astype(jnp.float32) * gathered
+
+    acc = jnp.zeros((tg, LANES), jnp.float32)
+    for kk in range(k):  # slot-major layout: each chunk is contiguous rows
+        acc = acc + contrib[kk * tg : (kk + 1) * tg, :]
+    y_ref[:, :] = acc.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wseg", "tg", "k", "n_tiles", "interpret")
+)
+def _spmv_well_2d(
+    values, pos, w0, x2,
+    wseg: int, tg: int, k: int, n_tiles: int,
+    interpret: bool = False,
+):
+    g = values.shape[1]
+    kernel = functools.partial(
+        _well_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                (k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tg, LANES), lambda i, w0_ref: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wseg, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, LANES), values.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * g * LANES * (wseg + 1),
+            bytes_accessed=(values.size * values.dtype.itemsize
+                            + pos.size * 4
+                            + 2 * g * LANES * values.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(w0, x2, values, pos)
+
+
+def well_to_2d(a: WellMatrix, x: jax.Array) -> jax.Array:
+    """Reshape a flat x into the kernel's (ncols_pad/128, 128) lane layout
+    (free when already padded; zero-fills otherwise)."""
+    npad = a.ncols_pad
+    if x.ndim == 2:
+        return x
+    if x.shape[0] == npad:
+        return x.reshape(npad // LANES, LANES)
+    take = min(x.shape[0], npad)
+    flat = jnp.zeros((npad,), x.dtype).at[:take].set(x[:take])
+    return flat.reshape(npad // LANES, LANES)
+
+
+def spmv_well_pallas_2d(
+    a: WellMatrix, x2: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """SpMV in lane layout: x2 (ncols_pad/128, 128) -> y (nrows_pad/128, 128).
+    Output element (g, j) is row 128g + j, matching the DIA kernel's layout
+    so formats compose inside solvers."""
+    return _spmv_well_2d(
+        a.values, a.pos, a.w0, x2,
+        wseg=a.wseg, tg=a.tile_groups, k=a.k_slots, n_tiles=a.n_tiles,
+        interpret=interpret,
+    )
+
+
+def spmv_well_pallas(
+    a: WellMatrix, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Flat-vector wrapper: returns y of length nrows_pad. ``interpret=True``
+    runs the Pallas interpreter (CPU reference semantics)."""
+    y2 = spmv_well_pallas_2d(a, well_to_2d(a, x), interpret=interpret)
+    return y2.reshape(a.nrows_pad)

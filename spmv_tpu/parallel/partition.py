@@ -66,62 +66,91 @@ class ShardCSR:
         return len(self.ghosts)
 
 
+def classify_shard(
+    rows_l: np.ndarray,
+    cols_g: np.ndarray,
+    vals: np.ndarray,
+    row_range: tuple[int, int],
+    col_range: tuple[int, int],
+    symmetric: bool = False,
+) -> ShardCSR:
+    """Classify one shard's triplets (local row index, GLOBAL column) into
+    the local/remote blocks + ghost list + (symmetric) diagonal — the
+    classification rules of reference spmv/Matrix.cpp:320-408, vectorized.
+
+    With ``symmetric=True`` (requires col_range == row_range), only entries
+    with global col <= global row are kept: the in-range strict lower
+    triangle goes to ``local``, the diagonal to ``diagonal``, out-of-range
+    entries to ``remote`` (reference spmv/Matrix.cpp:337-349).
+    """
+    r0, r1 = row_range
+    c0, c1 = col_range
+    nloc = r1 - r0
+    rows_l = np.asarray(rows_l, dtype=np.int64)
+    cols_g = np.asarray(cols_g, dtype=np.int64)
+
+    diag = None
+    if symmetric:
+        if (c0, c1) != (r0, r1):
+            raise ValueError("symmetric storage requires row/col partitions "
+                             "to coincide (square matrix)")
+        rows_g = rows_l + r0
+        on_diag = cols_g == rows_g
+        diag = np.zeros(nloc, dtype=vals.dtype)
+        # duplicates on the diagonal sum (assembly semantics)
+        np.add.at(diag, rows_l[on_diag], vals[on_diag])
+        keep = cols_g < rows_g  # strict lower triangle only
+        rows_l, cols_g, vals = rows_l[keep], cols_g[keep], vals[keep]
+
+    is_local = (cols_g >= c0) & (cols_g < c1)
+    ghosts = np.unique(cols_g[~is_local])
+    ncol_local = c1 - c0
+    local = CSRHost.from_coo(
+        rows_l[is_local], cols_g[is_local] - c0, vals[is_local],
+        nloc, max(ncol_local, 1), sum_duplicates=False,
+    )
+    ghost_pos = np.searchsorted(ghosts, cols_g[~is_local])
+    remote = CSRHost.from_coo(
+        rows_l[~is_local], ghost_pos, vals[~is_local],
+        nloc, max(len(ghosts), 1), sum_duplicates=False,
+    )
+    return ShardCSR(
+        local=local,
+        remote=remote,
+        ghosts=ghosts,
+        row_range=(r0, r1),
+        col_range=(c0, c1),
+        diagonal=diag,
+        symmetric=symmetric,
+    )
+
+
 def partition_csr(
     a: CSRHost,
     num_shards: int,
     symmetric: bool = False,
 ) -> list[ShardCSR]:
-    """Split a global square CSR into row-block shards with local/remote
-    column separation — the local/remote matrix split that enables comm/
-    compute overlap (reference spmv/Matrix.h:116-117, Matrix.cpp:498-511).
+    """Split a global CSR into row-block shards with local/remote column
+    separation — the local/remote matrix split that enables comm/compute
+    overlap (reference spmv/Matrix.h:116-117, Matrix.cpp:498-511).
 
-    With ``symmetric=True``, each shard keeps only entries with
-    global col <= global row of its owned rows: the in-range strict lower
-    triangle goes to ``local``, the diagonal to ``diagonal``, and
-    out-of-range (col < row_range start) entries to ``remote`` — mirroring
-    the classification rules of reference spmv/Matrix.cpp:337-349.
+    Rectangular matrices partition rows and columns independently
+    (near-equal chunking on each side); x is column-partitioned, y
+    row-partitioned. ``symmetric=True`` requires square.
     """
-    if a.nrows != a.ncols:
-        raise ValueError("partition_csr requires a square global matrix")
-    ranges = owner_ranges(a.nrows, num_shards)
+    row_ranges = owner_ranges(a.nrows, num_shards)
+    col_ranges = (row_ranges if a.nrows == a.ncols
+                  else owner_ranges(a.ncols, num_shards))
     shards = []
     for s in range(num_shards):
-        r0, r1 = int(ranges[s]), int(ranges[s + 1])
+        r0, r1 = int(row_ranges[s]), int(row_ranges[s + 1])
         rows_slice = a.extract_rows(r0, r1)
-        nloc = r1 - r0
         lens = rows_slice.row_nnz()
-        rows_l = np.repeat(np.arange(nloc, dtype=np.int64), lens)
-        cols_g = rows_slice.colind.astype(np.int64)
-        vals = rows_slice.values
-
-        diag = None
-        if symmetric:
-            rows_g = rows_l + r0
-            on_diag = cols_g == rows_g
-            diag = np.zeros(nloc, dtype=vals.dtype)
-            diag[rows_l[on_diag]] = vals[on_diag]
-            keep = cols_g < rows_g  # strict lower triangle only
-            rows_l, cols_g, vals = rows_l[keep], cols_g[keep], vals[keep]
-
-        is_local = (cols_g >= r0) & (cols_g < r1)
-        ghosts = np.unique(cols_g[~is_local])
-        local = CSRHost.from_coo(
-            rows_l[is_local], cols_g[is_local] - r0, vals[is_local],
-            nloc, nloc, sum_duplicates=False,
-        )
-        ghost_pos = np.searchsorted(ghosts, cols_g[~is_local])
-        remote = CSRHost.from_coo(
-            rows_l[~is_local], ghost_pos, vals[~is_local],
-            nloc, max(len(ghosts), 1), sum_duplicates=False,
-        )
+        rows_l = np.repeat(np.arange(r1 - r0, dtype=np.int64), lens)
         shards.append(
-            ShardCSR(
-                local=local,
-                remote=remote,
-                ghosts=ghosts,
-                row_range=(r0, r1),
-                col_range=(r0, r1),
-                diagonal=diag,
+            classify_shard(
+                rows_l, rows_slice.colind, rows_slice.values,
+                (r0, r1), (int(col_ranges[s]), int(col_ranges[s + 1])),
                 symmetric=symmetric,
             )
         )

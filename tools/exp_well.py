@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""WELL kernel on TPU: correctness vs host oracle + throughput vs the XLA
+ELL gather path, with a same-run streaming roofline (SKILL.md methodology:
+chained fori_loop, fresh inputs, one-scalar sync, interleaved trials)."""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+K = 20
+
+
+def timed(fn_loop, args, sync=(0, 0)):
+    t0 = time.perf_counter()
+    out = fn_loop(*args)
+    _ = float(out[sync])
+    return (time.perf_counter() - t0) / K
+
+
+def main():
+    from spmv_tpu.formats.csr import CSRHost
+    from spmv_tpu.formats.well import csr_to_well
+    from spmv_tpu.ops.spmv_well_pallas import spmv_well_pallas_2d, well_to_2d
+    from spmv_tpu.gen import create_laplace_2d
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+    rng = np.random.default_rng(0)
+
+    # --- correctness on-chip: banded random with holes (fp32) ---
+    n = 30000
+    rows, cols, vals = [], [], []
+    for off in (-900, -37, -1, 0, 2, 41, 1100):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.8
+        i = i[keep]
+        rows.append(i); cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    a = CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                         np.concatenate(vals).astype(np.float32), n, n)
+    for tg in (8, 16, 64):
+        w = csr_to_well(a, tile_groups=tg, dtype=np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        x2 = well_to_2d(w, jnp.asarray(np.pad(x, (0, w.ncols_pad - n))))
+        y = np.asarray(jax.jit(spmv_well_pallas_2d, static_argnames=())(w, x2)).reshape(-1)
+        want = a.matvec(x)
+        err = np.linalg.norm(y[:n] - want) / np.linalg.norm(want)
+        print(f"correctness tg={tg}: K={w.k_slots} wseg={w.wseg} "
+              f"occ={w.occupancy:.2f} err={err:.2e}", flush=True)
+        assert err < 1e-5
+
+    # --- throughput: ~10M-row banded-random (FEM-like spread) ---
+    n = 4_000_000
+    rows, cols, vals = [], [], []
+    for off in (-1500, -130, -1, 0, 1, 128, 1400):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.85
+        i = i[keep]
+        rows.append(i); cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    a = CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                         np.concatenate(vals).astype(np.float32), n, n)
+    print(f"big matrix: n={n} nnz={a.nnz}", flush=True)
+
+    nstream = 64 * 1024 * 1024
+
+    @jax.jit
+    def copy_loop(v):
+        return jax.lax.fori_loop(0, K, lambda i, u: u * jnp.float32(1.0000001), v)
+
+    for tg in (32, 64, 128):
+        w = csr_to_well(a, tile_groups=tg, dtype=np.float32)
+        x2 = well_to_2d(w, jnp.full((w.ncols_pad,), 1e-3, jnp.float32))
+        scale = jnp.float32(0.125)
+
+        @jax.jit
+        def spmv_loop(vv, pp, w0, u):
+            from spmv_tpu.formats.well import WellMatrix
+            ww = WellMatrix(values=vv, pos=pp, w0=w0, nrows=w.nrows,
+                            ncols=w.ncols, wseg=w.wseg,
+                            tile_groups=w.tile_groups, _nnz=w._nnz)
+            def body(i, u):
+                y = spmv_well_pallas_2d(ww, u) * scale
+                # chain: y (nrows_pad/128,128) -> next x (ncols_pad/128,128)
+                return y[: u.shape[0]]
+            return jax.lax.fori_loop(0, K, body, u)
+
+        args = (w.values, w.pos, w.w0, x2)
+        try:
+            t_copy = timed(copy_loop, (jnp.ones((nstream // 128, 128), jnp.float32),))
+            t_spmv = timed(spmv_loop, args)
+            best_c, best_s = t_copy, t_spmv
+            for _ in range(3):
+                best_c = min(best_c, timed(copy_loop, (jnp.ones((nstream // 128, 128), jnp.float32),)))
+                best_s = min(best_s, timed(spmv_loop, args))
+            roof = 2 * nstream * 4 / best_c / 1e9
+            traffic = w.values.size * 4 + w.pos.size * 4 + 2 * w.nrows_pad * 4
+            gbs = traffic / best_s / 1e9
+            eff_nnz_gbs = a.nnz * 8 / best_s / 1e9  # value+index bytes actually useful
+            print(f"tg={tg}: K={w.k_slots} wseg={w.wseg} occ={w.occupancy:.2f} "
+                  f"{best_s*1e3:.2f} ms | {gbs:.0f} GB/s stored "
+                  f"({100*gbs/roof:.0f}% of {roof:.0f} GB/s roofline) | "
+                  f"useful-nnz {eff_nnz_gbs:.1f} GB/s | "
+                  f"{2*a.nnz/best_s/1e9:.1f} GFLOP/s", flush=True)
+        except Exception as e:
+            print(f"tg={tg}: FAIL {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+    # --- baseline: XLA ELL gather path on the same matrix ---
+    from spmv_tpu.formats.ell import csr_to_ell
+    from spmv_tpu.ops.spmv_ell import spmv_ell
+    e = csr_to_ell(a, dtype=np.float32)
+    xf = jnp.full((e.ncols,), 1e-3, jnp.float32)
+
+    @jax.jit
+    def ell_loop(colind, values, u):
+        from spmv_tpu.formats.ell import EllMatrix
+        em = EllMatrix(colind=colind, values=values, diagonal=None,
+                       nrows=e.nrows, ncols=e.ncols, symmetric=False)
+        def body(i, u):
+            y = spmv_ell(em, u) * jnp.float32(0.125)
+            return y[: e.ncols]
+        return jax.lax.fori_loop(0, K, body, u)
+
+    try:
+        t = min(timed(ell_loop, (e.colind, e.values, xf)),
+                timed(ell_loop, (e.colind, e.values, xf)))
+        print(f"ELL-XLA baseline: {t*1e3:.2f} ms | "
+              f"useful-nnz {a.nnz*8/t/1e9:.1f} GB/s | {2*a.nnz/t/1e9:.2f} GFLOP/s",
+              flush=True)
+    except Exception as ex:
+        print(f"ELL-XLA baseline FAIL: {str(ex)[:200]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
