@@ -13,7 +13,7 @@ Layer map (TPU-native analogue of reference layers L0-L7, SURVEY.md section 1):
 reference (C++/MPI)    spmv_tpu (JAX/XLA/Pallas)
 ====================  =======================================================
 DeviceExecutor (L0)    JAX device placement + ``interpret`` flag on kernels
-csr/coo kernels (L1)   ``spmv_tpu.ops`` Pallas/XLA kernels on ELL/DIA/BCSR
+csr/coo kernels (L1)   ``spmv_tpu.ops`` Pallas/XLA kernels on ELL/DIA/WELL
 CSR/COOMatrix (L2)     ``spmv_tpu.formats`` device formats (host CSR import)
 L2GMap (L3)            ``spmv_tpu.parallel.comm_plan.CommPlan``
 Matrix (L4)            ``spmv_tpu.parallel.dist_matrix.DistMatrix``
@@ -32,7 +32,19 @@ from spmv_tpu.gen import (
     create_laplace_3d,
     gaussian_bump,
 )
+from spmv_tpu.formats.well import WellMatrix, csr_to_well, well_occupancy
 from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
+from spmv_tpu.ops.spmv_well_pallas import (
+    spmv_well_pallas,
+    spmv_well_pallas_2d,
+    well_to_2d,
+)
+from spmv_tpu.reorder import (
+    bandwidth,
+    permute_symmetric,
+    rcm_reorder,
+    reverse_cuthill_mckee,
+)
 from spmv_tpu.ops.spmv_dia import spmv_dia
 from spmv_tpu.ops.spmv_dia_pallas import (
     dia_pallas_supported,
@@ -48,8 +60,17 @@ from spmv_tpu.io.petsc import (
     write_petsc_binary_vector,
 )
 from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
-from spmv_tpu.parallel.comm_plan import CommPlan, compile_plan
-from spmv_tpu.parallel.dist_matrix import DistMatrix, build_dist_matrix
+from spmv_tpu.parallel.comm_plan import (
+    CommPlan,
+    CommPlan2,
+    compile_plan,
+    compile_plan_two_tier,
+)
+from spmv_tpu.parallel.dist_matrix import (
+    DistMatrix,
+    build_dist_matrix,
+    build_dist_matrix_from_shards,
+)
 from spmv_tpu.parallel.partition import owner_ranges, partition_csr
 
 __version__ = "0.1.0"
@@ -81,9 +102,22 @@ __all__ = [
     "read_matrix_market",
     "write_matrix_market",
     "CommPlan",
+    "CommPlan2",
     "compile_plan",
+    "compile_plan_two_tier",
     "DistMatrix",
     "build_dist_matrix",
+    "build_dist_matrix_from_shards",
     "owner_ranges",
     "partition_csr",
+    "WellMatrix",
+    "csr_to_well",
+    "well_occupancy",
+    "spmv_well_pallas",
+    "spmv_well_pallas_2d",
+    "well_to_2d",
+    "bandwidth",
+    "permute_symmetric",
+    "rcm_reorder",
+    "reverse_cuthill_mckee",
 ]

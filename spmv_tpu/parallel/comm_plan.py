@@ -204,3 +204,192 @@ def halo_scatter_add(
         # accumulate at the owner (padding adds 0 at index 0 — harmless)
         y = y.at[send_idx[i]].add(buf, mode="promise_in_bounds")
     return y
+
+
+# ---------------------------------------------------------------------------
+# Two-tier (ICI/DCN) plans — the multi-slice analogue of the reference's
+# on-node shared-memory vs off-node split (reference spmv/L2GMap.cpp:723-865:
+# shmem windows intra-node, Neighbor_alltoallv off-node). On TPU pods the
+# fast tier is the intra-slice ICI mesh axis and the slow tier the
+# inter-slice DCN axis: pairs within one slice exchange over ICI only; pairs
+# crossing slices route DCN-first (one ppermute hop per axis). DCN rounds
+# are issued FIRST so their long-latency transfers overlap both the ICI
+# rounds and the interior SpMV.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CommPlan2:
+    """Static two-tier halo-exchange schedule for a (dcn, ici) 2-D mesh.
+
+    Devices flatten as d = dcn * n_ici + ici (the P((dcn_axis, ici_axis))
+    sharding order). Tables are stacked over the flat device axis:
+      ici_send_idx/ici_recv_pos: (D, Ri, Si) — same-slice rounds (ici ring
+          offset per round)
+      dcn_send_idx/dcn_recv_pos: (D, Rd, Sd) — cross-slice rounds, keyed by
+          (dcn ring offset, ici ring offset); executed as a dcn-axis
+          ppermute followed (when the ici offset is nonzero) by an ici-axis
+          ppermute
+    """
+
+    ici_send_idx: jax.Array
+    ici_recv_pos: jax.Array
+    dcn_send_idx: jax.Array
+    dcn_recv_pos: jax.Array
+    nlocal: jax.Array
+    nghosts: jax.Array
+    rounds_ici: tuple[int, ...]
+    rounds_dcn: tuple[tuple[int, int], ...]
+    n_dcn: int
+    n_ici: int
+    nlocal_pad: int
+    nghost_pad: int
+
+    @property
+    def n_devices(self) -> int:
+        return self.n_dcn * self.n_ici
+
+    @property
+    def rounds(self) -> tuple:
+        """All rounds (for diagnostics), DCN tier first."""
+        return tuple(self.rounds_dcn) + tuple(self.rounds_ici)
+
+
+jax.tree_util.register_dataclass(
+    CommPlan2,
+    data_fields=["ici_send_idx", "ici_recv_pos", "dcn_send_idx",
+                 "dcn_recv_pos", "nlocal", "nghosts"],
+    meta_fields=["rounds_ici", "rounds_dcn", "n_dcn", "n_ici",
+                 "nlocal_pad", "nghost_pad"],
+)
+
+
+def compile_plan_two_tier(
+    ranges: np.ndarray,
+    ghost_lists: list[np.ndarray],
+    n_dcn: int,
+    n_ici: int,
+    row_align: int = 8,
+) -> CommPlan2:
+    """Compile ghost index lists into a two-tier CommPlan2 (see CommPlan /
+    compile_plan for the single-tier semantics this extends)."""
+    n = n_dcn * n_ici
+    assert len(ghost_lists) == n and len(ranges) == n + 1
+    reqs: dict[tuple[int, int], np.ndarray] = {}
+    for s, ghosts in enumerate(ghost_lists):
+        ghosts = np.asarray(ghosts, dtype=np.int64)
+        if len(ghosts) == 0:
+            continue
+        if np.any((ghosts >= ranges[s]) & (ghosts < ranges[s + 1])):
+            raise ValueError(f"shard {s}: ghost index inside owned range")
+        if np.any(ghosts < 0) or np.any(ghosts >= ranges[-1]):
+            raise ValueError(f"shard {s}: ghost index outside global range")
+        owners = owner_of(ranges, ghosts)
+        for o in np.unique(owners):
+            reqs[(int(o), s)] = ghosts[owners == o]
+
+    def tier_key(o: int, d: int) -> tuple[int, int]:
+        od, oi = divmod(o, n_ici)
+        dd, di = divmod(d, n_ici)
+        return ((dd - od) % n_dcn, (di - oi) % n_ici)
+
+    ici_reqs = {k: v for k, v in reqs.items() if tier_key(*k)[0] == 0}
+    dcn_reqs = {k: v for k, v in reqs.items() if tier_key(*k)[0] != 0}
+
+    rounds_ici = sorted({tier_key(o, d)[1] for (o, d) in ici_reqs})
+    rounds_dcn = sorted({tier_key(o, d) for (o, d) in dcn_reqs})
+
+    nlocal = np.diff(ranges).astype(np.int32)
+    nghosts = np.array([len(g) for g in ghost_lists], dtype=np.int32)
+    nlocal_pad = max(_round_up(int(nlocal.max()), row_align), row_align)
+    nghost_pad = (max(_round_up(int(nghosts.max()), row_align), row_align)
+                  if nghosts.max() else 0)
+
+    def build_tables(tier_reqs, rounds, key_fn):
+        nr = len(rounds)
+        smax = 0
+        for (o, d), v in tier_reqs.items():
+            smax = max(smax, len(v))
+        si = np.zeros((n, max(nr, 1), max(smax, 1)), dtype=np.int32)
+        rp = np.full((n, max(nr, 1), max(smax, 1)), OOB, dtype=np.int32)
+        for (o, d), glob in tier_reqs.items():
+            r = rounds.index(key_fn(o, d))
+            c = len(glob)
+            si[o, r, :c] = (glob - ranges[o]).astype(np.int32)
+            gpos = np.searchsorted(ghost_lists[d], glob)
+            rp[d, r, :c] = gpos.astype(np.int32)
+        return si, rp
+
+    ici_si, ici_rp = build_tables(
+        ici_reqs, rounds_ici, lambda o, d: tier_key(o, d)[1]
+    )
+    dcn_si, dcn_rp = build_tables(dcn_reqs, rounds_dcn, tier_key)
+
+    return CommPlan2(
+        ici_send_idx=jnp.asarray(ici_si),
+        ici_recv_pos=jnp.asarray(ici_rp),
+        dcn_send_idx=jnp.asarray(dcn_si),
+        dcn_recv_pos=jnp.asarray(dcn_rp),
+        nlocal=jnp.asarray(nlocal),
+        nghosts=jnp.asarray(nghosts),
+        rounds_ici=tuple(rounds_ici),
+        rounds_dcn=tuple(rounds_dcn),
+        n_dcn=n_dcn,
+        n_ici=n_ici,
+        nlocal_pad=nlocal_pad,
+        nghost_pad=nghost_pad,
+    )
+
+
+def halo_gather_two_tier(
+    x: jax.Array,
+    ici_si: jax.Array, ici_rp: jax.Array,
+    dcn_si: jax.Array, dcn_rp: jax.Array,
+    rounds_ici: tuple[int, ...],
+    rounds_dcn: tuple[tuple[int, int], ...],
+    n_dcn: int, n_ici: int,
+    nghost_pad: int,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "ici",
+) -> jax.Array:
+    """Two-tier forward halo exchange. DCN rounds are issued first: their
+    sends have the longest latency and overlap the ICI rounds and the
+    interior kernel in program order."""
+    g = jnp.zeros((nghost_pad,), dtype=x.dtype)
+    for i, (dd, di) in enumerate(rounds_dcn):
+        buf = jnp.take(x, dcn_si[i], axis=0)
+        buf = jax.lax.ppermute(buf, dcn_axis, perm=_perm(n_dcn, dd))
+        if di != 0:
+            buf = jax.lax.ppermute(buf, ici_axis, perm=_perm(n_ici, di))
+        g = g.at[dcn_rp[i]].set(buf, mode="drop")
+    for i, d in enumerate(rounds_ici):
+        buf = jnp.take(x, ici_si[i], axis=0)
+        buf = jax.lax.ppermute(buf, ici_axis, perm=_perm(n_ici, d))
+        g = g.at[ici_rp[i]].set(buf, mode="drop")
+    return g
+
+
+def halo_scatter_add_two_tier(
+    gz: jax.Array,
+    y: jax.Array,
+    ici_si: jax.Array, ici_rp: jax.Array,
+    dcn_si: jax.Array, dcn_rp: jax.Array,
+    rounds_ici: tuple[int, ...],
+    rounds_dcn: tuple[tuple[int, int], ...],
+    n_dcn: int, n_ici: int,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "ici",
+) -> jax.Array:
+    """Two-tier reverse halo exchange (scatter-accumulate to owners):
+    inverse hops in reverse order per round, DCN rounds first."""
+    for i, (dd, di) in enumerate(rounds_dcn):
+        buf = gz.at[dcn_rp[i]].get(mode="fill", fill_value=0)
+        if di != 0:
+            buf = jax.lax.ppermute(buf, ici_axis, perm=_perm(n_ici, (-di) % n_ici))
+        buf = jax.lax.ppermute(buf, dcn_axis, perm=_perm(n_dcn, (-dd) % n_dcn))
+        y = y.at[dcn_si[i]].add(buf, mode="promise_in_bounds")
+    for i, d in enumerate(rounds_ici):
+        buf = gz.at[ici_rp[i]].get(mode="fill", fill_value=0)
+        buf = jax.lax.ppermute(buf, ici_axis, perm=_perm(n_ici, (-d) % n_ici))
+        y = y.at[ici_si[i]].add(buf, mode="promise_in_bounds")
+    return y

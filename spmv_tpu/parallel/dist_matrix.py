@@ -42,13 +42,48 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.parallel.partition import ShardCSR, owner_ranges, partition_csr
 from spmv_tpu.parallel.comm_plan import (
     CommPlan,
+    CommPlan2,
     compile_plan,
+    compile_plan_two_tier,
     halo_gather,
+    halo_gather_two_tier,
     halo_scatter_add,
+    halo_scatter_add_two_tier,
 )
-from spmv_tpu.parallel.partition import ShardCSR, owner_ranges, partition_csr
+
+
+def _plan_tables(plan):
+    """The per-device index tables a plan ships into shard_map."""
+    if isinstance(plan, CommPlan2):
+        return (plan.ici_send_idx, plan.ici_recv_pos,
+                plan.dcn_send_idx, plan.dcn_recv_pos)
+    return (plan.send_idx, plan.recv_pos)
+
+
+def _plan_gather(plan, x, tables, axes):
+    if isinstance(plan, CommPlan2):
+        return halo_gather_two_tier(
+            x, *tables, plan.rounds_ici, plan.rounds_dcn,
+            plan.n_dcn, plan.n_ici, plan.nghost_pad, axes[0], axes[1],
+        )
+    return halo_gather(
+        x, tables[0], tables[1], plan.rounds, plan.n_devices,
+        plan.nghost_pad, axes[0],
+    )
+
+
+def _plan_scatter_add(plan, gz, y, tables, axes):
+    if isinstance(plan, CommPlan2):
+        return halo_scatter_add_two_tier(
+            gz, y, *tables, plan.rounds_ici, plan.rounds_dcn,
+            plan.n_dcn, plan.n_ici, axes[0], axes[1],
+        )
+    return halo_scatter_add(
+        gz, y, tables[0], tables[1], plan.rounds, plan.n_devices, axes[0],
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -100,6 +135,12 @@ class DistMatrix:
     dia_offsets: tuple[int, ...] = ()
 
     # ----- static geometry -----
+    @property
+    def comm_axes(self) -> tuple[str, ...]:
+        """Mesh axis names for collectives: (axis,) on a 1-D mesh,
+        (dcn_axis, ici_axis) on a two-tier 2-D mesh."""
+        return self.axis_name if isinstance(self.axis_name, tuple) else (self.axis_name,)
+
     @property
     def n_devices(self) -> int:
         return self.plan.n_devices
@@ -187,15 +228,18 @@ class DistMatrix:
 
         has_diag = self.diagonal is not None
         has_dia = self.local_format == "dia"
+        tables = _plan_tables(self.plan)
+        nt = len(tables)
 
-        def per_shard(x_s, lci, lv, rci, rv, send_idx, recv_pos, *rest):
+        def per_shard(x_s, lci, lv, rci, rv, *rest):
             rest = list(rest)
+            tabs = tuple(rest.pop(0)[0] for _ in range(nt))
             diag = rest.pop(0)[0] if has_diag else None
             dia_data = rest.pop(0)[0] if has_dia else None
             y = _shard_mult(
                 x_s, lci[0], lv[0], rci[0], rv[0], diag,
-                send_idx[0], recv_pos[0], self.plan, self.row_pad,
-                self.symmetric, self.axis_name, self.local_format, dia_data,
+                tabs, self.plan, self.row_pad,
+                self.symmetric, self.comm_axes, self.local_format, dia_data,
                 self.dia_offsets,
             )
             return y
@@ -203,9 +247,9 @@ class DistMatrix:
         args = [
             self.local_colind, self.local_values,
             self.remote_colind, self.remote_values,
-            self.plan.send_idx, self.plan.recv_pos,
+            *tables,
         ]
-        in_specs = [spec, mspec, mspec, mspec, mspec, mspec, mspec]
+        in_specs = [spec, mspec, mspec, mspec, mspec] + [mspec] * nt
         if has_diag:
             args.append(self.diagonal)
             in_specs.append(P(self.axis_name, None))
@@ -277,7 +321,12 @@ class DistMatrix:
                 rows.append(row)
             dia_data_t = jnp.stack(rows, axis=1).reshape(nd, k, lr, 128)
 
-        def per_shard(x_s2, lci, lv, rci, rv, send_idx, recv_pos, *rest):
+        tables = _plan_tables(self.plan)
+        nt = len(tables)
+
+        def per_shard(x_s2, lci, lv, rci, rv, *rest):
+            rest = list(rest)
+            tabs = tuple(rest.pop(0)[0] for _ in range(nt))
             x_s = x_s2.reshape(rp)
             lci_, lv_, rci_, rv_ = lci[0], lv[0], rci[0], rv[0]
             plan = self.plan
@@ -289,7 +338,7 @@ class DistMatrix:
                 )
 
                 dm = DiaMatrix(
-                    data=rest[0][0], offsets=dia_offsets_t,
+                    data=rest.pop(0)[0], offsets=dia_offsets_t,
                     nrows=rp, ncols=rp, symmetric=False,
                 )
                 if jax.default_backend() == "tpu" and dia_pallas_supported(dm):
@@ -309,15 +358,12 @@ class DistMatrix:
                 gz = gz.at[rci_.reshape(-1)].add(
                     (rv_ * x_s[:, None]).reshape(-1), mode="promise_in_bounds"
                 )
-                y = halo_scatter_add(
-                    gz, y, send_idx[0], recv_pos[0], plan.rounds,
-                    plan.n_devices, self.axis_name,
-                )
+                y = _plan_scatter_add(plan, gz, y, tabs, self.comm_axes)
             return y.reshape(cp // 128, 128)
 
         args = [x, self.local_colind, self.local_values, self.remote_colind,
-                self.remote_values, self.plan.send_idx, self.plan.recv_pos]
-        in_specs = [spec, mspec, mspec, mspec, mspec, mspec, mspec]
+                self.remote_values, *tables]
+        in_specs = [spec, mspec, mspec, mspec, mspec] + [mspec] * nt
         if has_dia:
             args.append(dia_data_t)
             in_specs.append(P(self.axis_name, None, None, None))
@@ -347,8 +393,8 @@ jax.tree_util.register_dataclass(
 
 
 def _shard_mult(
-    x2, lci, lv, rci, rv, diag, send_idx, recv_pos,
-    plan: CommPlan, row_pad: int, symmetric: bool, axis_name: str,
+    x2, lci, lv, rci, rv, diag, tables,
+    plan, row_pad: int, symmetric: bool, comm_axes: tuple[str, ...],
     local_format: str = "ell", dia_data=None, dia_offsets: tuple = (),
 ):
     """One shard's y = A_s @ x. Runs inside shard_map.
@@ -361,10 +407,7 @@ def _shard_mult(
     x = x2.reshape(-1)
     have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
     if have_ghosts:
-        ghosts = halo_gather(
-            x, send_idx, recv_pos, plan.rounds, plan.n_devices,
-            plan.nghost_pad, axis_name,
-        )
+        ghosts = _plan_gather(plan, x, tables, comm_axes)
     # interior SpMV — independent of the halo, overlappable by XLA
     if local_format == "dia":
         from spmv_tpu.formats.dia import DiaMatrix
@@ -415,9 +458,7 @@ def _shard_mult(
             if y is None:
                 y = y2.reshape(-1)
                 y2 = None
-            y = halo_scatter_add(
-                gz, y, send_idx, recv_pos, plan.rounds, plan.n_devices, axis_name
-            )
+            y = _plan_scatter_add(plan, gz, y, tables, comm_axes)
     if y2 is not None:
         return y2
     return y.reshape(row_pad // 128, 128)
@@ -439,7 +480,21 @@ def _assemble(
     """Shared assembly tail: compile the (column-side) CommPlan, stack the
     ELL/DIA blocks, and upload everything sharded in one device_put each."""
     nd = len(shards)
-    plan = compile_plan(col_ranges, [s.ghosts for s in shards], row_align=row_align)
+    axis_names = (tuple(mesh.axis_names) if len(mesh.axis_names) > 1
+                  else axis_name)
+    if isinstance(axis_names, tuple):
+        # 2-D (dcn, ici) mesh: two-tier plan — first axis is the slow/DCN
+        # tier, second the fast/ICI tier (reference shmem on/off-node split,
+        # spmv/L2GMap.cpp:723-865)
+        n_dcn = mesh.shape[axis_names[0]]
+        n_ici = mesh.shape[axis_names[1]]
+        plan = compile_plan_two_tier(
+            col_ranges, [s.ghosts for s in shards], n_dcn, n_ici,
+            row_align=row_align,
+        )
+    else:
+        plan = compile_plan(col_ranges, [s.ghosts for s in shards],
+                            row_align=row_align)
     row_pad = max(
         _round_up(max(s.row_range[1] - s.row_range[0] for s in shards), row_align),
         row_align,
@@ -523,21 +578,32 @@ def _assemble(
     def put(arr, spec):
         return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
 
-    mspec = P(axis_name, None, None)
-    plan = dataclasses.replace(
-        plan,
-        send_idx=put(plan.send_idx, mspec),
-        recv_pos=put(plan.recv_pos, mspec),
-        nlocal=put(plan.nlocal, P(axis_name)),
-        nghosts=put(plan.nghosts, P(axis_name)),
-    )
+    mspec = P(axis_names, None, None)
+    if isinstance(plan, CommPlan2):
+        plan = dataclasses.replace(
+            plan,
+            ici_send_idx=put(plan.ici_send_idx, mspec),
+            ici_recv_pos=put(plan.ici_recv_pos, mspec),
+            dcn_send_idx=put(plan.dcn_send_idx, mspec),
+            dcn_recv_pos=put(plan.dcn_recv_pos, mspec),
+            nlocal=put(plan.nlocal, P(axis_names)),
+            nghosts=put(plan.nghosts, P(axis_names)),
+        )
+    else:
+        plan = dataclasses.replace(
+            plan,
+            send_idx=put(plan.send_idx, mspec),
+            recv_pos=put(plan.recv_pos, mspec),
+            nlocal=put(plan.nlocal, P(axis_names)),
+            nghosts=put(plan.nghosts, P(axis_names)),
+        )
     return DistMatrix(
         local_colind=put(lci, mspec),
         local_values=put(lv, mspec),
         remote_colind=put(rci, mspec),
         remote_values=put(rv, mspec),
-        diagonal=None if diag is None else put(diag, P(axis_name, None)),
-        jacobi_diag=put(jd, P(axis_name, None)),
+        diagonal=None if diag is None else put(diag, P(axis_names, None)),
+        jacobi_diag=put(jd, P(axis_names, None)),
         plan=plan,
         nrows_global=nrows_global,
         ncols_global=ncols_global,
@@ -545,7 +611,7 @@ def _assemble(
         symmetric=symmetric,
         nnz_global=nnz_global,
         mesh=mesh,
-        axis_name=axis_name,
+        axis_name=axis_names,
         local_format=local_format,
         local_dia_data=None if dia_data is None else put(dia_data, mspec),
         dia_offsets=dia_offsets,
@@ -597,7 +663,7 @@ def build_dist_matrix(
     if local_format == "dia" and a.nrows != a.ncols:
         raise ValueError("local_format='dia' requires a square matrix")
     mesh = _resolve_mesh(mesh, n_devices, axis_name)
-    nd = mesh.shape[axis_name]
+    nd = int(np.prod(list(mesh.shape.values())))
     row_align = _dia_row_align(local_format, row_align, -(-a.nrows // nd))
 
     shards = partition_csr(a, nd, symmetric=symmetric)
@@ -640,7 +706,7 @@ def build_dist_matrix_from_shards(
     if local_format == "dia" and nrows_global != ncols_global:
         raise ValueError("local_format='dia' requires a square matrix")
     mesh = _resolve_mesh(mesh, len(triplets), axis_name)
-    nd = mesh.shape[axis_name]
+    nd = int(np.prod(list(mesh.shape.values())))
     if nd != len(triplets):
         raise ValueError(f"{len(triplets)} triplet shards for a {nd}-device mesh")
     row_align = _dia_row_align(local_format, row_align, -(-nrows_global // nd))

@@ -12,10 +12,10 @@ import jax.numpy as jnp
 K = 20
 
 
-def timed(fn_loop, args, sync=(0, 0)):
+def timed(fn_loop, args):
     t0 = time.perf_counter()
     out = fn_loop(*args)
-    _ = float(out[sync])
+    _ = float(out.reshape(-1)[0])  # one-scalar sync (device-side slice)
     return (time.perf_counter() - t0) / K
 
 
@@ -83,7 +83,9 @@ def main():
             def body(i, u):
                 y = spmv_well_pallas_2d(ww, u) * scale
                 # chain: y (nrows_pad/128,128) -> next x (ncols_pad/128,128)
-                return y[: u.shape[0]]
+                if y.shape[0] >= u.shape[0]:
+                    return y[: u.shape[0]]
+                return jnp.pad(y, ((0, u.shape[0] - y.shape[0]), (0, 0)))
             return jax.lax.fori_loop(0, K, body, u)
 
         args = (w.values, w.pos, w.w0, x2)
