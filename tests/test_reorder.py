@@ -1,0 +1,58 @@
+"""RCM bandwidth-reduction reordering (spmv_tpu.reorder)."""
+import numpy as np
+import pytest
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.gen import create_laplace_2d, random_csr
+from spmv_tpu.reorder import (
+    bandwidth,
+    permute_symmetric,
+    rcm_reorder,
+    reverse_cuthill_mckee,
+)
+
+
+def test_rcm_is_permutation():
+    a = random_csr(200, 200, 5, seed=1, symmetric=True)
+    order = reverse_cuthill_mckee(a)
+    assert sorted(order) == list(range(200))
+
+
+def test_rcm_reduces_bandwidth_scrambled_stencil():
+    """A randomly permuted 2-D Laplacian has ~full bandwidth; RCM recovers a
+    narrow band (the property the WELL/DIA windows rely on)."""
+    a = create_laplace_2d(24, 24)
+    rng = np.random.default_rng(2)
+    scramble = rng.permutation(a.nrows)
+    scrambled = permute_symmetric(a, scramble)
+    b0 = bandwidth(scrambled)
+    reordered, order = rcm_reorder(scrambled)
+    b1 = bandwidth(reordered)
+    assert b0 > a.nrows // 2
+    assert b1 < b0 / 5, (b0, b1)
+
+
+def test_permute_preserves_spectrum_and_matvec():
+    a = random_csr(80, 80, 4, seed=3, symmetric=True)
+    reordered, order = rcm_reorder(a)
+    x = np.random.default_rng(4).standard_normal(80)
+    # B[i,j] = A[order[i], order[j]]  =>  (B x)[i] = (A (x∘inv))[order[i]]
+    y_b = reordered.matvec(x)
+    inv = np.empty(80, np.int64)
+    inv[order] = np.arange(80)
+    y_a = a.matvec(x[inv])[order]
+    np.testing.assert_allclose(y_b, y_a, rtol=1e-12)
+
+
+def test_rcm_disconnected_components():
+    # two disjoint paths
+    rows = np.array([0, 1, 1, 2, 5, 6, 6, 7])
+    cols = np.array([1, 0, 2, 1, 6, 5, 7, 6])
+    a = CSRHost.from_coo(rows, cols, np.ones(8), 9, 9)  # node 3,4,8 isolated
+    order = reverse_cuthill_mckee(a)
+    assert sorted(order) == list(range(9))
+
+
+def test_rcm_rejects_rectangular():
+    with pytest.raises(ValueError):
+        reverse_cuthill_mckee(random_csr(10, 20, 2, seed=5))

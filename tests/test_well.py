@@ -1,0 +1,100 @@
+"""WELL (windowed gather-ELL) format + Pallas kernel vs the host oracle.
+
+The general-sparsity device path (reference parity: cuSPARSE cusparseSpMV on
+arbitrary CSR, reference spmv/cuda/csr_kernels.cuda.cu:106-151). Kernel runs
+in interpreter mode on CPU; the same code compiles on TPU (hardware numbers
+in BENCH_NOTES.md).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.formats.well import csr_to_well, well_occupancy
+from spmv_tpu.gen import create_laplace_2d, random_csr
+from spmv_tpu.ops.spmv_well_pallas import spmv_well_pallas, well_to_2d
+
+
+def _check(a: CSRHost, tile_groups: int, seed: int = 0, tol: float = 1e-6):
+    w = csr_to_well(a, tile_groups=tile_groups, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(a.ncols).astype(np.float32)
+    xp = jnp.asarray(np.pad(x, (0, w.ncols_pad - a.ncols)))
+    y = np.asarray(spmv_well_pallas(w, xp, interpret=True))
+    want = a.matvec(x).astype(np.float32)
+    err = np.linalg.norm(y[: a.nrows] - want) / max(np.linalg.norm(want), 1e-30)
+    assert err < tol, (tile_groups, err)
+    # padding rows stay exactly zero
+    if len(y) > a.nrows:
+        assert np.abs(y[a.nrows:]).max() == 0.0
+    return w
+
+
+@pytest.mark.parametrize("tile_groups", [2, 4])
+def test_well_random(tile_groups):
+    _check(random_csr(300, 300, 6, seed=1), tile_groups)
+
+
+def test_well_stencil():
+    _check(create_laplace_2d(20, 17), 2)
+
+
+def test_well_rectangular_wide():
+    _check(random_csr(200, 900, 4, seed=2), 2)
+
+
+def test_well_rectangular_tall():
+    _check(random_csr(700, 150, 3, seed=3), 4)
+
+
+def test_well_duplicate_segment_entries():
+    """Rows with several entries in the same 128-column segment need
+    multiplicity slots."""
+    rng = np.random.default_rng(4)
+    rows = np.repeat(np.arange(50), 6)
+    cols = (np.tile(np.arange(6), 50) * 3 + rng.integers(0, 3, 300)) % 100
+    a = CSRHost.from_coo(rows, cols, rng.standard_normal(300), 50, 100)
+    _check(a, 2)
+
+
+def test_well_end_of_matrix_window():
+    """Windows referencing the last columns must not drop entries (the
+    round-2 clamp bug: seg_rel >= wseg for end-of-matrix tiles)."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    rows, cols, vals = [], [], []
+    for off in (-900, -1, 0, 2, 1100):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.8
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    a = CSRHost.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n, n
+    )
+    w = _check(a, 2)
+    assert w.ncols_pad >= w.wseg * 128
+
+
+def test_well_occupancy_gate():
+    a = create_laplace_2d(16, 16)
+    occ = well_occupancy(a, tile_groups=2)
+    w = csr_to_well(a, tile_groups=2)
+    assert abs(occ - w.occupancy) < 1e-12
+    # a pathological group must trip max_k
+    rng = np.random.default_rng(6)
+    rows = np.zeros(3000, np.int64)
+    cols = rng.choice(120_000, 3000, replace=False)
+    bad = CSRHost.from_coo(rows, cols, np.ones(3000), 128, 120_000)
+    with pytest.raises(ValueError, match="max_k"):
+        csr_to_well(bad, tile_groups=2, max_k=64)
+
+
+def test_well_empty_matrix():
+    a = CSRHost(np.zeros(5, np.int64), np.zeros(0, np.int32), np.zeros(0), 4)
+    w = csr_to_well(a, tile_groups=2)
+    y = np.asarray(
+        spmv_well_pallas(w, jnp.ones(w.ncols_pad, jnp.float64), interpret=True)
+    )
+    assert np.all(y == 0)
