@@ -136,6 +136,13 @@ class DistMatrix:
 
     # ----- static geometry -----
     @property
+    def on_tpu(self) -> bool:
+        """Whether this matrix's mesh executes on TPU (drives Pallas-kernel
+        dispatch; correct under AOT lowering too, where
+        jax.default_backend() reports the host platform)."""
+        return self.mesh.devices.flat[0].platform == "tpu"
+
+    @property
     def comm_axes(self) -> tuple[str, ...]:
         """Mesh axis names for collectives: (axis,) on a 1-D mesh,
         (dcn_axis, ici_axis) on a two-tier 2-D mesh."""
@@ -240,7 +247,7 @@ class DistMatrix:
                 x_s, lci[0], lv[0], rci[0], rv[0], diag,
                 tabs, self.plan, self.row_pad,
                 self.symmetric, self.comm_axes, self.local_format, dia_data,
-                self.dia_offsets,
+                self.dia_offsets, self.on_tpu,
             )
             return y
 
@@ -341,7 +348,7 @@ class DistMatrix:
                     data=rest.pop(0)[0], offsets=dia_offsets_t,
                     nrows=rp, ncols=rp, symmetric=False,
                 )
-                if jax.default_backend() == "tpu" and dia_pallas_supported(dm):
+                if self.on_tpu and dia_pallas_supported(dm):
                     y = spmv_dia_pallas_2d(dm, x_s2).reshape(rp)
                 else:
                     from spmv_tpu.ops.spmv_dia import spmv_dia
@@ -396,7 +403,10 @@ def _shard_mult(
     x2, lci, lv, rci, rv, diag, tables,
     plan, row_pad: int, symmetric: bool, comm_axes: tuple[str, ...],
     local_format: str = "ell", dia_data=None, dia_offsets: tuple = (),
+    on_tpu: bool | None = None,
 ):
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
     """One shard's y = A_s @ x. Runs inside shard_map.
 
     Vectors arrive in the 2-D lane layout x2: (col_pad/128, 128). The DIA
@@ -424,7 +434,7 @@ def _shard_mult(
             nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
             symmetric=symmetric,
         )
-        if jax.default_backend() == "tpu" and dia_pallas_supported(dm):
+        if on_tpu and dia_pallas_supported(dm):
             y2 = spmv_dia_pallas_2d(dm, x2)
         else:
             from spmv_tpu.ops.spmv_dia import spmv_dia
