@@ -92,14 +92,27 @@ def main() -> int:
           file=sys.stderr)
 
     # A passed as a pytree ARGUMENT (closure capture would embed the matrix
-    # as literal constants in the compiled program)
-    mult = jax.jit(lambda A_, x_: A_.matvec(x_))
+    # as literal constants in the compiled program). Iterations CHAIN
+    # (y feeds the next x, scaled to avoid overflow): the dataflow dependence
+    # (a) defeats the TPU tunnel's identical-call caching and (b) bounds
+    # in-flight executions — un-synced independent dispatches of collective
+    # programs deadlock the XLA:CPU rendezvous beyond a few dozen in flight.
+    scale = dtype(0.12)
+    mult = jax.jit(lambda A_, x_: A_.matvec(x_) * scale)
     y = mult(A, x)  # warm-up compile, like the reference's untimed warm-up run
     device_sync(y)
 
+    # XLA:CPU's collective rendezvous deadlocks beyond a few dozen in-flight
+    # multi-device executions (even chained) — drain the queue periodically
+    # there; on TPU keep the dispatch pipeline deep.
+    sync_every = 16 if jax.default_backend() == "cpu" else args.iters
+
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        y = mult(A, x)
+    y = x
+    for i in range(args.iters):
+        y = mult(A, y)
+        if (i + 1) % sync_every == 0:
+            device_sync(y)
     device_sync(y)
     timer.add("2.SpUpdate+SpMV", time.perf_counter() - t0)
 

@@ -50,6 +50,7 @@ def _well_kernel(
     tg: int,
     k: int,
     n_tiles: int,
+    compute_dtype=jnp.float32,
 ):
     i = pl.program_id(0)
 
@@ -70,7 +71,7 @@ def _well_kernel(
         dma((i + 1) % 2, i + 1).start()
 
     dma(i % 2, i).wait()
-    xw = xwin[i % 2].astype(jnp.float32)  # (wseg, 128)
+    xw = xwin[i % 2].astype(compute_dtype)  # (wseg, 128)
 
     b = k * tg
     pos = p_ref[...].reshape(b, LANES)
@@ -78,28 +79,36 @@ def _well_kernel(
     # lane 0 (>> 7 strips the lane bits of flat pos = seg*128 + lane)
     seg = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
     lane = jax.lax.bitwise_and(pos, jnp.int32(LANES - 1))
-    onehot = (
-        seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
-    ).astype(jnp.bfloat16)
-    # The MXU rounds f32 operands to bf16 at default precision — measured
-    # 1e-3..1e-1 SpMV error. The one-hot operand is EXACT in bf16 (0/1), and
-    # each output sums exactly one product, so splitting the window into
-    # three bf16 terms (8 mantissa bits each -> 24 bits total) reconstructs
-    # the f32 gather exactly, at native bf16 MXU rate (faster than an f32
-    # matmul pass, exact unlike it).
-    x_hi = xw.astype(jnp.bfloat16)
-    r1 = xw - x_hi.astype(jnp.float32)
-    x_mid = r1.astype(jnp.bfloat16)
-    x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    rows = (
-        jnp.dot(onehot, x_hi, preferred_element_type=jnp.float32)
-        + jnp.dot(onehot, x_mid, preferred_element_type=jnp.float32)
-        + jnp.dot(onehot, x_lo, preferred_element_type=jnp.float32)
-    )  # (b, 128)
+    if compute_dtype == jnp.float32:
+        # The MXU rounds f32 operands to bf16 at default precision —
+        # measured 1e-3..1e-1 SpMV error. The one-hot operand is EXACT in
+        # bf16 (0/1), and each output sums exactly one product, so splitting
+        # the window into three bf16 terms (8 mantissa bits each -> 24 bits
+        # total) reconstructs the f32 gather exactly, at native bf16 MXU
+        # rate (faster than an f32 matmul pass, exact unlike it).
+        onehot = (
+            seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
+        ).astype(jnp.bfloat16)
+        x_hi = xw.astype(jnp.bfloat16)
+        r1 = xw - x_hi.astype(jnp.float32)
+        x_mid = r1.astype(jnp.bfloat16)
+        x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        rows = (
+            jnp.dot(onehot, x_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(onehot, x_mid, preferred_element_type=jnp.float32)
+            + jnp.dot(onehot, x_lo, preferred_element_type=jnp.float32)
+        )  # (b, 128)
+    else:
+        # fp64 path (CPU/interpret — the TPU MXU has no f64; TPU callers use
+        # fp32/bf16 storage, the documented WELL precision envelope)
+        onehot = (
+            seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
+        ).astype(compute_dtype)
+        rows = jnp.dot(onehot, xw, preferred_element_type=compute_dtype)
     gathered = jnp.take_along_axis(rows, lane, axis=1)
-    contrib = v_ref[...].reshape(b, LANES).astype(jnp.float32) * gathered
+    contrib = v_ref[...].reshape(b, LANES).astype(compute_dtype) * gathered
 
-    acc = jnp.zeros((tg, LANES), jnp.float32)
+    acc = jnp.zeros((tg, LANES), compute_dtype)
     for kk in range(k):  # slot-major layout: each chunk is contiguous rows
         acc = acc + contrib[kk * tg : (kk + 1) * tg, :]
     y_ref[:, :] = acc.astype(y_ref.dtype)
@@ -114,8 +123,11 @@ def _spmv_well_2d(
     interpret: bool = False,
 ):
     g = values.shape[1]
+    compute_dtype = (jnp.float64 if values.dtype == jnp.float64
+                     else jnp.float32)
     kernel = functools.partial(
-        _well_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles
+        _well_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles,
+        compute_dtype=compute_dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -133,6 +133,13 @@ class DistMatrix:
     local_format: str = "ell"
     local_dia_data: jax.Array | None = None  # (D, Kd, R/128, 128)
     dia_offsets: tuple[int, ...] = ()
+    # general-sparsity fast path: when local_format == "well", the local
+    # block is stored as windowed gather-ELL (spmv_tpu.formats.well) and
+    # multiplied with the WELL Pallas kernel (interpret mode on CPU).
+    local_well_values: jax.Array | None = None  # (D, Kw, G, 128)
+    local_well_pos: jax.Array | None = None     # (D, Kw, G, 128) int32
+    local_well_w0: jax.Array | None = None      # (D, n_tiles) int32
+    well_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups)
 
     # ----- static geometry -----
     @property
@@ -235,6 +242,7 @@ class DistMatrix:
 
         has_diag = self.diagonal is not None
         has_dia = self.local_format == "dia"
+        has_well = self.local_format == "well"
         tables = _plan_tables(self.plan)
         nt = len(tables)
 
@@ -243,11 +251,14 @@ class DistMatrix:
             tabs = tuple(rest.pop(0)[0] for _ in range(nt))
             diag = rest.pop(0)[0] if has_diag else None
             dia_data = rest.pop(0)[0] if has_dia else None
+            well = (
+                tuple(rest.pop(0)[0] for _ in range(3)) if has_well else None
+            )
             y = _shard_mult(
                 x_s, lci[0], lv[0], rci[0], rv[0], diag,
                 tabs, self.plan, self.row_pad,
                 self.symmetric, self.comm_axes, self.local_format, dia_data,
-                self.dia_offsets, self.on_tpu,
+                self.dia_offsets, self.on_tpu, well, self.well_meta,
             )
             return y
 
@@ -263,6 +274,12 @@ class DistMatrix:
         if has_dia:
             args.append(self.local_dia_data)
             in_specs.append(P(self.axis_name, None, None, None))
+        if has_well:
+            args += [self.local_well_values, self.local_well_pos,
+                     self.local_well_w0]
+            in_specs += [P(self.axis_name, None, None, None),
+                         P(self.axis_name, None, None, None),
+                         P(self.axis_name, None)]
         return jax.shard_map(
             per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
             out_specs=spec, check_vma=False,  # pallas_call inside shard_map
@@ -297,6 +314,13 @@ class DistMatrix:
         """
         if self.symmetric:
             return self.matvec(x)  # symmetric: A^T = A
+        if self.local_format == "well":
+            raise NotImplementedError(
+                "transpose with local_format='well': build the transposed "
+                "operator explicitly — build_dist_matrix(a.transpose(), "
+                "local_format='well') — or rebuild this one with "
+                "local_format='ell'"
+            )
         rp = self.row_pad
         cp = self.col_pad
         spec = P(self.axis_name, None)
@@ -391,10 +415,11 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "local_colind", "local_values", "remote_colind", "remote_values",
         "diagonal", "jacobi_diag", "plan", "local_dia_data",
+        "local_well_values", "local_well_pos", "local_well_w0",
     ],
     meta_fields=[
         "nrows_global", "ncols_global", "row_pad", "symmetric", "nnz_global",
-        "mesh", "axis_name", "local_format", "dia_offsets",
+        "mesh", "axis_name", "local_format", "dia_offsets", "well_meta",
     ],
 )
 
@@ -403,7 +428,7 @@ def _shard_mult(
     x2, lci, lv, rci, rv, diag, tables,
     plan, row_pad: int, symmetric: bool, comm_axes: tuple[str, ...],
     local_format: str = "ell", dia_data=None, dia_offsets: tuple = (),
-    on_tpu: bool | None = None,
+    on_tpu: bool | None = None, well=None, well_meta: tuple = (),
 ):
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
@@ -440,6 +465,19 @@ def _shard_mult(
             from spmv_tpu.ops.spmv_dia import spmv_dia
 
             y2 = spmv_dia(dm, x, method="xla").reshape(x2.shape)
+        y = None
+    elif local_format == "well":
+        from spmv_tpu.formats.well import WellMatrix
+        from spmv_tpu.ops.spmv_well_pallas import spmv_well_pallas_2d
+
+        k_w, wseg_w, tg_w = well_meta
+        wm = WellMatrix(
+            values=well[0], pos=well[1], w0=well[2],
+            nrows=row_pad, ncols=plan.nlocal_pad,
+            wseg=wseg_w, tile_groups=tg_w, nseg=plan.nlocal_pad // 128,
+        )
+        # interpret mode on CPU = the reference-executor analogue
+        y2 = spmv_well_pallas_2d(wm, x2, interpret=not on_tpu)
         y = None
     else:
         y = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
@@ -490,6 +528,46 @@ def _assemble(
     """Shared assembly tail: compile the (column-side) CommPlan, stack the
     ELL/DIA blocks, and upload everything sharded in one device_put each."""
     nd = len(shards)
+
+    well_stack = None
+    well_meta: tuple[int, ...] = ()
+    if local_format == "well":
+        if symmetric:
+            raise ValueError(
+                "local_format='well' does not support symmetric storage; "
+                "use 'ell' (general) or 'dia' (banded) for symmetric matrices"
+            )
+        from spmv_tpu.formats.well import csr_to_well
+
+        max_groups = max(-(-(s.row_range[1] - s.row_range[0]) // 128)
+                         for s in shards)
+        tg = next(t for t in (64, 32, 16, 8, 4, 2, 1) if t <= max_groups)
+        wells = [csr_to_well(s.local, tile_groups=tg, dtype=dtype)
+                 for s in shards]
+        k_w = max(w.k_slots for w in wells)
+        wseg_w = max(w.wseg for w in wells)
+        # one padded geometry for every shard: groups cover rows AND every
+        # window (w0 + wseg) AND the owned column span (x and y share the
+        # per-shard padded length on square operators)
+        need = max(
+            max(w.ngroups for w in wells),
+            max((int(np.asarray(w.w0).max()) if w.n_tiles else 0) for w in wells)
+            + wseg_w,
+            max(-(-(s.col_range[1] - s.col_range[0]) // 128) for s in shards),
+        )
+        gt = _round_up(need, tg)
+        wv = np.zeros((nd, k_w, gt, 128), dtype=wells[0].values.dtype)
+        wp = np.zeros((nd, k_w, gt, 128), dtype=np.int32)
+        ww0 = np.zeros((nd, gt // tg), dtype=np.int32)
+        for s, w in enumerate(wells):
+            wv[s, : w.k_slots, : w.ngroups] = np.asarray(w.values)
+            wp[s, : w.k_slots, : w.ngroups] = np.asarray(w.pos)
+            ww0[s, : w.n_tiles] = np.asarray(w.w0)
+        well_stack = (wv, wp, ww0)
+        well_meta = (k_w, wseg_w, tg)
+        # force the shared per-shard pad to exactly gt*128 on both sides
+        row_align = gt * 128
+
     axis_names = (tuple(mesh.axis_names) if len(mesh.axis_names) > 1
                   else axis_name)
     if isinstance(axis_names, tuple):
@@ -555,7 +633,7 @@ def _assemble(
 
     kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)
     kr = max(max((int(s.remote.row_nnz().max()) if s.remote.nnz else 0) for s in shards), 1)
-    if local_format == "dia":
+    if local_format in ("dia", "well"):
         kl = 1  # local ELL arrays unused; keep placeholders tiny
         lci = np.zeros((nd, r, 1), dtype=np.int32)
         lv = np.zeros((nd, r, 1), dtype=dtype or shards[0].local.dtype)
@@ -625,7 +703,44 @@ def _assemble(
         local_format=local_format,
         local_dia_data=None if dia_data is None else put(dia_data, mspec),
         dia_offsets=dia_offsets,
+        local_well_values=(None if well_stack is None
+                           else put(well_stack[0], P(axis_names, None, None, None))),
+        local_well_pos=(None if well_stack is None
+                        else put(well_stack[1], P(axis_names, None, None, None))),
+        local_well_w0=(None if well_stack is None
+                       else put(well_stack[2], P(axis_names, None))),
+        well_meta=well_meta,
     )
+
+
+def select_local_format(a: CSRHost, symmetric: bool = False) -> str:
+    """Automatic local-format choice (the role of the reference's
+    compile-time format heuristic, reference spmv/Matrix.cpp:61-71 — which
+    always picked CSR; here the choice is real):
+
+      dia  — banded/stencil operators (few distinct diagonals): the
+             zero-index-traffic Pallas DIA kernel;
+      well — general sparsity with window-local columns: the windowed
+             gather-ELL Pallas kernel (~100x the XLA gather path on chip);
+      ell  — fallback (XLA gather; also the only symmetric general path).
+    """
+    if a.nnz == 0:
+        return "ell"
+    rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz())
+    offs = a.colind.astype(np.int64) - rows
+    ndiags = len(np.unique(offs))
+    if a.nrows == a.ncols and ndiags <= 64:
+        return "dia"
+    if symmetric:
+        return "ell"
+    from spmv_tpu.formats.well import well_occupancy
+
+    try:
+        if well_occupancy(a, tile_groups=8) >= 0.02:
+            return "well"
+    except ValueError:
+        pass
+    return "ell"
 
 
 def _resolve_mesh(mesh, n_devices, axis_name):
@@ -668,8 +783,10 @@ def build_dist_matrix(
     already distributed (per-shard triplets, possibly with rows owned by
     other shards), use ``build_dist_matrix_from_shards``.
     """
-    if local_format not in ("ell", "dia"):
+    if local_format not in ("ell", "dia", "well", "auto"):
         raise ValueError(f"unknown local_format {local_format!r}")
+    if local_format == "auto":
+        local_format = select_local_format(a, symmetric=symmetric)
     if local_format == "dia" and a.nrows != a.ncols:
         raise ValueError("local_format='dia' requires a square matrix")
     mesh = _resolve_mesh(mesh, n_devices, axis_name)
@@ -710,7 +827,7 @@ def build_dist_matrix_from_shards(
     owner assembles only its own row slice, so host memory stays bounded by
     the largest slice.
     """
-    if local_format not in ("ell", "dia"):
+    if local_format not in ("ell", "dia", "well"):
         raise ValueError(f"unknown local_format {local_format!r}")
     ncols_global = nrows_global if ncols_global is None else ncols_global
     if local_format == "dia" and nrows_global != ncols_global:

@@ -3,10 +3,14 @@
 
 The CPU test suite runs Pallas kernels in interpreter mode; several failure
 classes only exist on the real chip (Mosaic lowering gaps, VMEM budgets,
-DMA alignment proofs, shard_map+pallas interactions — each bit us during
-round 1). This script exercises every compiled kernel path end-to-end on
-the attached TPU and prints PASS/FAIL per check. Run it after any kernel
-change:
+DMA alignment proofs, MXU default-precision rounding — each bit us in
+rounds 1 and 2). This script exercises the compiled kernels and the
+distributed stack end-to-end on the attached TPU and prints PASS/FAIL per
+check. Coverage caveat: with ONE chip the distributed checks run on a
+1-device mesh, so shard_map+Pallas dispatch is exercised on hardware but
+multi-chip ppermute rounds are not (those are validated on the virtual CPU
+mesh by the test suite, and their TPU schedule by tests/test_overlap.py's
+AOT-topology compile). Run after any kernel change:
 
     python tools/tpu_smoke.py            # ~2-4 min warm, longer cold
 
