@@ -35,11 +35,13 @@ class CGResult:
     rnorm: jax.Array       # final |r|_2
     rnorm0: jax.Array      # initial |r|_2
     converged: jax.Array   # bool
+    r: jax.Array | None = None  # final residual vector (Krylov state for
+    p: jax.Array | None = None  # warm resume — see ``resume`` below)
 
 
 jax.tree_util.register_dataclass(
     CGResult,
-    data_fields=["x", "iterations", "rnorm", "rnorm0", "converged"],
+    data_fields=["x", "iterations", "rnorm", "rnorm0", "converged", "r", "p"],
     meta_fields=[],
 )
 
@@ -52,6 +54,7 @@ def cg(
     rtol: float = 1e-10,
     dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     preconditioner: Callable[[jax.Array], jax.Array] | None = None,
+    resume: tuple | None = None,
 ) -> CGResult:
     """Solve A x = b to relative residual ``rtol`` within ``kmax`` iterations.
 
@@ -63,12 +66,39 @@ def cg(
     The reference has no preconditioning; with one, this is standard PCG
     (left-preconditioned, rho = r.z) and the convergence test stays on the
     TRUE residual |r|/|r0| so tolerances mean the same thing either way.
+
+    ``resume``: optional ``(r, p, rnorm0)`` warm-start state — the Krylov
+    state a previous ``CGResult`` carries (``res.r``, ``res.p``,
+    ``res.rnorm0``). With it (and ``x0`` = the saved solution) the solve
+    continues the ORIGINAL Krylov sequence exactly (bitwise, same mesh) as
+    if never interrupted; without it a restart rebuilds the Krylov space
+    from scratch (checkpoint/resume, spmv_tpu.io.checkpoint).
     """
     if dot is None:
         dot = lambda u, v: jnp.vdot(u, v)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     precond = preconditioner if preconditioner is not None else (lambda r: r)
+
+    if resume is not None:
+        r_in, p_in, rnorm0_in = resume
+        r0 = r_in
+        z0 = p_in       # continue with the saved search direction
+        rho0 = dot(r0, precond(r0))
+        rnorm2_0 = dot(r0, r0)
+        rnorm0 = jnp.asarray(rnorm0_in, dtype=b.dtype)
+        k, x, r, _p, _rho, rnorm2 = jax.lax.while_loop(
+            lambda s: _cond(s, kmax, rtol, rnorm0),
+            lambda s: _body(s, matvec, dot, precond, preconditioner),
+            (jnp.int32(0), x0, r0, p_in, rho0, rnorm2_0),
+        )
+        rnorm = jnp.sqrt(rnorm2)
+        eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
+        return CGResult(
+            x=x, iterations=k, rnorm=rnorm, rnorm0=rnorm0,
+            converged=rnorm / jnp.maximum(rnorm0, eps) < rtol,
+            r=r, p=_p,
+        )
 
     # r0 = b - A x0; the reference starts from r = b (x0 = 0, cg.cpp:43-46).
     r0 = b - matvec(x0)
@@ -78,28 +108,10 @@ def cg(
     rnorm0 = jnp.sqrt(rnorm2_0)
     eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
 
-    def cond(state):
-        k, _x, _r, _p, _rho, rnorm2 = state
-        return (k < kmax) & (jnp.sqrt(rnorm2) / jnp.maximum(rnorm0, eps) >= rtol)
-
-    def body(state):
-        k, x, r, p, rho, _rnorm2 = state
-        ap = matvec(p)
-        alpha = rho / dot(p, ap)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = precond(r)
-        rho_new = dot(r, z)
-        beta = rho_new / rho
-        p = z + beta * p
-        # unpreconditioned: rho IS |r|^2 — keep the reference's 3 reductions
-        # per iteration (cg.cpp:49,65,75); PCG pays one extra for the true
-        # residual the convergence test is defined on
-        rnorm2_new = dot(r, r) if preconditioner is not None else rho_new
-        return (k + 1, x, r, p, rho_new, rnorm2_new)
-
     k, x, r, _p, _rho, rnorm2 = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), x0, r0, z0, rho0, rnorm2_0)
+        lambda s: _cond(s, kmax, rtol, rnorm0),
+        lambda s: _body(s, matvec, dot, precond, preconditioner),
+        (jnp.int32(0), x0, r0, z0, rho0, rnorm2_0),
     )
     rnorm = jnp.sqrt(rnorm2)
     return CGResult(
@@ -108,7 +120,32 @@ def cg(
         rnorm=rnorm,
         rnorm0=rnorm0,
         converged=rnorm / jnp.maximum(rnorm0, eps) < rtol,
+        r=r,
+        p=_p,
     )
+
+
+def _cond(state, kmax, rtol, rnorm0):
+    k, _x, _r, _p, _rho, rnorm2 = state
+    eps = jnp.asarray(jnp.finfo(rnorm0.dtype).tiny, dtype=rnorm0.dtype)
+    return (k < kmax) & (jnp.sqrt(rnorm2) / jnp.maximum(rnorm0, eps) >= rtol)
+
+
+def _body(state, matvec, dot, precond, preconditioner):
+    k, x, r, p, rho, _rnorm2 = state
+    ap = matvec(p)
+    alpha = rho / dot(p, ap)
+    x = x + alpha * p
+    r = r - alpha * ap
+    z = precond(r)
+    rho_new = dot(r, z)
+    beta = rho_new / rho
+    p = z + beta * p
+    # unpreconditioned: rho IS |r|^2 — keep the reference's 3 reductions
+    # per iteration (cg.cpp:49,65,75); PCG pays one extra for the true
+    # residual the convergence test is defined on
+    rnorm2_new = dot(r, r) if preconditioner is not None else rho_new
+    return (k + 1, x, r, p, rho_new, rnorm2_new)
 
 
 def cg_residual_history(

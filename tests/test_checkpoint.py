@@ -51,3 +51,53 @@ def test_solver_resume_converges_to_same_solution(tmp_path):
     x_res = A.from_dist(resumed.x)
     # restarted CG reaches the same solution to the solve tolerance
     assert np.linalg.norm(x_full - x_res) / np.linalg.norm(x_full) < 1e-7
+
+
+def test_warm_resume_continues_krylov_sequence(tmp_path):
+    """Warm resume (saved x, r, p, rnorm0) continues the EXACT Krylov
+    sequence: 30+30 resumed iterations match 60 uninterrupted ones bitwise —
+    a true resume, not a restart (the round-1 gap: restarts discarded the
+    Krylov space)."""
+    a = create_laplace_2d(16, 16)
+    A = build_dist_matrix(a, n_devices=4, symmetric=True)
+    b = A.to_dist(gaussian_bump(a.nrows))
+
+    solve = jax.jit(
+        lambda A_, bb, kmax: cg(A_.as_linear_operator(), bb, kmax=kmax,
+                                rtol=1e-30),
+        static_argnums=2,
+    )
+    full = solve(A, b, 60)
+
+    half = solve(A, b, 30)
+    # persist + reload the full warm state through the checkpoint layer
+    path = str(tmp_path / "state.npz")
+    save_solver_state(path, A, half.x, iteration=int(half.iterations),
+                      r=half.r, p=half.p)
+    vecs, it = load_solver_state(path, A)
+    assert it == 30
+
+    resumed = jax.jit(
+        lambda A_, bb, x0, r, p, rn0: cg(
+            A_.as_linear_operator(), bb, x0=x0, kmax=30, rtol=1e-30,
+            resume=(r, p, rn0),
+        )
+    )(A, b, vecs["x"], vecs["r"], vecs["p"], half.rnorm0)
+
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(full.x))
+    np.testing.assert_array_equal(float(resumed.rnorm), float(full.rnorm))
+
+
+def test_warm_resume_beats_cold_restart():
+    """The warm resume's residual after 30+30 is the 60-iteration residual;
+    a cold restart rebuilds the Krylov space and lags behind."""
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, n_devices=4, symmetric=True)
+    b = A.to_dist(gaussian_bump(a.nrows))
+    op = A.as_linear_operator()
+
+    half = jax.jit(lambda bb: cg(op, bb, kmax=30, rtol=1e-30))(b)
+    warm = cg(op, b, x0=half.x, kmax=30, rtol=1e-30,
+              resume=(half.r, half.p, half.rnorm0))
+    cold = cg(op, b, x0=half.x, kmax=30, rtol=1e-30)
+    assert float(warm.rnorm) < float(cold.rnorm)
