@@ -77,6 +77,32 @@ jax.tree_util.register_dataclass(
 )
 
 
+def plan_stats(plan) -> dict:
+    """Round-count / padding accounting for a CommPlan or CommPlan2.
+
+    The schedule serializes one ppermute per distinct ring offset, each
+    padded to the round's global max transfer — a scattered pattern can cost
+    many rounds of mostly-padding. ``compile_plan`` logs a warning above
+    thresholds; this returns the numbers: total transfer slots, real
+    (non-padding) slots, and the waste fraction.
+    """
+    import numpy as _np
+
+    tabs = []
+    if hasattr(plan, "recv_pos"):
+        tabs.append(_np.asarray(plan.recv_pos))
+    else:
+        tabs += [_np.asarray(plan.ici_recv_pos), _np.asarray(plan.dcn_recv_pos)]
+    slots = sum(t.size for t in tabs)
+    real = sum(int((t != OOB).sum()) for t in tabs)
+    return {
+        "rounds": len(plan.rounds),
+        "slots": slots,
+        "real": real,
+        "padding_waste": 0.0 if slots == 0 else 1.0 - real / slots,
+    }
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -135,7 +161,7 @@ def compile_plan(
         gpos = np.searchsorted(ghost_lists[d], glob)
         recv_pos[d, r, :c] = gpos.astype(np.int32)
 
-    return CommPlan(
+    plan = CommPlan(
         send_idx=jnp.asarray(send_idx),
         recv_pos=jnp.asarray(recv_pos),
         nlocal=jnp.asarray(nlocal),
@@ -145,6 +171,24 @@ def compile_plan(
         nlocal_pad=nlocal_pad,
         nghost_pad=nghost_pad,
     )
+    _warn_if_inefficient(plan)
+    return plan
+
+
+def _warn_if_inefficient(plan) -> None:
+    """Accounting guard: many serialized rounds or heavy per-round padding
+    mean the ghost pattern maps poorly onto ring offsets (e.g. a general
+    matrix before reordering) — surface it instead of silently paying it."""
+    import logging
+
+    s = plan_stats(plan)
+    if s["rounds"] > 8 or (s["rounds"] > 1 and s["padding_waste"] > 0.75):
+        logging.getLogger("spmv_tpu").warning(
+            "halo plan: %d ppermute rounds, %.0f%% of transfer slots are "
+            "padding (%d real / %d total). Consider RCM reordering "
+            "(spmv_tpu.reorder.rcm_reorder) to localize the ghost pattern.",
+            s["rounds"], 100 * s["padding_waste"], s["real"], s["slots"],
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +369,7 @@ def compile_plan_two_tier(
     )
     dcn_si, dcn_rp = build_tables(dcn_reqs, rounds_dcn, tier_key)
 
-    return CommPlan2(
+    plan2 = CommPlan2(
         ici_send_idx=jnp.asarray(ici_si),
         ici_recv_pos=jnp.asarray(ici_rp),
         dcn_send_idx=jnp.asarray(dcn_si),
@@ -339,6 +383,8 @@ def compile_plan_two_tier(
         nlocal_pad=nlocal_pad,
         nghost_pad=nghost_pad,
     )
+    _warn_if_inefficient(plan2)
+    return plan2
 
 
 def halo_gather_two_tier(

@@ -179,3 +179,32 @@ def test_partition_csr_symmetric_classification():
         np.testing.assert_allclose(block, lower)
         # every remote (ghost) column is strictly below the diagonal
         assert all(g < r0 for g in sh.ghosts)
+
+
+def test_plan_stats_and_inefficiency_warning(caplog):
+    """Round/padding accounting (plan_stats) + the assembly-time warning for
+    scatter-heavy ghost patterns."""
+    import logging
+    from spmv_tpu.parallel.comm_plan import compile_plan, plan_stats
+    from spmv_tpu.parallel.partition import owner_ranges
+
+    # ring pattern: 1 round, no waste
+    ranges = owner_ranges(64, 8)
+    ghosts = [np.array([int(ranges[(s + 1) % 8]) % 64]) for s in range(8)]
+    plan = compile_plan(ranges, ghosts)
+    s = plan_stats(plan)
+    assert s["rounds"] == 1 and s["padding_waste"] < 0.9
+
+    # scattered pattern: every shard needs one element of every other shard
+    # -> 7 rounds; plus one shard needing MANY elements pads all rounds
+    rng = np.random.default_rng(0)
+    ghosts = []
+    for s_ in range(8):
+        own = set(range(int(ranges[s_]), int(ranges[s_ + 1])))
+        g = sorted(set(range(64)) - own)
+        ghosts.append(np.array(g[:: 2 if s_ else 1]))
+    with caplog.at_level(logging.WARNING, logger="spmv_tpu"):
+        plan = compile_plan(ranges, ghosts)
+    s = plan_stats(plan)
+    assert s["rounds"] >= 7
+    assert any("halo plan" in r.message for r in caplog.records) or s["padding_waste"] < 0.75
