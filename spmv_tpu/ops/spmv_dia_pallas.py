@@ -410,7 +410,9 @@ def _spmv_dia_sym_pallas_2d(
     k, nrows, _ = data.shape
     tr = tile_rows
     n_tiles = nrows // tr
-    sub = 8 if data.dtype.itemsize >= 4 else 16
+    # strongest TRUE promise: hr is 16-aligned (dia_halo_rows), so
+    # tile*tr - hr is 16-aligned iff tr is; otherwise the dtype sublane tile
+    sub = 16 if tr % 16 == 0 else (8 if data.dtype.itemsize >= 4 else 16)
     kernel = functools.partial(
         _dia_sym_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles,
         sub=sub,
@@ -460,7 +462,7 @@ def _spmv_dia_pallas_2d(
     n_tiles = nrows // tr
     d3 = data
 
-    sub = 8 if data.dtype.itemsize >= 4 else 16
+    sub = 16 if tr % 16 == 0 else (8 if data.dtype.itemsize >= 4 else 16)
     kernel = functools.partial(
         _dia_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles, sub=sub
     )

@@ -43,10 +43,12 @@ def main():
     x2 = dp.dia_to_2d(d, jnp.full((d.nrows_pad,), 1e-3, jnp.float32))
     scale = jnp.float32(0.125)
 
-    # candidate tiles: divisors of nrows, multiples of 8, various sizes
-    cands = sorted({t for t in (
-        1000, 2000, 2500, 4000, 5000, 8000, 10000, 16000, 20000
-    ) if nrows % t == 0 and t % 8 == 0})
+    # candidate tiles: actual divisors of nrows, multiples of 8, >= hr,
+    # VMEM-feasible under ~100 MB
+    def fits(tr):
+        return (2 * (tr + 2 * hr) + 2 * k * tr + 2 * tr) * 128 * 4 < 100e6
+    cands = sorted({t for t in range(8, nrows + 1, 8)
+                    if nrows % t == 0 and t >= hr and fits(t)})[-8:]
     print("candidates:", cands, flush=True)
 
     copy_best = None

@@ -125,6 +125,52 @@ def _(env):
     return np.linalg.norm(r) / np.linalg.norm(st.gaussian_bump(a.nrows)) < 1e-3
 
 
+@check("WELL general-sparsity kernel (banded random)")
+def _(env):
+    st, jnp = env["st"], env["jnp"]
+    rng = np.random.default_rng(0)
+    n = 20000
+    rows, cols, vals = [], [], []
+    for off in (-700, -13, 0, 4, 450):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.8
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    a = st.CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                            np.concatenate(vals).astype(np.float32), n, n)
+    w = st.csr_to_well(a, dtype=np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(st.spmv_well_pallas(
+        w, jnp.asarray(np.pad(x, (0, w.ncols_pad - n)))))[:n]
+    want = a.matvec(x)
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
+
+
+@check("distributed matvec via shard_map (WELL local)")
+def _(env):
+    st, jax = env["st"], env["jax"]
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    rng = np.random.default_rng(1)
+    n = 8000
+    rows, cols, vals = [], [], []
+    for off in (-300, -1, 0, 2, 150):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.8
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    a = st.CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                            np.concatenate(vals).astype(np.float32), n, n)
+    A = build_dist_matrix(a, n_devices=1, local_format="well", dtype=np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x)))
+    want = a.matvec(x)
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
