@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--kmax", type=int, default=100, help="max iterations (reference: 100)")
     ap.add_argument("--rtol", type=float, default=1e-10, help="relative tolerance")
     ap.add_argument("--devices", type=int, default=0)
+    ap.add_argument("--format", choices=["ell", "dia", "well", "auto"],
+                    default=None,
+                    help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
     ap.add_argument("--symmetric", action="store_true")
@@ -91,7 +94,7 @@ def main() -> int:
 
     n_dev = args.devices or len(jax.devices())
     A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,
-                          local_format="dia" if args.dia else "ell")
+                          local_format=args.format or ("dia" if args.dia else "ell"))
     b = A.to_dist(b_host)
     # A passed as a pytree ARGUMENT (closure capture would embed the matrix
     # as literal constants in the compiled program)

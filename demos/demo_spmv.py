@@ -37,6 +37,9 @@ def main() -> int:
     src.add_argument("--mtx", help="Matrix Market file (.mtx / .mtx.gz)")
     ap.add_argument("--iters", type=int, default=100, help="SpMV applications (reference: 100)")
     ap.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
+    ap.add_argument("--format", choices=["ell", "dia", "well", "auto"],
+                    default=None,
+                    help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--symmetric", action="store_true", help="lower-triangle storage")
     ap.add_argument("--fp32", action="store_true", help="float32 (default float64)")
@@ -80,7 +83,7 @@ def main() -> int:
         a = create_laplace_1d(args.lap1d)
     n_dev = args.devices or len(jax.devices())
     A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,
-                          local_format="dia" if args.dia else "ell")
+                          local_format=args.format or ("dia" if args.dia else "ell"))
     timer.add("0.MatCreate", time.perf_counter() - t0)
 
     t0 = time.perf_counter()

@@ -202,3 +202,24 @@ def spmv_well_pallas(
     runs the Pallas interpreter (CPU reference semantics)."""
     y2 = spmv_well_pallas_2d(a, well_to_2d(a, x), interpret=interpret)
     return y2.reshape(a.nrows_pad)
+
+
+def spmv_well(
+    a: WellMatrix,
+    x: jax.Array,
+    alpha=1.0,
+    beta=0.0,
+    y: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """y_out = alpha * A @ x + beta * y — SubMatrix::mult semantics
+    (reference spmv/sub_matrix.h:26-122), matching spmv_ell/spmv_dia.
+    Returns a vector of length nrows_pad."""
+    ax = spmv_well_pallas(a, x, interpret=interpret)
+    if y is None:
+        return alpha * ax
+    n = a.nrows_pad
+    yp = y
+    if yp.shape[0] != n:
+        yp = jnp.zeros((n,), y.dtype).at[: min(y.shape[0], n)].set(y[:n])
+    return alpha * ax + beta * yp
