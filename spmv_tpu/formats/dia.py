@@ -23,12 +23,13 @@ from spmv_tpu.formats.csr import CSRHost
 class DiaMatrix:
     """Device-resident diagonal-format matrix.
 
-    data:    (ndiags, nrows_pad // 128, 128) — flattened row-major it reads
-             data[d, i] = A[i, i + offsets[d]]. Stored 3-D in the TPU lane
-             layout so the Pallas kernel consumes it directly: reshaping a
-             2-D (ndiags, nrows_pad) view inside a solver loop materializes
-             a full copy of the matrix per iteration (XLA does not hoist
-             the layout change), which measured ~45%% of SpMV runtime.
+    data:    (nrows_pad // 128, ndiags * 128) — ROW-INTERLEAVED lane layout:
+             data[r, d*128 + l] = A[128r + l, 128r + l + offsets[d]].
+             Interleaving makes each kernel tile ONE contiguous HBM chunk —
+             measured 7.5%% faster than per-diagonal (K, R, 128) planes,
+             whose K strided streams the DMA engine interleaves poorly.
+             Kept 2-D (not (R, K, 128)): Mosaic pads a minor dim of K < 8 to
+             full sublane tiles; a lane slice at 128-multiples is free.
     offsets: static tuple of diagonal offsets (j - i), ascending
     """
 
@@ -41,13 +42,18 @@ class DiaMatrix:
 
     @property
     def nrows_pad(self) -> int:
-        return self.data.shape[1] * self.data.shape[2]
+        return self.data.shape[0] * 128
 
     @property
     def data_flat(self) -> jax.Array:
         """(ndiags, nrows_pad) logical view — for the XLA fallback path and
-        host-side inspection. Do NOT use inside hot loops."""
-        return self.data.reshape(self.data.shape[0], -1)
+        host-side inspection. MATERIALIZES a de-interleaved copy; do NOT use
+        inside hot loops."""
+        r = self.data.shape[0]
+        k = self.ndiags
+        return (self.data.reshape(r, k, 128)
+                .transpose(1, 0, 2)
+                .reshape(k, r * 128))
 
     @property
     def ndiags(self) -> int:
@@ -74,6 +80,15 @@ jax.tree_util.register_dataclass(
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def flat_to_interleaved(flat, k: int):
+    """(K, npad) per-diagonal rows -> the (npad/128, K*128) device layout.
+    Works on numpy or jax arrays."""
+    npad = flat.shape[1]
+    return (flat.reshape(k, npad // 128, 128)
+            .transpose(1, 0, 2)
+            .reshape(npad // 128, k * 128))
 
 
 def dia_transpose(a: DiaMatrix) -> DiaMatrix:
@@ -103,7 +118,7 @@ def dia_transpose(a: DiaMatrix) -> DiaMatrix:
         rows.append(row)
     data_t = jnp.stack(rows)
     return DiaMatrix(
-        data=data_t.reshape(a.ndiags, npad // 128, 128),
+        data=flat_to_interleaved(data_t, a.ndiags),
         offsets=new_offsets,
         nrows=a.ncols,
         ncols=a.nrows,
@@ -161,7 +176,7 @@ def csr_to_dia(
         acc = np.bincount(flat, weights=vals_all, minlength=ndiags * nrows_pad)
         data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
     return DiaMatrix(
-        data=jnp.asarray(data.reshape(ndiags, nrows_pad // 128, 128)),
+        data=jnp.asarray(flat_to_interleaved(data, ndiags)),
         offsets=tuple(int(o) for o in uniq) or (0,),
         nrows=a.nrows,
         ncols=a.ncols,

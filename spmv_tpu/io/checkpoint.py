@@ -67,6 +67,7 @@ def save_dist_matrix(path: str, a: DistMatrix) -> None:
         "axis_name": a.axis_name,
         "local_format": a.local_format,
         "dia_offsets": list(a.dia_offsets),
+        "dia_layout": "interleaved",
         "plan": {
             "rounds": list(a.plan.rounds),
             "n_devices": a.plan.n_devices,
@@ -129,12 +130,23 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
         axis_name=axis,
         local_format=meta.get("local_format", "ell"),
         local_dia_data=(
-            put(z["local_dia_data"], P(axis, None, None, None))
+            put(_dia_to_interleaved(z["local_dia_data"],
+                                    meta.get("dia_layout")),
+                P(axis, None, None))
             if "local_dia_data" in z
             else None
         ),
         dia_offsets=tuple(meta.get("dia_offsets", [])),
     )
+
+
+def _dia_to_interleaved(arr, layout):
+    """Round-1 checkpoints stored (D, K, R/128, 128) per-diagonal planes;
+    the device layout is now row-interleaved (D, R/128, K*128)."""
+    if layout == "interleaved":
+        return arr
+    d, k, lr, _ = arr.shape
+    return arr.transpose(0, 2, 1, 3).reshape(d, lr, k * 128)
 
 
 def save_solver_state(path: str, a: DistMatrix, x, iteration: int = 0,

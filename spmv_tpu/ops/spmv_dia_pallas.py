@@ -72,7 +72,8 @@ def dia_to_2d(a: DiaMatrix, x: jax.Array) -> jax.Array:
 
 
 def _dia_kernel(
-    data_ref,   # (K, TR, 128) VMEM — diagonal data tile (pipelined)
+    data_ref,   # (TR, K*128) VMEM — interleaved diagonal data tile
+                #   (pipelined; ONE contiguous HBM chunk per grid step)
     x_hbm,      # (nrows, 128) ANY — UNFRAMED x, windows DMA'd manually
     y_ref,      # (TR, 128) VMEM — output tile (pipelined)
     xwin,       # (2, TR + 2*HR, 128) VMEM scratch
@@ -201,16 +202,17 @@ def _dia_kernel(
                 xw[q + 1 : q + tr + 1, :].astype(jnp.float32), LANES - r, 1
             )
             v = jnp.where(lane < LANES - r, r0, r1)
-        acc = acc + data_ref[k].astype(jnp.float32) * v
+        dk = data_ref[:, k * LANES : (k + 1) * LANES]  # free lane-slice view
+        acc = acc + dk.astype(jnp.float32) * v
     y_ref[:, :] = acc.astype(y_ref.dtype)
 
 
 def _dia_sym_kernel(
     x_hbm,      # (nrows, 128) ANY — unframed x
-    d_hbm,      # (K, nrows, 128) ANY — lower-triangle diagonals (offsets<=0)
+    d_hbm,      # (nrows, K*128) ANY — interleaved lower-tri diagonals
     y_ref,      # (TR, 128) VMEM — output tile (pipelined)
     xwin,       # (2, TR + 2*HR, 128) VMEM scratch
-    dwin,       # (2, K, TR + HR, 128) VMEM scratch (upper halo only)
+    dwin,       # (2, TR + HR, K*128) VMEM scratch (upper halo only)
     xsem,       # (2,) DMA semaphores
     dsem,       # (2,) DMA semaphores
     *,
@@ -292,50 +294,56 @@ def _dia_sym_kernel(
                     xwin.at[slot], xsem.at[slot],
                 ).wait()
 
+    def d_copy(slot, tile):
+        # the interleaved layout makes the whole data window ONE contiguous
+        # chunk; last tile has no upper halo
+        last = tile == n_tiles - 1
+        rows = tr if n_tiles == 1 else None  # static small case below
+        if n_tiles == 1:
+            return pltpu.make_async_copy(
+                d_hbm.at[pl.ds(0, tr), :],
+                dwin.at[slot, pl.ds(0, tr), :], dsem.at[slot],
+            )
+        return None
+
     def d_start(slot, tile):
         last = tile == n_tiles - 1
         if n_tiles == 1:
-            pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(0, tr), :],
-                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
-            ).start()
+            d_copy(slot, tile).start()
             return
 
         @pl.when(last)
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
-                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
+                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
+                dwin.at[slot, pl.ds(0, tr), :], dsem.at[slot],
             ).start()
 
         @pl.when(jnp.logical_not(last))
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
-                dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
+                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
+                dwin.at[slot, pl.ds(0, tr + hr), :], dsem.at[slot],
             ).start()
 
     def d_wait(slot, tile):
         last = tile == n_tiles - 1
         if n_tiles == 1:
-            pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(0, tr), :],
-                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
-            ).wait()
+            d_copy(slot, tile).wait()
             return
 
         @pl.when(last)
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
-                dwin.at[slot, :, pl.ds(0, tr), :], dsem.at[slot],
+                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
+                dwin.at[slot, pl.ds(0, tr), :], dsem.at[slot],
             ).wait()
 
         @pl.when(jnp.logical_not(last))
         def _():
             pltpu.make_async_copy(
-                d_hbm.at[:, pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
-                dwin.at[slot, :, pl.ds(0, tr + hr), :], dsem.at[slot],
+                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
+                dwin.at[slot, pl.ds(0, tr + hr), :], dsem.at[slot],
             ).wait()
 
     @pl.when(i == 0)
@@ -359,8 +367,8 @@ def _dia_sym_kernel(
     @pl.when(i == n_tiles - 1)
     def _():
         xwin[i % 2, tr + hr : wrows, :] = jnp.zeros((hr, LANES), xwin.dtype)
-        dwin[i % 2, :, pl.ds(tr, hr), :] = jnp.zeros(
-            (k, hr, LANES), dwin.dtype
+        dwin[i % 2, pl.ds(tr, hr), :] = jnp.zeros(
+            (hr, k * LANES), dwin.dtype
         )
 
     xw = xwin[i % 2]
@@ -387,7 +395,8 @@ def _dia_sym_kernel(
 
     acc = jnp.zeros((tr, LANES), jnp.float32)
     for kk, off in enumerate(offsets):
-        dk = dw[kk]  # (tr + hr, 128), rows [i*tr, i*tr + tr + hr)
+        # (tr + hr, 128) lane-slice view, rows [i*tr, i*tr + tr + hr)
+        dk = dw[:, kk * LANES : (kk + 1) * LANES]
         # forward: y[i] += d_o[i] * x[i + o]
         acc = acc + dk[0:tr, :].astype(jnp.float32) * shifted(
             xw, 0, hr * LANES + off
@@ -406,8 +415,9 @@ def _spmv_dia_sym_pallas_2d(
     data, x2, offsets: tuple[int, ...], tile_rows: int, hr: int,
     interpret: bool = False,
 ):
-    """Symmetric kernel wrapper: data (K, npad/128, 128) with offsets<=0."""
-    k, nrows, _ = data.shape
+    """Symmetric kernel wrapper: data (npad/128, K*128) with offsets<=0."""
+    nrows, klanes = data.shape
+    k = klanes // LANES
     tr = tile_rows
     n_tiles = nrows // tr
     # strongest TRUE promise: hr is 16-aligned (dia_halo_rows), so
@@ -430,7 +440,7 @@ def _spmv_dia_sym_pallas_2d(
         out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, tr + 2 * hr, LANES), x2.dtype),
-            pltpu.VMEM((2, k, tr + hr, LANES), data.dtype),
+            pltpu.VMEM((2, tr + hr, k * LANES), data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -453,10 +463,11 @@ def _spmv_dia_pallas_2d(
     data, x2, offsets: tuple[int, ...], tile_rows: int, hr: int,
     interpret: bool = False,
 ):
-    """data: (K, npad/128, 128) — ALREADY in lane layout (a reshape here
+    """data: (npad/128, K*128) — ALREADY row-interleaved (a relayout here
     would materialize a copy of the whole matrix per call inside solver
     loops); x2 (npad/128, 128) -> y (npad/128, 128)."""
-    k, nrows, _ = data.shape
+    nrows, klanes = data.shape
+    k = klanes // LANES
     npad = nrows * LANES
     tr = tile_rows
     n_tiles = nrows // tr
@@ -471,7 +482,7 @@ def _spmv_dia_pallas_2d(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (k, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (tr, k * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

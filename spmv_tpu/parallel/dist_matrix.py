@@ -131,7 +131,7 @@ class DistMatrix:
     # with the Pallas DIA kernel on TPU (spmv_tpu.ops.spmv_dia_pallas);
     # remote/ghost entries stay ELL. Square matrices only.
     local_format: str = "ell"
-    local_dia_data: jax.Array | None = None  # (D, Kd, R/128, 128)
+    local_dia_data: jax.Array | None = None  # (D, R/128, Kd*128) interleaved
     dia_offsets: tuple[int, ...] = ()
     # general-sparsity fast path: when local_format == "well", the local
     # block is stored as windowed gather-ELL (spmv_tpu.formats.well) and
@@ -273,7 +273,7 @@ class DistMatrix:
             in_specs.append(P(self.axis_name, None))
         if has_dia:
             args.append(self.local_dia_data)
-            in_specs.append(P(self.axis_name, None, None, None))
+            in_specs.append(P(self.axis_name, None, None))
         if has_well:
             args += [self.local_well_values, self.local_well_pos,
                      self.local_well_w0]
@@ -333,10 +333,13 @@ class DistMatrix:
             # local-block transpose as a DIA transform (negated offsets +
             # row-shifted data, see formats.dia.dia_transpose); the shift is
             # uniform across shards so it runs stacked, one pass over the
-            # matrix data per call. For repeated transpose applies inside a
-            # loop, pre-build the transposed operator instead.
-            nd, k, lr, _ = self.local_dia_data.shape
-            flat = self.local_dia_data.reshape(nd, k, lr * 128)
+            # matrix data per call (incl. the de/re-interleave). For
+            # repeated transpose applies inside a loop, pre-build the
+            # transposed operator instead.
+            nd, lr, klanes = self.local_dia_data.shape
+            k = klanes // 128
+            flat = (self.local_dia_data.reshape(nd, lr, k, 128)
+                    .transpose(0, 2, 1, 3).reshape(nd, k, lr * 128))
             dia_offsets_t = tuple(-o for o in reversed(self.dia_offsets))
             rows = []
             for o_new in dia_offsets_t:
@@ -350,7 +353,10 @@ class DistMatrix:
                         [jnp.zeros((nd, -o_new), row.dtype), row[:, :o_new]], axis=1
                     )
                 rows.append(row)
-            dia_data_t = jnp.stack(rows, axis=1).reshape(nd, k, lr, 128)
+            dia_data_t = (jnp.stack(rows, axis=1)
+                          .reshape(nd, k, lr, 128)
+                          .transpose(0, 2, 1, 3)
+                          .reshape(nd, lr, k * 128))
 
         tables = _plan_tables(self.plan)
         nt = len(tables)
@@ -397,7 +403,7 @@ class DistMatrix:
         in_specs = [spec, mspec, mspec, mspec, mspec] + [mspec] * nt
         if has_dia:
             args.append(dia_data_t)
-            in_specs.append(P(self.axis_name, None, None, None))
+            in_specs.append(P(self.axis_name, None, None))
         return jax.shard_map(
             per_shard, mesh=self.mesh,
             in_specs=tuple(in_specs),
@@ -628,7 +634,10 @@ def _assemble(
             dd[s] += np.bincount(
                 flat, weights=vals, minlength=kd * r
             ).reshape(kd, r).astype(dd.dtype)
-        dia_data = dd.reshape(nd, kd, r // 128, 128)  # lane layout
+        # row-interleaved device layout (see DiaMatrix.data)
+        dia_data = (dd.reshape(nd, kd, r // 128, 128)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(nd, r // 128, kd * 128))
         dia_offsets = tuple(int(o) for o in union)
 
     kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)
