@@ -34,7 +34,7 @@ def _timed_call(fn_loop, args, sync_index=(7, 5)) -> float:
     return (time.perf_counter() - t0) / K
 
 
-def interleaved_loop_seconds(loops_and_args, trials=4):
+def interleaved_loop_seconds(loops_and_args, trials=6):
     """Best seconds/iteration for each device loop, measured INTERLEAVED
     (a,b,a,b,...) with the first round (compile) discarded. The chip's
     throughput fluctuates minute to minute; interleaving makes the

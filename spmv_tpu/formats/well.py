@@ -54,7 +54,8 @@ class WellMatrix:
 
     values: jax.Array   # (K, G, 128) — slot-major so the kernel reduces
                         #   over slots with contiguous static slices
-    pos: jax.Array      # (K, G, 128) int32, window-relative seg*128+lane
+    pos: jax.Array      # (K, G, 128) int32/int16, window-relative
+                        #   seg*128+lane (int16 when the window fits)
     w0: jax.Array       # (n_tiles,) int32, window start segment per tile
     nrows: int
     ncols: int
@@ -220,8 +221,13 @@ def csr_to_well(
     g_s, slot, lo_s, seg_rel, li_s, vals_s, blocks = scatter
     blk_g, blk_seg, blk_off, blk_width, _ = blocks
 
+    # int16 positions halve the index traffic (it matches the value traffic
+    # at fp32 otherwise); requires the window-relative flat positions to fit
+    # and 16-aligned tiles (the i16 sublane tile is (16, 128))
+    pos_dtype = (np.int16 if wseg * LANES <= np.iinfo(np.int16).max
+                 and tile_groups % 16 == 0 else np.int32)
     values = np.zeros((k, gpad, LANES), dtype=dtype or a.dtype)
-    pos = np.zeros((k, gpad, LANES), dtype=np.int32)
+    pos = np.zeros((k, gpad, LANES), dtype=pos_dtype)
     # every lane of a used slot must carry the slot's segment (the kernel
     # reads it from lane 0); fill the slot blocks with seg*128 first
     if len(blk_g):
@@ -230,10 +236,10 @@ def csr_to_well(
             sel = blk_width >= width
             pos[blk_off[sel] + width - 1, blk_g[sel], :] = (
                 blk_seg_rel[sel][:, None] * LANES
-            ).astype(np.int32)
+            ).astype(pos_dtype)
     if len(g_s):
         values[slot, g_s, lo_s] = vals_s
-        pos[slot, g_s, lo_s] = (seg_rel * LANES + li_s).astype(np.int32)
+        pos[slot, g_s, lo_s] = (seg_rel * LANES + li_s).astype(pos_dtype)
 
     return WellMatrix(
         values=jnp.asarray(values),

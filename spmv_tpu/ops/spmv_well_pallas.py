@@ -41,7 +41,7 @@ def _well_kernel(
     w0_ref,     # (n_tiles,) SMEM scalar-prefetch — window start segments
     x_hbm,      # (S, 128) ANY — x in lane layout, windows DMA'd manually
     v_ref,      # (K, TG, 128) VMEM — values tile (pipelined)
-    p_ref,      # (K, TG, 128) VMEM int32 — positions tile (pipelined)
+    p_ref,      # (K, TG, 128) VMEM int32/int16 — positions (pipelined)
     y_ref,      # (TG, 128) VMEM — output tile (pipelined)
     xwin,       # (2, wseg, 128) VMEM scratch
     xsem,       # (2,) DMA semaphores
@@ -74,7 +74,7 @@ def _well_kernel(
     xw = xwin[i % 2].astype(compute_dtype)  # (wseg, 128)
 
     b = k * tg
-    pos = p_ref[...].reshape(b, LANES)
+    pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
     # the slot's segment is constant across its 128 lanes; read it from
     # lane 0 (>> 7 strips the lane bits of flat pos = seg*128 + lane)
     seg = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
@@ -161,7 +161,7 @@ def _spmv_well_2d(
         cost_estimate=pl.CostEstimate(
             flops=2 * k * g * LANES * (wseg + 1),
             bytes_accessed=(values.size * values.dtype.itemsize
-                            + pos.size * 4
+                            + pos.size * pos.dtype.itemsize
                             + 2 * g * LANES * values.dtype.itemsize),
             transcendentals=0,
         ),

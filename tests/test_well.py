@@ -98,3 +98,19 @@ def test_well_empty_matrix():
         spmv_well_pallas(w, jnp.ones(w.ncols_pad, jnp.float64), interpret=True)
     )
     assert np.all(y == 0)
+
+
+def test_well_int16_positions():
+    """16-aligned tiles with small windows store int16 positions (half the
+    index traffic); results identical to int32."""
+    a = create_laplace_2d(64, 64)  # small window
+    w16 = csr_to_well(a, tile_groups=16, dtype=np.float32)
+    w32 = csr_to_well(a, tile_groups=4, dtype=np.float32)
+    assert w16.pos.dtype == jnp.int16
+    assert w32.pos.dtype == jnp.int32
+    x = np.random.default_rng(8).standard_normal(a.ncols).astype(np.float32)
+    y16 = np.asarray(spmv_well_pallas(
+        w16, jnp.asarray(np.pad(x, (0, w16.ncols_pad - a.ncols))), interpret=True))
+    y32 = np.asarray(spmv_well_pallas(
+        w32, jnp.asarray(np.pad(x, (0, w32.ncols_pad - a.ncols))), interpret=True))
+    np.testing.assert_array_equal(y16[: a.nrows], y32[: a.nrows])

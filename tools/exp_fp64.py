@@ -55,15 +55,23 @@ def main():
     d32 = csr_to_dia(a, row_align=1024, dtype=np.float32)
     x232 = dia_to_2d(d32, jnp.full((d32.nrows_pad,), 1e-3, jnp.float32))
 
+    # Mosaic lowering of the fp32 kernel recurses infinitely under x64
+    # (jax-internal canonicalization loop; SKILL.md gotcha) — scope it off
+    jax.config.update("jax_enable_x64", False)
+
     @jax.jit
     def loop32(dd, v):
         return jax.lax.fori_loop(
             0, K, lambda i, u: spmv_dia_pallas_2d(dd, u) * jnp.float32(0.125), v)
 
-    t64 = t32 = 1e9
+    t32 = 1e9
+    for _ in range(3):
+        t32 = min(t32, timed(loop32, (d32, x232)))
+    jax.config.update("jax_enable_x64", True)
+
+    t64 = 1e9
     for _ in range(3):
         t64 = min(t64, timed(loop64, (d64, xp)))
-        t32 = min(t32, timed(loop32, (d32, x232)))
     tr64 = (d64.data.size + 2 * d64.nrows_pad) * 8
     tr32 = (d32.data.size + 2 * d32.nrows_pad) * 4
     print(f"fp64 XLA:   {t64*1e3:.3f} ms/apply = {tr64/t64/1e9:.0f} GB/s", flush=True)
