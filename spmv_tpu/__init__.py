@@ -32,7 +32,12 @@ from spmv_tpu.gen import (
     create_laplace_3d,
     gaussian_bump,
 )
-from spmv_tpu.formats.well import WellMatrix, csr_to_well, well_occupancy
+from spmv_tpu.formats.well import (
+    WellMatrix,
+    csr_to_well,
+    split_window,
+    well_occupancy,
+)
 from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
 from spmv_tpu.ops.spmv_well_pallas import (
     spmv_well_pallas,
@@ -112,6 +117,7 @@ __all__ = [
     "partition_csr",
     "WellMatrix",
     "csr_to_well",
+    "split_window",
     "well_occupancy",
     "spmv_well_pallas",
     "spmv_well_pallas_2d",

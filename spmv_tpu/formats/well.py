@@ -121,6 +121,43 @@ def well_occupancy(a: CSRHost, tile_groups: int = 16) -> float:
     return a.nnz / max(g_ * k_ * LANES, 1)
 
 
+def split_window(
+    a: CSRHost, tile_groups: int, wseg_cap: int
+) -> tuple[CSRHost, CSRHost]:
+    """Split a into (near, far): per tile of ``tile_groups`` row groups, the
+    ``wseg_cap``-segment window covering the MOST entries keeps them (two-
+    pointer over sorted segments); everything outside goes to ``far``. The
+    windowed WELL kernel runs ``near``; the (after reordering, small) far
+    remainder runs through the XLA ELL path — the multi-pass answer for
+    matrices whose columns scatter beyond any single window."""
+    lens = a.row_nnz()
+    rows = np.repeat(np.arange(a.nrows, dtype=np.int64), lens)
+    cols = a.colind.astype(np.int64)
+    tile_of = rows // (LANES * tile_groups)
+    seg = cols // LANES
+    near = np.ones(a.nnz, dtype=bool)
+    for t in np.unique(tile_of):
+        sel = np.flatnonzero(tile_of == t)
+        segs = seg[sel]
+        lo, hi = segs.min(), segs.max()
+        if hi - lo < wseg_cap:
+            continue
+        order = np.argsort(segs)
+        s_sorted = segs[order]
+        # two-pointer max-coverage window of width wseg_cap
+        j = np.searchsorted(s_sorted, s_sorted + wseg_cap, side="left")
+        counts = j - np.arange(len(s_sorted))
+        best = int(np.argmax(counts))
+        # 8-align the start so _pack's sublane-aligned w0 stays within cap
+        w_lo = (int(s_sorted[best]) // 8) * 8
+        keep = (segs >= w_lo) & (segs < w_lo + wseg_cap)
+        near[sel[~keep]] = False
+    def build(mask):
+        return CSRHost.from_coo(rows[mask], cols[mask], a.values[mask],
+                                a.nrows, a.ncols, sum_duplicates=False)
+    return build(near), build(~near)
+
+
 def _pack(a: CSRHost, tile_groups: int, dry_run: bool = False):
     """Compute the slot packing. Returns (G, K, wseg, w0, scatter) where
     scatter = (g, slot, lane_out, seg_rel, lane_in, vals, slot_seg_pairs)."""

@@ -484,6 +484,9 @@ def _shard_mult(
         )
         # interpret mode on CPU = the reference-executor analogue
         y2 = spmv_well_pallas_2d(wm, x2, interpret=not on_tpu)
+        # far remainder of the window split rides the ELL local arrays
+        far = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
+        y2 = y2 + far.reshape(y2.shape)
         y = None
     else:
         y = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
@@ -543,13 +546,19 @@ def _assemble(
                 "local_format='well' does not support symmetric storage; "
                 "use 'ell' (general) or 'dia' (banded) for symmetric matrices"
             )
-        from spmv_tpu.formats.well import csr_to_well
+        from spmv_tpu.formats.well import csr_to_well, split_window
 
         max_groups = max(-(-(s.row_range[1] - s.row_range[0]) // 128)
                          for s in shards)
         tg = next(t for t in (64, 32, 16, 8, 4, 2, 1) if t <= max_groups)
-        wells = [csr_to_well(s.local, tile_groups=tg, dtype=dtype)
-                 for s in shards]
+        # near/far split: entries beyond each tile's best 512-segment window
+        # leave the WELL block and run through the XLA ELL path instead
+        # (multi-pass general sparsity; far is small after RCM reordering)
+        wells, far_blocks = [], []
+        for s in shards:
+            near, far = split_window(s.local, tile_groups=tg, wseg_cap=512)
+            wells.append(csr_to_well(near, tile_groups=tg, dtype=dtype))
+            far_blocks.append(far)
         k_w = max(w.k_slots for w in wells)
         wseg_w = max(w.wseg for w in wells)
         # one padded geometry for every shard: groups cover rows AND every
@@ -642,10 +651,15 @@ def _assemble(
 
     kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)
     kr = max(max((int(s.remote.row_nnz().max()) if s.remote.nnz else 0) for s in shards), 1)
-    if local_format in ("dia", "well"):
+    if local_format == "dia":
         kl = 1  # local ELL arrays unused; keep placeholders tiny
         lci = np.zeros((nd, r, 1), dtype=np.int32)
         lv = np.zeros((nd, r, 1), dtype=dtype or shards[0].local.dtype)
+    elif local_format == "well":
+        # the local ELL arrays carry the far remainder of the window split
+        kl = max(max((int(b.row_nnz().max()) if b.nnz else 0)
+                     for b in far_blocks), 1)
+        lci, lv = _stack_ell(far_blocks, r, kl, dtype=dtype)
     else:
         lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
     rci, rv = _stack_ell([s.remote for s in shards], r, kr, dtype=dtype)
@@ -742,10 +756,12 @@ def select_local_format(a: CSRHost, symmetric: bool = False) -> str:
         return "dia"
     if symmetric:
         return "ell"
-    from spmv_tpu.formats.well import well_occupancy
+    from spmv_tpu.formats.well import split_window, well_occupancy
 
     try:
-        if well_occupancy(a, tile_groups=8) >= 0.02:
+        near, far = split_window(a, tile_groups=8, wseg_cap=512)
+        if (far.nnz <= 0.25 * a.nnz
+                and well_occupancy(near, tile_groups=8) >= 0.02):
             return "well"
     except ValueError:
         pass

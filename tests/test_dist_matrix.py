@@ -351,3 +351,19 @@ def test_dist_well_symmetric_rejected():
     a = random_csr(64, 64, 4, seed=95, symmetric=True)
     with pytest.raises(ValueError, match="symmetric"):
         build_dist_matrix(a, n_devices=2, local_format="well", symmetric=True)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_dist_well_scattered_matrix(n_dev):
+    """Globally-scattered columns: the WELL local format now handles them
+    via the near/far window split (far remainder rides the ELL local arrays)
+    instead of failing conversion."""
+    from spmv_tpu.gen import random_csr
+
+    a = random_csr(3000, 3000, 6, seed=7)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="well")
+    x = np.random.default_rng(8).standard_normal(3000)
+    got = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x)))
+    want = a.matvec(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    assert A.local_format == "well"

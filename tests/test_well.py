@@ -114,3 +114,26 @@ def test_well_int16_positions():
     y32 = np.asarray(spmv_well_pallas(
         w32, jnp.asarray(np.pad(x, (0, w32.ncols_pad - a.ncols))), interpret=True))
     np.testing.assert_array_equal(y16[: a.nrows], y32[: a.nrows])
+
+
+def test_split_window_near_far():
+    """Globally-scattered matrices split into a window-local near part (WELL)
+    and a far remainder; the parts sum to the original exactly."""
+    from spmv_tpu.formats.well import split_window
+    from spmv_tpu.gen import random_csr
+
+    a = random_csr(2000, 2000, 6, seed=1)
+    near, far = split_window(a, tile_groups=2, wseg_cap=8)
+    assert near.nnz + far.nnz == a.nnz
+    assert far.nnz > 0  # scattered: some entries must leave the window
+    np.testing.assert_allclose(near.to_dense() + far.to_dense(), a.to_dense())
+    w = csr_to_well(near, tile_groups=2)
+    assert w.wseg <= 8
+
+
+def test_banded_matrix_has_no_far_part():
+    from spmv_tpu.formats.well import split_window
+
+    a = create_laplace_2d(20, 20)
+    near, far = split_window(a, tile_groups=2, wseg_cap=64)
+    assert far.nnz == 0 and near.nnz == a.nnz

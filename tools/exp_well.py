@@ -97,7 +97,8 @@ def main():
                 best_c = min(best_c, timed(copy_loop, (jnp.ones((nstream // 128, 128), jnp.float32),)))
                 best_s = min(best_s, timed(spmv_loop, args))
             roof = 2 * nstream * 4 / best_c / 1e9
-            traffic = w.values.size * 4 + w.pos.size * 4 + 2 * w.nrows_pad * 4
+            traffic = (w.values.size * 4 + w.pos.size * w.pos.dtype.itemsize
+                       + 2 * w.nrows_pad * 4)
             gbs = traffic / best_s / 1e9
             eff_nnz_gbs = a.nnz * 8 / best_s / 1e9  # value+index bytes actually useful
             print(f"tg={tg}: K={w.k_slots} wseg={w.wseg} occ={w.occupancy:.2f} "
