@@ -40,6 +40,7 @@ from spmv_tpu.formats.well import (
 )
 from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
 from spmv_tpu.ops.spmv_well_pallas import (
+    spmv_well,
     spmv_well_pallas,
     spmv_well_pallas_2d,
     well_to_2d,
@@ -70,6 +71,7 @@ from spmv_tpu.parallel.comm_plan import (
     CommPlan2,
     compile_plan,
     compile_plan_two_tier,
+    plan_stats,
 )
 from spmv_tpu.parallel.dist_matrix import (
     DistMatrix,
@@ -110,6 +112,7 @@ __all__ = [
     "CommPlan2",
     "compile_plan",
     "compile_plan_two_tier",
+    "plan_stats",
     "DistMatrix",
     "build_dist_matrix",
     "build_dist_matrix_from_shards",
@@ -119,6 +122,7 @@ __all__ = [
     "csr_to_well",
     "split_window",
     "well_occupancy",
+    "spmv_well",
     "spmv_well_pallas",
     "spmv_well_pallas_2d",
     "well_to_2d",
