@@ -39,6 +39,14 @@ from spmv_tpu.formats.well import (
     well_occupancy,
 )
 from spmv_tpu.ops.spmv_ell import spmv_ell, spmv_ell_transpose
+from spmv_tpu.ds import ds_from_f64, ds_to_f64
+from spmv_tpu.ops.spmv_dia_ds_pallas import (
+    DiaDsMatrix,
+    csr_to_dia_ds,
+    dia_ds_pallas_supported,
+    spmv_dia_ds,
+    spmv_dia_ds_pallas_2d,
+)
 from spmv_tpu.ops.spmv_well_pallas import (
     spmv_well,
     spmv_well_pallas,
@@ -122,6 +130,13 @@ __all__ = [
     "csr_to_well",
     "split_window",
     "well_occupancy",
+    "DiaDsMatrix",
+    "csr_to_dia_ds",
+    "dia_ds_pallas_supported",
+    "spmv_dia_ds",
+    "spmv_dia_ds_pallas_2d",
+    "ds_from_f64",
+    "ds_to_f64",
     "spmv_well",
     "spmv_well_pallas",
     "spmv_well_pallas_2d",

@@ -127,6 +127,19 @@ def dia_transpose(a: DiaMatrix) -> DiaMatrix:
     )
 
 
+def csr_to_dia_host(
+    a: CSRHost,
+    row_align: int = 128,
+    max_diags: int = 64,
+    dtype=None,
+    symmetric: bool = False,
+) -> tuple[np.ndarray, tuple[int, ...], int]:
+    """Host-side DIA build: returns (data (K, nrows_pad) NUMPY in the
+    caller-requested dtype — no device round-trip, so f64 stays f64 even
+    without x64 —, offsets, stored nnz)."""
+    return _csr_to_dia_host(a, row_align, max_diags, dtype, symmetric)
+
+
 def csr_to_dia(
     a: CSRHost,
     row_align: int = 128,
@@ -146,6 +159,19 @@ def csr_to_dia(
     needs no scatter at all: the transpose of diagonal o is diagonal -o with
     the same data shifted by -o.
     """
+    data, offsets, nnz = _csr_to_dia_host(a, row_align, max_diags, dtype,
+                                          symmetric)
+    return DiaMatrix(
+        data=jnp.asarray(flat_to_interleaved(data, data.shape[0])),
+        offsets=offsets,
+        nrows=a.nrows,
+        ncols=a.ncols,
+        symmetric=symmetric,
+        _nnz=nnz,
+    )
+
+
+def _csr_to_dia_host(a, row_align, max_diags, dtype, symmetric):
     row_align = max(_round_up(row_align, 128), 128)
     if a.nrows > 1_000_000:
         # guarantee the Pallas tile picker a 1024-lane-row divisor — matrix
@@ -175,11 +201,4 @@ def csr_to_dia(
         flat = dsel * np.int64(nrows_pad) + rows
         acc = np.bincount(flat, weights=vals_all, minlength=ndiags * nrows_pad)
         data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
-    return DiaMatrix(
-        data=jnp.asarray(flat_to_interleaved(data, ndiags)),
-        offsets=tuple(int(o) for o in uniq) or (0,),
-        nrows=a.nrows,
-        ncols=a.ncols,
-        symmetric=symmetric,
-        _nnz=int(len(rows)),
-    )
+    return data, tuple(int(o) for o in uniq) or (0,), int(len(rows))

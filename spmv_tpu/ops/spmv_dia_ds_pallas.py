@@ -1,0 +1,316 @@
+"""Double-single (float64-class) Pallas DIA SpMV.
+
+The reference is double-throughout (reference spmv/Matrix.cpp:565-566); on
+TPU, XLA's software-emulated f64 caps even a pure streaming copy at ~91 GB/s
+on the attached chip and f64 SpMV at ~30 GB/s (BENCH_NOTES.md). This kernel
+carries matrix and vector as double-single (hi+lo f32 pairs,
+spmv_tpu.ds): ~48 significand bits — rel. error ~1e-14 on stencil SpMV —
+while storage, DMA traffic, and VPU work stay in f32 land.
+
+Structure mirrors the fp32 DIA kernel (ops.spmv_dia_pallas): interleaved
+(R, K*128) data tiles via the grid pipeline, windowed x HBM->VMEM staging
+double-buffered, lane-roll shifted reads — run twice (hi and lo legs shift
+identically) and combined with error-free transformations (Dekker two_prod,
+Knuth two_sum — no FMA dependence).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_tpu.ds import ds_add, ds_from_f64, ds_mul_f32, ds_to_f64
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.formats.dia import DiaMatrix, flat_to_interleaved
+from spmv_tpu.ops.spmv_dia_pallas import LANES, _pick_tile_rows, dia_halo_rows
+
+
+@dataclasses.dataclass
+class DiaDsMatrix:
+    """DIA matrix in double-single storage: two interleaved f32 planes."""
+
+    data_hi: jax.Array  # (R/128, K*128) interleaved (DiaMatrix.data layout)
+    data_lo: jax.Array
+    offsets: tuple[int, ...]
+    nrows: int
+    ncols: int
+    _nnz: int = 0
+
+    @property
+    def nrows_pad(self) -> int:
+        return self.data_hi.shape[0] * LANES
+
+    @property
+    def ndiags(self) -> int:
+        return len(self.offsets)
+
+    def format_size_bytes(self) -> int:
+        return 2 * self.data_hi.size * 4
+
+
+jax.tree_util.register_dataclass(
+    DiaDsMatrix,
+    data_fields=["data_hi", "data_lo"],
+    meta_fields=["offsets", "nrows", "ncols", "_nnz"],
+)
+
+
+def csr_to_dia_ds(a: CSRHost, row_align: int = 128, max_diags: int = 64) -> DiaDsMatrix:
+    """Convert an f64 host CSR to double-single DIA storage. The split stays
+    in NUMPY until upload: routing through a jax array would silently
+    downcast f64 to f32 when x64 is off and zero the lo plane (the round-2
+    on-chip 1e-9 bug)."""
+    from spmv_tpu.formats.dia import csr_to_dia_host
+
+    flat, offsets, nnz = csr_to_dia_host(
+        a, row_align=row_align, max_diags=max_diags, dtype=np.float64
+    )
+    hi, lo = ds_from_f64(flat)
+    k = flat.shape[0]
+    return DiaDsMatrix(
+        data_hi=jnp.asarray(flat_to_interleaved(hi, k)),
+        data_lo=jnp.asarray(flat_to_interleaved(lo, k)),
+        offsets=offsets,
+        nrows=a.nrows,
+        ncols=a.ncols,
+        _nnz=nnz,
+    )
+
+
+def _dia_ds_kernel(
+    dh_ref,     # (TR, K*128) VMEM — hi data tile (pipelined)
+    dl_ref,     # (TR, K*128) VMEM — lo data tile (pipelined)
+    xh_hbm,     # (R, 128) ANY — x hi, windows DMA'd manually
+    xl_hbm,     # (R, 128) ANY — x lo
+    yh_ref,     # (TR, 128) VMEM — output hi tile
+    yl_ref,     # (TR, 128) VMEM — output lo tile
+    xwin,       # (2, 2, TR + 2*HR, 128) VMEM scratch (slot, hi/lo)
+    xsem,       # (2, 2) DMA semaphores
+    *,
+    offsets: tuple[int, ...],
+    tr: int,
+    hr: int,
+    n_tiles: int,
+    sub: int,
+):
+    i = pl.program_id(0)
+    wrows = tr + 2 * hr
+    hbm = (xh_hbm, xl_hbm)
+
+    def leg_copy(slot, leg, tile_kind, tile):
+        if tile_kind == "first":
+            rows = min(tr + hr, n_tiles * tr)
+            return pltpu.make_async_copy(
+                hbm[leg].at[pl.ds(0, rows), :],
+                xwin.at[slot, leg, pl.ds(hr, rows), :], xsem.at[slot, leg])
+        if tile_kind == "last":
+            rows = min(tr + hr, n_tiles * tr)
+            return pltpu.make_async_copy(
+                hbm[leg].at[pl.ds(n_tiles * tr - rows, rows), :],
+                xwin.at[slot, leg, pl.ds(0, rows), :], xsem.at[slot, leg])
+        start_row = pl.multiple_of(tile * tr - hr, sub)
+        return pltpu.make_async_copy(
+            hbm[leg].at[pl.ds(start_row, wrows), :],
+            xwin.at[slot, leg], xsem.at[slot, leg])
+
+    def start(slot, tile):
+        if n_tiles == 1:
+            for leg in range(2):
+                pltpu.make_async_copy(
+                    hbm[leg].at[pl.ds(0, tr), :],
+                    xwin.at[slot, leg, pl.ds(hr, tr), :], xsem.at[slot, leg]
+                ).start()
+            return
+
+        @pl.when(tile == 0)
+        def _():
+            for leg in range(2):
+                leg_copy(slot, leg, "first", tile).start()
+
+        @pl.when(tile == n_tiles - 1)
+        def _():
+            for leg in range(2):
+                leg_copy(slot, leg, "last", tile).start()
+
+        if n_tiles > 2:
+            @pl.when((tile > 0) & (tile < n_tiles - 1))
+            def _():
+                for leg in range(2):
+                    leg_copy(slot, leg, "mid", tile).start()
+
+    def wait(slot, tile):
+        if n_tiles == 1:
+            for leg in range(2):
+                pltpu.make_async_copy(
+                    hbm[leg].at[pl.ds(0, tr), :],
+                    xwin.at[slot, leg, pl.ds(hr, tr), :], xsem.at[slot, leg]
+                ).wait()
+            return
+
+        @pl.when(tile == 0)
+        def _():
+            for leg in range(2):
+                leg_copy(slot, leg, "first", tile).wait()
+
+        @pl.when(tile == n_tiles - 1)
+        def _():
+            for leg in range(2):
+                leg_copy(slot, leg, "last", tile).wait()
+
+        if n_tiles > 2:
+            @pl.when((tile > 0) & (tile < n_tiles - 1))
+            def _():
+                for leg in range(2):
+                    leg_copy(slot, leg, "mid", tile).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        start((i + 1) % 2, i + 1)
+
+    wait(i % 2, i)
+
+    @pl.when(i == 0)
+    def _():
+        xwin[i % 2, :, 0:hr, :] = jnp.zeros((2, hr, LANES), xwin.dtype)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        xwin[i % 2, :, tr + hr : wrows, :] = jnp.zeros((2, hr, LANES), xwin.dtype)
+
+    xwh = xwin[i % 2, 0]
+    xwl = xwin[i % 2, 1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
+
+    def shifted(buf, off):
+        t = hr * LANES + off
+        q, r = divmod(t, LANES)
+        if r == 0:
+            return buf[q : q + tr, :]
+        r0 = pltpu.roll(buf[q : q + tr, :], LANES - r, 1)
+        r1 = pltpu.roll(buf[q + 1 : q + tr + 1, :], LANES - r, 1)
+        return jnp.where(lane < LANES - r, r0, r1)
+
+    acc_h = jnp.zeros((tr, LANES), jnp.float32)
+    acc_l = jnp.zeros((tr, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        dh = dh_ref[:, k * LANES : (k + 1) * LANES]
+        dl = dl_ref[:, k * LANES : (k + 1) * LANES]
+        vh = shifted(xwh, off)
+        vl = shifted(xwl, off)
+        ph, plo = ds_mul_f32(dh, dl, vh, vl)
+        acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
+    yh_ref[:, :] = acc_h
+    yl_ref[:, :] = acc_l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tile_rows", "hr", "interpret")
+)
+def _spmv_dia_ds_2d(
+    data_hi, data_lo, xh2, xl2,
+    offsets: tuple[int, ...], tile_rows: int, hr: int,
+    interpret: bool = False,
+):
+    nrows, klanes = data_hi.shape
+    k = klanes // LANES
+    tr = tile_rows
+    n_tiles = nrows // tr
+    sub = 16 if tr % 16 == 0 else 8
+    kernel = functools.partial(
+        _dia_ds_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles,
+        sub=sub,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tr, klanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, klanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, tr + 2 * hr, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * k * nrows * LANES,
+            bytes_accessed=(2 * k + 4) * nrows * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(data_hi, data_lo, xh2, xl2)
+
+
+def dia_ds_pallas_supported(a: DiaDsMatrix) -> bool:
+    if a.nrows_pad % (8 * LANES) != 0:
+        return False
+    hr = _ds_halo_rows(a)
+    if hr > 512:
+        return False
+    return _ds_pick_tile(a) > 0
+
+
+def _ds_halo_rows(a: DiaDsMatrix) -> int:
+    view = DiaMatrix(data=a.data_hi, offsets=a.offsets, nrows=a.nrows,
+                     ncols=a.ncols)
+    return dia_halo_rows(view)
+
+
+def _ds_pick_tile(a: DiaDsMatrix) -> int:
+    # double the per-row cost vs the fp32 kernel (two planes, two windows)
+    return _pick_tile_rows(
+        a.nrows_pad // LANES, 2 * a.ndiags, _ds_halo_rows(a), 4, sym=False
+    )
+
+
+def spmv_dia_ds_pallas_2d(
+    a: DiaDsMatrix, xh2: jax.Array, xl2: jax.Array, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Double-single SpMV in lane layout: (hi, lo) x pair -> (hi, lo) y pair.
+    Rel. error ~1e-14 vs exact f64 (two_prod + two_sum accumulation)."""
+    tr = _ds_pick_tile(a)
+    if tr == 0:
+        raise ValueError("no valid tile; check dia_ds_pallas_supported first")
+    return _spmv_dia_ds_2d(
+        a.data_hi, a.data_lo, xh2, xl2, a.offsets, tr, _ds_halo_rows(a),
+        interpret=interpret,
+    )
+
+
+def spmv_dia_ds(a: DiaDsMatrix, x: np.ndarray | jax.Array,
+                interpret: bool = False) -> np.ndarray:
+    """Convenience: f64 vector in, f64 vector out (length nrows_pad).
+    Conversions happen host-side; for hot loops keep vectors as (hi, lo)
+    pairs and call spmv_dia_ds_pallas_2d directly."""
+    npad = a.nrows_pad
+    xv = np.zeros(npad, dtype=np.float64)
+    n = min(len(x), npad)
+    xv[:n] = np.asarray(x, dtype=np.float64)[:n]
+    hi, lo = ds_from_f64(xv)
+    yh, yl = spmv_dia_ds_pallas_2d(
+        a, jnp.asarray(hi.reshape(-1, LANES)), jnp.asarray(lo.reshape(-1, LANES)),
+        interpret=interpret,
+    )
+    return ds_to_f64(np.asarray(yh).reshape(-1), np.asarray(yl).reshape(-1))
