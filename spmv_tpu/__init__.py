@@ -67,6 +67,7 @@ from spmv_tpu.ops.spmv_dia_pallas import (
     spmv_dia_pallas_2d,
 )
 from spmv_tpu.solvers.cg import cg, CGResult
+from spmv_tpu.solvers.refine import RefineResult, cg_refined
 from spmv_tpu.io.petsc import (
     read_petsc_binary_matrix_host,
     read_petsc_binary_vector_host,
@@ -110,6 +111,8 @@ __all__ = [
     "dia_pallas_supported",
     "cg",
     "CGResult",
+    "cg_refined",
+    "RefineResult",
     "read_petsc_binary_matrix_host",
     "read_petsc_binary_vector_host",
     "write_petsc_binary_matrix",

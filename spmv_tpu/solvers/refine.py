@@ -1,0 +1,134 @@
+"""Mixed-precision iterative refinement: float64-class solves from fp32 CG.
+
+The reference solves in double everywhere (reference spmv/cg.cpp, double
+only). On TPU, f64 runs through software emulation (~1/6 of f32 streaming,
+BENCH_NOTES.md), so solving natively in f64 wastes the hardware. The
+standard mixed-precision answer (Wilkinson iterative refinement):
+
+    repeat:
+        r = b - A x          # in double-single (exact to ~2^-48):
+                             #   the DS Pallas kernel, fast
+        d ~= A^{-1} r        # inner CG in fp32 (the fast kernel), loose tol
+        x = x + d            # accumulated in double-single
+
+Each outer pass multiplies the error by ~inner_tol, so 3-4 passes reach
+~1e-14 TRUE residual — accuracy plain fp32 CG can never achieve (its floor
+is ~1e-7), at fp32 kernel speed. The outer loop runs on host (a handful of
+jit calls); all hot work is the fp32 CG and the DS SpMV.
+
+Single-device operators (DiaMatrix fp32 + DiaDsMatrix); the distributed
+version (DS halos) is round-3 backlog.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.ds import ds_add, ds_from_f64, ds_to_f64
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.formats.dia import DiaMatrix, csr_to_dia
+from spmv_tpu.ops.spmv_dia import spmv_dia
+from spmv_tpu.ops.spmv_dia_ds_pallas import (
+    DiaDsMatrix,
+    csr_to_dia_ds,
+    dia_ds_pallas_supported,
+    spmv_dia_ds_pallas_2d,
+)
+from spmv_tpu.ops.spmv_dia_pallas import dia_pallas_supported, spmv_dia_pallas_2d
+from spmv_tpu.solvers.cg import cg
+
+LANES = 128
+
+
+@dataclasses.dataclass
+class RefineResult:
+    x: np.ndarray            # f64 solution (length nrows)
+    outer_iterations: int
+    inner_iterations: int
+    rnorm: float             # final TRUE residual norm (double-single)
+    converged: bool
+    history: list            # per-outer-pass |r|
+
+
+def cg_refined(
+    a: CSRHost,
+    b: np.ndarray,
+    rtol: float = 1e-12,
+    max_outer: int = 6,
+    inner_rtol: float = 1e-6,
+    inner_kmax: int = 500,
+    interpret: bool = False,
+) -> RefineResult:
+    """Solve SPD ``a x = b`` to float64-class TRUE residual using fp32
+    compute. ``a`` must be banded (DIA-convertible); fp64 values honored via
+    double-single storage.
+    """
+    d32 = csr_to_dia(a, row_align=1024, dtype=np.float32)
+    dds = csr_to_dia_ds(a, row_align=1024)
+    if not interpret and jax.default_backend() == "tpu":
+        assert dia_pallas_supported(d32) and dia_ds_pallas_supported(dds)
+    npad = dds.nrows_pad
+    n = a.nrows
+
+    bh, bl = ds_from_f64(np.pad(np.asarray(b, np.float64), (0, npad - n)))
+    bh2 = jnp.asarray(bh.reshape(-1, LANES))
+    bl2 = jnp.asarray(bl.reshape(-1, LANES))
+    bnorm = float(np.linalg.norm(b))
+
+    on_tpu = jax.default_backend() == "tpu" and not interpret
+
+    @jax.jit
+    def residual_ds(dds_, bh2_, bl2_, xh2, xl2):
+        """r = b - A x in double-single (both SpMV legs + subtraction).
+        b passed as an argument (capture would embed it as a program
+        constant)."""
+        yh, yl = spmv_dia_ds_pallas_2d(dds_, xh2, xl2, interpret=not on_tpu)
+        rh, rl = ds_add(bh2_, bl2_, -yh, -yl)
+        return rh, rl
+
+    @jax.jit
+    def inner_solve(d32_, rh2, scale):
+        """fp32 CG on the scaled residual."""
+        rs = rh2 * scale
+
+        def mv(p2):
+            if on_tpu:
+                return spmv_dia_pallas_2d(d32_, p2)
+            return spmv_dia(d32_, p2.reshape(-1), method="xla").reshape(p2.shape)
+
+        res = cg(mv, rs, kmax=inner_kmax, rtol=inner_rtol)
+        return res.x, res.iterations
+
+    xh2 = jnp.zeros((npad // LANES, LANES), jnp.float32)
+    xl2 = jnp.zeros_like(xh2)
+    history = []
+    inner_total = 0
+    converged = False
+    for _ in range(max_outer):
+        rh2, rl2 = residual_ds(dds, bh2, bl2, xh2, xl2)
+        rnorm = float(jnp.linalg.norm(rh2.reshape(-1)[: n]))
+        history.append(rnorm)
+        if rnorm <= rtol * bnorm:
+            converged = True
+            break
+        # scale the residual to unit norm: keeps the fp32 inner solve away
+        # from under/overflow as r shrinks toward 1e-14 * |b|
+        scale = jnp.float32(1.0 / max(rnorm, 1e-300))
+        d2, it = inner_solve(d32, rh2, scale)
+        inner_total += int(it)
+        # x += d / scale, accumulated in double-single
+        dh = d2 * jnp.float32(1.0 / float(scale))
+        xh2, xl2 = ds_add(xh2, xl2, dh, jnp.zeros_like(dh))
+
+    x = ds_to_f64(np.asarray(xh2).reshape(-1), np.asarray(xl2).reshape(-1))[:n]
+    return RefineResult(
+        x=x,
+        outer_iterations=len(history) - (1 if converged else 0),
+        inner_iterations=inner_total,
+        rnorm=history[-1],
+        converged=converged,
+        history=history,
+    )
