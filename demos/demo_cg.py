@@ -41,6 +41,10 @@ def main() -> int:
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
+    ap.add_argument("--refine", action="store_true",
+                    help="mixed-precision iterative refinement: fp32 inner "
+                         "CG + double-single residuals -> f64-class TRUE "
+                         "residual (single-device, banded operators)")
     ap.add_argument("--reorder", choices=["rcm"], default=None,
                     help="bandwidth-reduction reordering before assembly "
                          "(solves the permuted SPD-equivalent system; the "
@@ -107,6 +111,22 @@ def main() -> int:
         b_host = b_host[order]
         timer.add("0.Reorder", time.perf_counter() - t0)
         print(f"RCM: bandwidth {b0} -> {bandwidth(a)}", file=sys.stderr)
+
+    if args.refine:
+        from spmv_tpu.solvers.refine import cg_refined
+
+        t0 = time.perf_counter()
+        res = cg_refined(a, b_host.astype(np.float64), rtol=args.rtol,
+                         inner_kmax=args.kmax,
+                         interpret=jax.default_backend() == "cpu")
+        timer.add("1.Solve", time.perf_counter() - t0)
+        r = a.matvec(res.x) - b_host.astype(np.float64)
+        print(timer.report())
+        print(f"Converged: {res.converged} in {res.outer_iterations} outer / "
+              f"{res.inner_iterations} inner iterations")
+        print(f"r.norm = {np.linalg.norm(r):.12e}  (TRUE f64 residual)")
+        print(f"x.norm = {np.linalg.norm(res.x):.12e}")
+        return 0
 
     n_dev = args.devices or len(jax.devices())
     A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,

@@ -171,6 +171,19 @@ def _(env):
     return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-5
 
 
+@check("double-single DIA kernel (f64-class)")
+def _(env):
+    st, jnp = env["st"], env["jnp"]
+    rng = np.random.default_rng(3)
+    a = st.create_laplace_2d(128, 128)  # f64
+    a.values[:] = a.values * (1 + 1e-9 * rng.standard_normal(a.nnz))
+    d = st.csr_to_dia_ds(a, row_align=1024)
+    x = rng.standard_normal(a.nrows) * 1e3
+    y = st.spmv_dia_ds(d, x)[: a.nrows]
+    want = a.matvec(x)
+    return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-12
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
