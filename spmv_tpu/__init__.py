@@ -67,7 +67,7 @@ from spmv_tpu.ops.spmv_dia_pallas import (
     spmv_dia_pallas_2d,
 )
 from spmv_tpu.solvers.cg import cg, CGResult
-from spmv_tpu.solvers.refine import RefineResult, cg_refined
+from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
 from spmv_tpu.io.petsc import (
     read_petsc_binary_matrix_host,
     read_petsc_binary_vector_host,
@@ -112,6 +112,7 @@ __all__ = [
     "cg",
     "CGResult",
     "cg_refined",
+    "cg_refined_dist",
     "RefineResult",
     "read_petsc_binary_matrix_host",
     "read_petsc_binary_vector_host",

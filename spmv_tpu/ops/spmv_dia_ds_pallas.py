@@ -299,6 +299,45 @@ def spmv_dia_ds_pallas_2d(
     )
 
 
+def spmv_dia_ds_xla(
+    a: DiaDsMatrix, xh2: jax.Array, xl2: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Pure-XLA double-single DIA apply in the 2-D lane layout — the
+    fallback when the Pallas tile floor (>= 16 lane rows per shard) cannot
+    be met (tiny shards) and the interpreter path on CPU. Same error-free
+    arithmetic, shifts as row-slices + lane rolls."""
+    r_rows = xh2.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 1)
+
+    def row_shift(v, q):
+        if q == 0:
+            return v
+        if q > 0:
+            return jnp.concatenate(
+                [v[q:], jnp.zeros((q, LANES), v.dtype)], axis=0)
+        return jnp.concatenate(
+            [jnp.zeros((-q, LANES), v.dtype), v[:q]], axis=0)
+
+    def shifted(v, off):
+        q, rr = divmod(off, LANES)
+        if rr == 0:
+            return row_shift(v, q)
+        a0 = row_shift(v, q)
+        a1 = row_shift(v, q + 1)
+        r0 = jnp.roll(a0, LANES - rr, axis=1)
+        r1 = jnp.roll(a1, LANES - rr, axis=1)
+        return jnp.where(lane < LANES - rr, r0, r1)
+
+    acc_h = jnp.zeros((r_rows, LANES), jnp.float32)
+    acc_l = jnp.zeros((r_rows, LANES), jnp.float32)
+    for k, off in enumerate(a.offsets):
+        dh = a.data_hi[:, k * LANES : (k + 1) * LANES]
+        dl = a.data_lo[:, k * LANES : (k + 1) * LANES]
+        ph, plo = ds_mul_f32(dh, dl, shifted(xh2, off), shifted(xl2, off))
+        acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
+    return acc_h, acc_l
+
+
 def spmv_dia_ds(a: DiaDsMatrix, x: np.ndarray | jax.Array,
                 interpret: bool = False) -> np.ndarray:
     """Convenience: f64 vector in, f64 vector out (length nrows_pad).

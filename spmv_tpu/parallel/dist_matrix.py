@@ -132,6 +132,10 @@ class DistMatrix:
     # remote/ghost entries stay ELL. Square matrices only.
     local_format: str = "ell"
     local_dia_data: jax.Array | None = None  # (D, R/128, Kd*128) interleaved
+    # double-single lo planes (local_format == "dia_ds"): local_dia_data is
+    # the hi plane; remote values split likewise for the DS remote term
+    local_dia_data_lo: jax.Array | None = None
+    remote_values_lo: jax.Array | None = None
     dia_offsets: tuple[int, ...] = ()
     # general-sparsity fast path: when local_format == "well", the local
     # block is stored as windowed gather-ELL (spmv_tpu.formats.well) and
@@ -240,6 +244,10 @@ class DistMatrix:
         spec = P(self.axis_name, None)
         mspec = P(self.axis_name, None, None)
 
+        if self.local_format == "dia_ds":
+            raise ValueError("double-single matrices apply via matvec_ds "
+                             "(pair vectors); build a separate fp32 operator "
+                             "for plain matvec / inner CG")
         has_diag = self.diagonal is not None
         has_dia = self.local_format == "dia"
         has_well = self.local_format == "well"
@@ -299,6 +307,71 @@ class DistMatrix:
             return jnp.where(d2 != 0, r / jnp.where(d2 != 0, d2, 1), r)
 
         return apply
+
+    def matvec_ds(self, xh: jax.Array, xl: jax.Array):
+        """Double-single distributed SpMV (local_format='dia_ds'):
+        (xh, xl) f32 pairs in the col-side lane layout -> (yh, yl) pairs.
+        Both legs ride the same halo plan (two ppermute sets); the local
+        block runs the DS Pallas kernel, the remote term error-free f32
+        arithmetic (spmv_tpu.ds) on gathered ghosts. Gives distributed
+        float64-class SpMV without any XLA-f64 emulation."""
+        if self.local_format != "dia_ds":
+            raise ValueError("matvec_ds requires local_format='dia_ds'")
+        from spmv_tpu.ds import ds_add, ds_mul_f32
+        from spmv_tpu.ops.spmv_dia_ds_pallas import (
+            DiaDsMatrix,
+            dia_ds_pallas_supported,
+            spmv_dia_ds_pallas_2d,
+            spmv_dia_ds_xla,
+        )
+
+        spec = P(self.axis_name, None)
+        mspec = P(self.axis_name, None, None)
+        tables = _plan_tables(self.plan)
+        nt = len(tables)
+        plan = self.plan
+        rp = self.row_pad
+        on_tpu = self.on_tpu
+
+        def per_shard(xh2, xl2, rci, rvh, rvl, dh, dl, *rest):
+            tabs = tuple(r[0] for r in rest)
+            rci_, rvh_, rvl_ = rci[0], rvh[0], rvl[0]
+            dm = DiaDsMatrix(
+                data_hi=dh[0], data_lo=dl[0], offsets=self.dia_offsets,
+                nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
+            )
+            have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
+            if have_ghosts:
+                gh = _plan_gather(plan, xh2.reshape(-1), tabs, self.comm_axes)
+                gl = _plan_gather(plan, xl2.reshape(-1), tabs, self.comm_axes)
+            if on_tpu and dia_ds_pallas_supported(dm):
+                yh, yl = spmv_dia_ds_pallas_2d(dm, xh2, xl2)
+            else:
+                # tiny shards (< kernel tile floor) and CPU: XLA DS apply
+                yh, yl = spmv_dia_ds_xla(dm, xh2, xl2)
+            if have_ghosts:
+                # remote term in error-free f32 arithmetic, slot by slot
+                ghg = jnp.take(gh, rci_, axis=0)   # (R, Kr)
+                glg = jnp.take(gl, rci_, axis=0)
+                acc_h = jnp.zeros((rp,), jnp.float32)
+                acc_l = jnp.zeros((rp,), jnp.float32)
+                for kk in range(rci_.shape[1]):
+                    ph, plo = ds_mul_f32(rvh_[:, kk], rvl_[:, kk],
+                                         ghg[:, kk], glg[:, kk])
+                    acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
+                yh, yl = ds_add(yh, yl, acc_h.reshape(yh.shape),
+                                acc_l.reshape(yh.shape))
+            return yh, yl
+
+        return jax.shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(spec, spec, mspec, mspec, mspec,
+                      P(self.axis_name, None, None),
+                      P(self.axis_name, None, None)) + (mspec,) * nt,
+            out_specs=(spec, spec), check_vma=False,
+        )(xh, xl, self.remote_colind, self.remote_values,
+          self.remote_values_lo, self.local_dia_data,
+          self.local_dia_data_lo, *tables)
 
     def matvec_transpose(self, x: jax.Array) -> jax.Array:
         """y = A^T @ x: x in the row-side lane layout, y in the col-side
@@ -421,6 +494,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "local_colind", "local_values", "remote_colind", "remote_values",
         "diagonal", "jacobi_diag", "plan", "local_dia_data",
+        "local_dia_data_lo", "remote_values_lo",
         "local_well_values", "local_well_pos", "local_well_w0",
     ],
     meta_fields=[
@@ -605,8 +679,10 @@ def _assemble(
     r = row_pad
 
     dia_data = None
+    dia_data_lo = None
+    remote_lo = None
     dia_offsets: tuple[int, ...] = ()
-    if local_format == "dia":
+    if local_format in ("dia", "dia_ds"):
         # union of diagonal offsets across shards; per-shard data stacked to
         # (D, Kd, R) with absent diagonals all-zero
         per_shard = []
@@ -634,7 +710,9 @@ def _assemble(
                 "local_format='dia' is for banded/stencil operators"
             )
         kd = max(len(union), 1)
-        dd = np.zeros((nd, kd, r), dtype=dtype or shards[0].local.dtype)
+        dd_dtype = np.float64 if local_format == "dia_ds" else (
+            dtype or shards[0].local.dtype)
+        dd = np.zeros((nd, kd, r), dtype=dd_dtype)
         for s, (rows, offs, vals) in enumerate(per_shard):
             if len(rows) == 0:
                 continue
@@ -644,17 +722,27 @@ def _assemble(
                 flat, weights=vals, minlength=kd * r
             ).reshape(kd, r).astype(dd.dtype)
         # row-interleaved device layout (see DiaMatrix.data)
-        dia_data = (dd.reshape(nd, kd, r // 128, 128)
+        def interleave(arr):
+            return (arr.reshape(nd, kd, r // 128, 128)
                     .transpose(0, 2, 1, 3)
                     .reshape(nd, r // 128, kd * 128))
+
+        if local_format == "dia_ds":
+            from spmv_tpu.ds import ds_from_f64
+
+            hi, lo = ds_from_f64(dd)
+            dia_data, dia_data_lo = interleave(hi), interleave(lo)
+        else:
+            dia_data = interleave(dd)
         dia_offsets = tuple(int(o) for o in union)
 
     kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)
     kr = max(max((int(s.remote.row_nnz().max()) if s.remote.nnz else 0) for s in shards), 1)
-    if local_format == "dia":
+    if local_format in ("dia", "dia_ds"):
         kl = 1  # local ELL arrays unused; keep placeholders tiny
         lci = np.zeros((nd, r, 1), dtype=np.int32)
-        lv = np.zeros((nd, r, 1), dtype=dtype or shards[0].local.dtype)
+        lv = np.zeros((nd, r, 1), dtype=np.float32 if local_format == "dia_ds"
+                      else (dtype or shards[0].local.dtype))
     elif local_format == "well":
         # the local ELL arrays carry the far remainder of the window split
         kl = max(max((int(b.row_nnz().max()) if b.nnz else 0)
@@ -662,7 +750,14 @@ def _assemble(
         lci, lv = _stack_ell(far_blocks, r, kl, dtype=dtype)
     else:
         lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
-    rci, rv = _stack_ell([s.remote for s in shards], r, kr, dtype=dtype)
+    if local_format == "dia_ds":
+        from spmv_tpu.ds import ds_from_f64
+
+        rci, rv64 = _stack_ell([s.remote for s in shards], r, kr,
+                               dtype=np.float64)
+        rv, remote_lo = ds_from_f64(rv64)
+    else:
+        rci, rv = _stack_ell([s.remote for s in shards], r, kr, dtype=dtype)
 
     diag = None
     if symmetric:
@@ -725,6 +820,9 @@ def _assemble(
         axis_name=axis_names,
         local_format=local_format,
         local_dia_data=None if dia_data is None else put(dia_data, mspec),
+        local_dia_data_lo=(None if dia_data_lo is None
+                           else put(dia_data_lo, mspec)),
+        remote_values_lo=None if remote_lo is None else put(remote_lo, mspec),
         dia_offsets=dia_offsets,
         local_well_values=(None if well_stack is None
                            else put(well_stack[0], P(axis_names, None, None, None))),
@@ -778,7 +876,7 @@ def _resolve_mesh(mesh, n_devices, axis_name):
 def _dia_row_align(local_format: str, row_align: int, max_rows_per_shard: int) -> int:
     # distributed vectors live in the (rows, 128) lane layout
     row_align = max(row_align, 128)
-    if local_format == "dia":
+    if local_format in ("dia", "dia_ds"):
         # Pallas DIA kernel wants 128-lane rows and >= 8*128 elements; very
         # large shards additionally align to a 1024-lane-row multiple so the
         # kernel's tile picker always finds a divisor (see csr_to_dia)
@@ -808,12 +906,15 @@ def build_dist_matrix(
     already distributed (per-shard triplets, possibly with rows owned by
     other shards), use ``build_dist_matrix_from_shards``.
     """
-    if local_format not in ("ell", "dia", "well", "auto"):
+    if local_format not in ("ell", "dia", "dia_ds", "well", "auto"):
         raise ValueError(f"unknown local_format {local_format!r}")
     if local_format == "auto":
         local_format = select_local_format(a, symmetric=symmetric)
-    if local_format == "dia" and a.nrows != a.ncols:
-        raise ValueError("local_format='dia' requires a square matrix")
+    if local_format in ("dia", "dia_ds") and a.nrows != a.ncols:
+        raise ValueError(f"local_format={local_format!r} requires a square matrix")
+    if local_format == "dia_ds" and symmetric:
+        raise ValueError("local_format='dia_ds' stores the full matrix "
+                         "(no symmetric lower-triangle variant yet)")
     mesh = _resolve_mesh(mesh, n_devices, axis_name)
     nd = int(np.prod(list(mesh.shape.values())))
     row_align = _dia_row_align(local_format, row_align, -(-a.nrows // nd))
@@ -852,7 +953,7 @@ def build_dist_matrix_from_shards(
     owner assembles only its own row slice, so host memory stays bounded by
     the largest slice.
     """
-    if local_format not in ("ell", "dia", "well"):
+    if local_format not in ("ell", "dia", "dia_ds", "well"):
         raise ValueError(f"unknown local_format {local_format!r}")
     ncols_global = nrows_global if ncols_global is None else ncols_global
     if local_format == "dia" and nrows_global != ncols_global:

@@ -132,3 +132,73 @@ def cg_refined(
         converged=converged,
         history=history,
     )
+
+
+def cg_refined_dist(
+    a: CSRHost,
+    b: np.ndarray,
+    mesh=None,
+    n_devices: int | None = None,
+    rtol: float = 1e-12,
+    max_outer: int = 8,
+    inner_rtol: float = 1e-6,
+    inner_kmax: int = 500,
+    jacobi: bool = False,
+) -> RefineResult:
+    """DISTRIBUTED mixed-precision refinement: fp32 inner CG on a sharded
+    DistMatrix + double-single residuals through the sharded DS matvec
+    (matvec_ds: DS halo exchange + DS kernels). Solves banded SPD systems
+    to float64-class TRUE residual across a device mesh with zero XLA-f64
+    emulation anywhere."""
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a32 = build_dist_matrix(a, mesh=mesh, n_devices=n_devices,
+                            dtype=np.float32, local_format="dia")
+    ads = build_dist_matrix(a, mesh=a32.mesh, local_format="dia_ds")
+    n = a.nrows
+    bh, bl = ds_from_f64(np.asarray(b, np.float64))
+    bh_d = a32.to_dist(bh.astype(np.float32))
+    bl_d = a32.to_dist(bl.astype(np.float32))
+    bnorm = float(np.linalg.norm(b))
+
+    @jax.jit
+    def residual(ads_, bh_, bl_, xh, xl):
+        yh, yl = ads_.matvec_ds(xh, xl)
+        rh, rl = ds_add(bh_, bl_, -yh, -yl)
+        return rh, rl, jnp.linalg.norm(rh)
+
+    @jax.jit
+    def inner_solve(a32_, rh, scale):
+        res = cg(a32_.as_linear_operator(), rh * scale,
+                 kmax=inner_kmax, rtol=inner_rtol,
+                 preconditioner=(a32_.jacobi_preconditioner()
+                                 if jacobi else None))
+        return res.x, res.iterations
+
+    xh = jnp.zeros_like(bh_d)
+    xl = jnp.zeros_like(bh_d)
+    history = []
+    inner_total = 0
+    converged = False
+    for _ in range(max_outer):
+        rh, rl, rnorm_dev = residual(ads, bh_d, bl_d, xh, xl)
+        rnorm = float(rnorm_dev)
+        history.append(rnorm)
+        if rnorm <= rtol * bnorm:
+            converged = True
+            break
+        scale = jnp.float32(1.0 / max(rnorm, 1e-300))
+        d, it = inner_solve(a32, rh, scale)
+        inner_total += int(it)
+        dh = d * jnp.float32(rnorm)
+        xh, xl = ds_add(xh, xl, dh, jnp.zeros_like(dh))
+
+    x = ds_to_f64(a32.from_dist(xh), a32.from_dist(xl))[:n]
+    return RefineResult(
+        x=x,
+        outer_iterations=len(history) - (1 if converged else 0),
+        inner_iterations=inner_total,
+        rnorm=history[-1],
+        converged=converged,
+        history=history,
+    )

@@ -48,3 +48,47 @@ def test_refinement_beats_pure_fp32_floor():
     rel_ref = np.linalg.norm(a.matvec(ref.x) - b) / np.linalg.norm(b)
     assert rel32 > 1e-9          # the fp32 floor is real
     assert rel_ref < rel32 / 100  # refinement breaks through it
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_distributed_ds_matvec(n_dev):
+    """Sharded double-single SpMV (DS halo + DS kernel/XLA fallback) matches
+    the f64 oracle to f64-class accuracy."""
+    import jax
+    from spmv_tpu.ds import ds_from_f64, ds_to_f64
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_2d(48, 48)
+    rng = np.random.default_rng(0)
+    a.values[:] = a.values * (1 + 1e-9 * rng.standard_normal(a.nnz))
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="dia_ds")
+    x = rng.standard_normal(a.nrows) * 1e3
+    xh, xl = ds_from_f64(x)
+    yh, yl = jax.jit(lambda A_, h, l: A_.matvec_ds(h, l))(
+        A, A.to_dist(xh.astype(np.float32)), A.to_dist(xl.astype(np.float32))
+    )
+    got = ds_to_f64(A.from_dist(yh), A.from_dist(yl))
+    want = a.matvec(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_refinement(n_dev):
+    from spmv_tpu.solvers.refine import cg_refined_dist
+
+    a = create_laplace_2d(48, 48)
+    b = gaussian_bump(a.nrows)
+    res = cg_refined_dist(a, b, n_devices=n_dev, rtol=1e-12, inner_kmax=2000)
+    assert res.converged
+    rel = np.linalg.norm(a.matvec(res.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-11, rel
+
+
+def test_dia_ds_rejects_plain_matvec():
+    import jax
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_2d(48, 48)
+    A = build_dist_matrix(a, n_devices=2, local_format="dia_ds")
+    with pytest.raises(ValueError, match="matvec_ds"):
+        A.matvec(A.to_dist(gaussian_bump(a.nrows).astype(np.float32)))
