@@ -13,8 +13,10 @@ standard mixed-precision answer (Wilkinson iterative refinement):
 
 Each outer pass multiplies the error by ~inner_tol, so 3-4 passes reach
 ~1e-14 TRUE residual — accuracy plain fp32 CG can never achieve (its floor
-is ~1e-7), at fp32 kernel speed. The outer loop runs on host (a handful of
-jit calls); all hot work is the fp32 CG and the DS SpMV.
+is kappa * eps_f32), at fp32 kernel speed. The attainable floor is
+~ kappa * 2^-48 relative (double-single residual precision); the loop stops
+early when it stalls there. The outer loop runs on host (a handful of jit
+calls); all hot work is the fp32 CG and the DS SpMV.
 
 Single-device operators (DiaMatrix fp32 + DiaDsMatrix); the distributed
 version (DS halos) is round-3 backlog.
@@ -114,6 +116,11 @@ def cg_refined(
         if rnorm <= rtol * bnorm:
             converged = True
             break
+        if len(history) > 1 and rnorm > 0.5 * history[-2]:
+            # stalled at the attainable floor (~ kappa * 2^-48 relative):
+            # further passes cannot improve; stop instead of burning inner
+            # iterations
+            break
         # scale the residual to unit norm: keeps the fp32 inner solve away
         # from under/overflow as r shrinks toward 1e-14 * |b|
         scale = jnp.float32(1.0 / max(rnorm, 1e-300))
@@ -186,6 +193,9 @@ def cg_refined_dist(
         history.append(rnorm)
         if rnorm <= rtol * bnorm:
             converged = True
+            break
+        if len(history) > 1 and rnorm > 0.5 * history[-2]:
+            # stalled at the attainable floor (~ kappa * 2^-48 relative)
             break
         scale = jnp.float32(1.0 / max(rnorm, 1e-300))
         d, it = inner_solve(a32, rh, scale)
