@@ -113,12 +113,17 @@ def main() -> int:
         print(f"RCM: bandwidth {b0} -> {bandwidth(a)}", file=sys.stderr)
 
     if args.refine:
-        from spmv_tpu.solvers.refine import cg_refined
+        from spmv_tpu.solvers.refine import cg_refined, cg_refined_dist
 
         t0 = time.perf_counter()
-        res = cg_refined(a, b_host.astype(np.float64), rtol=args.rtol,
-                         inner_kmax=args.kmax,
-                         interpret=jax.default_backend() == "cpu")
+        if args.devices and args.devices > 1:
+            res = cg_refined_dist(a, b_host.astype(np.float64),
+                                  n_devices=args.devices, rtol=args.rtol,
+                                  inner_kmax=args.kmax, jacobi=args.jacobi)
+        else:
+            res = cg_refined(a, b_host.astype(np.float64), rtol=args.rtol,
+                             inner_kmax=args.kmax,
+                             interpret=jax.default_backend() == "cpu")
         timer.add("1.Solve", time.perf_counter() - t0)
         r = a.matvec(res.x) - b_host.astype(np.float64)
         print(timer.report())

@@ -92,3 +92,24 @@ def test_dia_ds_rejects_plain_matvec():
     A = build_dist_matrix(a, n_devices=2, local_format="dia_ds")
     with pytest.raises(ValueError, match="matvec_ds"):
         A.matvec(A.to_dist(gaussian_bump(a.nrows).astype(np.float32)))
+
+
+def test_distributed_ds_matvec_two_tier():
+    """DS halo exchange rides the two-tier (dcn, ici) plan unchanged."""
+    import jax
+    from jax.sharding import Mesh
+    from spmv_tpu.ds import ds_from_f64, ds_to_f64
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_2d(48, 48)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    A = build_dist_matrix(a, mesh=Mesh(devs, ("dcn", "ici")),
+                          local_format="dia_ds")
+    x = np.random.default_rng(1).standard_normal(a.nrows)
+    xh, xl = ds_from_f64(x)
+    yh, yl = jax.jit(lambda A_, h, l: A_.matvec_ds(h, l))(
+        A, A.to_dist(xh.astype(np.float32)), A.to_dist(xl.astype(np.float32))
+    )
+    got = ds_to_f64(A.from_dist(yh), A.from_dist(yl))
+    want = a.matvec(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
