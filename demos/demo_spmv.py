@@ -37,6 +37,9 @@ def main() -> int:
     src.add_argument("--mtx", help="Matrix Market file (.mtx / .mtx.gz)")
     ap.add_argument("--iters", type=int, default=100, help="SpMV applications (reference: 100)")
     ap.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
+    ap.add_argument("--slices", type=int, default=1,
+                    help="2-D (dcn, ici) mesh: --devices D split into "
+                         "--slices slow-axis groups (two-tier halo plans)")
     ap.add_argument("--format", choices=["ell", "dia", "well", "auto"],
                     default=None,
                     help="local-block format (default: ell; 'auto' selects)")
@@ -82,7 +85,14 @@ def main() -> int:
     else:
         a = create_laplace_1d(args.lap1d)
     n_dev = args.devices or len(jax.devices())
-    A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,
+    mesh = None
+    if args.slices > 1:
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[:n_dev]).reshape(args.slices, -1)
+        mesh = Mesh(devs, ("dcn", "ici"))
+    A = build_dist_matrix(a, mesh=mesh, n_devices=n_dev,
+                          symmetric=args.symmetric, dtype=dtype,
                           local_format=args.format or ("dia" if args.dia else "ell"))
     timer.add("0.MatCreate", time.perf_counter() - t0)
 
