@@ -1,0 +1,95 @@
+"""Cross-format consistency fuzz: every local format must produce the same
+answer on the same random matrix across mesh shapes and dtypes.
+
+One sweep replaces many hand-written cases: random banded matrices (holes,
+asymmetric values, uneven diagonals) are built once per seed; every
+(format, mesh) combination must match the host oracle AND each other.
+"""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+
+def _random_banded(n, offsets, seed, density=0.8):
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for off in offsets:
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < density
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    return CSRHost.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), n, n
+    )
+
+
+MESHES = [("1d", 1), ("1d", 3), ("1d", 8), ("2d", (2, 4))]
+
+
+def _mesh(kind, shape):
+    if kind == "1d":
+        return Mesh(np.array(jax.devices()[:shape]), ("shards",))
+    devs = np.array(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devs, ("dcn", "ici"))
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+@pytest.mark.parametrize("mesh_kind,mesh_shape", MESHES)
+def test_formats_agree_across_meshes(seed, mesh_kind, mesh_shape):
+    a = _random_banded(400, (-37, -5, -1, 0, 2, 19), seed)
+    x = np.random.default_rng(seed + 1).standard_normal(a.nrows)
+    want = a.matvec(x)
+    mesh = _mesh(mesh_kind, mesh_shape)
+    results = {}
+    for fmt in ("ell", "dia", "well"):
+        A = build_dist_matrix(a, mesh=mesh, local_format=fmt)
+        got = A.from_dist(
+            jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x))
+        )
+        err = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert err < 1e-12, (fmt, mesh_kind, mesh_shape, err)
+        results[fmt] = got
+    # formats agree with each other to the same bar
+    np.testing.assert_allclose(results["ell"], results["dia"], rtol=1e-12)
+    np.testing.assert_allclose(results["ell"], results["well"], rtol=1e-12)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_dtype_sweep(dtype):
+    a = _random_banded(300, (-9, -1, 0, 3), 21)
+    x = np.random.default_rng(22).standard_normal(a.nrows)
+    tol = 2e-6 if dtype == np.float32 else 1e-12
+    for fmt in ("ell", "dia", "well"):
+        A = build_dist_matrix(a, n_devices=4, local_format=fmt, dtype=dtype)
+        got = A.from_dist(
+            jax.jit(lambda A_, x_: A_.matvec(x_))(
+                A, A.to_dist(x.astype(dtype))
+            )
+        ).astype(np.float64)
+        err = np.linalg.norm(got - a.matvec(x)) / np.linalg.norm(a.matvec(x))
+        assert err < tol, (fmt, dtype, err)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_transpose_consistency_fuzz(seed):
+    """<A^T y, x> == <y, A x> for random matrices across formats."""
+    a = _random_banded(260, (-13, -4, 0, 1, 7), seed, density=0.75)
+    rng = np.random.default_rng(seed + 100)
+    x = rng.standard_normal(a.nrows)
+    y = rng.standard_normal(a.nrows)
+    for fmt in ("ell", "dia"):
+        A = build_dist_matrix(a, n_devices=4, local_format=fmt)
+        ax = A.from_dist(jax.jit(lambda A_, v: A_.matvec(v))(A, A.to_dist(x)))
+        aty = A.from_dist(
+            jax.jit(lambda A_, v: A_.matvec_transpose(v))(
+                A, A.to_dist(y, side="row")
+            ),
+            side="col",
+        )
+        np.testing.assert_allclose(np.dot(aty, x), np.dot(y, ax), rtol=1e-11)
