@@ -48,7 +48,11 @@ from spmv_tpu.ops.spmv_dia_ds_pallas import (
     spmv_dia_ds_pallas_2d,
 )
 from spmv_tpu.ops.spmv_well_pallas import (
+    WellDsMatrix,
+    csr_to_well_ds,
     spmv_well,
+    spmv_well_ds,
+    spmv_well_ds_pallas_2d,
     spmv_well_pallas,
     spmv_well_pallas_2d,
     well_to_2d,
@@ -142,6 +146,10 @@ __all__ = [
     "ds_from_f64",
     "ds_to_f64",
     "spmv_well",
+    "WellDsMatrix",
+    "csr_to_well_ds",
+    "spmv_well_ds",
+    "spmv_well_ds_pallas_2d",
     "spmv_well_pallas",
     "spmv_well_pallas_2d",
     "well_to_2d",

@@ -239,16 +239,9 @@ def _pack(a: CSRHost, tile_groups: int, dry_run: bool = False):
     )
 
 
-def csr_to_well(
-    a: CSRHost,
-    tile_groups: int = 16,
-    max_k: int = 64,
-    dtype=None,
-) -> WellMatrix:
-    """Convert host CSR to WELL. ``tile_groups`` (groups per kernel tile) is
-    fixed here because ``pos`` is window-relative. Raises when a group needs
-    more than ``max_k`` slots (one pathologically dense/scattered row group
-    would inflate every group's storage)."""
+def _build_arrays(a: CSRHost, tile_groups: int, max_k: int, dtype):
+    """Shared WELL array builder (host numpy): returns
+    (values, pos, w0, wseg, nseg_x)."""
     gpad, k, wseg, w0, nseg_x, scatter = _pack(a, tile_groups)
     if k > max_k:
         raise ValueError(
@@ -277,11 +270,24 @@ def csr_to_well(
     if len(g_s):
         values[slot, g_s, lo_s] = vals_s
         pos[slot, g_s, lo_s] = (seg_rel * LANES + li_s).astype(pos_dtype)
+    return values, pos, w0.astype(np.int32), wseg, nseg_x
 
+
+def csr_to_well(
+    a: CSRHost,
+    tile_groups: int = 16,
+    max_k: int = 64,
+    dtype=None,
+) -> WellMatrix:
+    """Convert host CSR to WELL. ``tile_groups`` (groups per kernel tile) is
+    fixed here because ``pos`` is window-relative. Raises when a group needs
+    more than ``max_k`` slots (one pathologically dense/scattered row group
+    would inflate every group's storage)."""
+    values, pos, w0, wseg, nseg_x = _build_arrays(a, tile_groups, max_k, dtype)
     return WellMatrix(
         values=jnp.asarray(values),
         pos=jnp.asarray(pos),
-        w0=jnp.asarray(w0.astype(np.int32)),
+        w0=jnp.asarray(w0),
         nrows=a.nrows,
         ncols=a.ncols,
         wseg=wseg,

@@ -224,3 +224,225 @@ def spmv_well(
     if yp.shape[0] != n:
         yp = jnp.zeros((n,), y.dtype).at[: min(y.shape[0], n)].set(y[:n])
     return alpha * ax + beta * yp
+
+
+# ---------------------------------------------------------------------------
+# Double-single (float64-class) WELL — fast f64-class GENERAL sparsity.
+# Same windowed-gather structure; both value planes and both x windows are
+# f32, combined with error-free transformations (spmv_tpu.ds). Gathers are
+# exact by construction (one-hot rows, bf16-split windows), so accuracy is
+# set by the ds arithmetic (~2^-48 relative).
+# ---------------------------------------------------------------------------
+import dataclasses
+
+import numpy as np
+
+from spmv_tpu.ds import ds_add, ds_from_f64, ds_mul_f32
+
+
+@dataclasses.dataclass
+class WellDsMatrix:
+    """WELL matrix in double-single storage (hi/lo f32 value planes)."""
+
+    values_hi: jax.Array  # (K, G, 128)
+    values_lo: jax.Array
+    pos: jax.Array        # (K, G, 128) int (shared by both planes)
+    w0: jax.Array
+    nrows: int
+    ncols: int
+    wseg: int
+    tile_groups: int
+    nseg: int = 0
+    _nnz: int = 0
+
+    @property
+    def ngroups(self) -> int:
+        return self.values_hi.shape[1]
+
+    @property
+    def k_slots(self) -> int:
+        return self.values_hi.shape[0]
+
+    @property
+    def nrows_pad(self) -> int:
+        return self.ngroups * LANES
+
+    @property
+    def ncols_pad(self) -> int:
+        return self.nseg * LANES
+
+    @property
+    def n_tiles(self) -> int:
+        return self.ngroups // self.tile_groups
+
+
+jax.tree_util.register_dataclass(
+    WellDsMatrix,
+    data_fields=["values_hi", "values_lo", "pos", "w0"],
+    meta_fields=["nrows", "ncols", "wseg", "tile_groups", "nseg", "_nnz"],
+)
+
+
+def csr_to_well_ds(a, tile_groups: int = 16, max_k: int = 64) -> WellDsMatrix:
+    """f64 host CSR -> double-single WELL (one packing, two value planes;
+    the split stays in numpy until upload — see csr_to_dia_ds)."""
+    from spmv_tpu.formats.well import _build_arrays
+
+    v64, pos, w0, wseg, nseg_x = _build_arrays(
+        a, tile_groups, max_k, np.float64
+    )
+    hi, lo = ds_from_f64(v64)
+    return WellDsMatrix(
+        values_hi=jnp.asarray(hi),
+        values_lo=jnp.asarray(lo),
+        pos=jnp.asarray(pos),
+        w0=jnp.asarray(w0),
+        nrows=a.nrows,
+        ncols=a.ncols,
+        wseg=wseg,
+        tile_groups=tile_groups,
+        nseg=nseg_x,
+        _nnz=a.nnz,
+    )
+
+
+def _well_ds_kernel(
+    w0_ref, xh_hbm, xl_hbm, vh_ref, vl_ref, p_ref, yh_ref, yl_ref,
+    xwin, xsem,
+    *,
+    wseg: int, tg: int, k: int, n_tiles: int,
+):
+    i = pl.program_id(0)
+    hbm = (xh_hbm, xl_hbm)
+
+    def dma(slot, leg, tile):
+        return pltpu.make_async_copy(
+            hbm[leg].at[pl.ds(pl.multiple_of(w0_ref[tile], 8), wseg), :],
+            xwin.at[slot, leg],
+            xsem.at[slot, leg],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for leg in range(2):
+            dma(0, leg, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        for leg in range(2):
+            dma((i + 1) % 2, leg, i + 1).start()
+
+    for leg in range(2):
+        dma(i % 2, leg, i).wait()
+
+    b = k * tg
+    pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
+    seg = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
+    lane = jax.lax.bitwise_and(pos, jnp.int32(LANES - 1))
+    onehot = (
+        seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
+    ).astype(jnp.bfloat16)
+
+    def gather(xw):
+        # exact fused gather: 3-term bf16 split in one matmul (see the f32
+        # kernel for the rationale)
+        x_hi = xw.astype(jnp.bfloat16)
+        r1 = xw - x_hi.astype(jnp.float32)
+        x_mid = r1.astype(jnp.bfloat16)
+        x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        x3 = jnp.concatenate([x_hi, x_mid, x_lo], axis=1)
+        rows3 = jnp.dot(onehot, x3, preferred_element_type=jnp.float32)
+        rows = (rows3[:, :LANES] + rows3[:, LANES:2 * LANES]
+                + rows3[:, 2 * LANES:])
+        return jnp.take_along_axis(rows, lane, axis=1)
+
+    gh = gather(xwin[i % 2, 0])
+    gl = gather(xwin[i % 2, 1])
+    vh = vh_ref[...].reshape(b, LANES)
+    vl = vl_ref[...].reshape(b, LANES)
+    ph, plo = ds_mul_f32(vh, vl, gh, gl)
+
+    acc_h = jnp.zeros((tg, LANES), jnp.float32)
+    acc_l = jnp.zeros((tg, LANES), jnp.float32)
+    for kk in range(k):
+        acc_h, acc_l = ds_add(
+            acc_h, acc_l,
+            ph[kk * tg:(kk + 1) * tg, :], plo[kk * tg:(kk + 1) * tg, :],
+        )
+    yh_ref[:, :] = acc_h
+    yl_ref[:, :] = acc_l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wseg", "tg", "k", "n_tiles", "interpret")
+)
+def _spmv_well_ds_2d(
+    vh, vl, pos, w0, xh2, xl2,
+    wseg: int, tg: int, k: int, n_tiles: int,
+    interpret: bool = False,
+):
+    g = vh.shape[1]
+    kernel = functools.partial(
+        _well_ds_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles
+    )
+    bspec = pl.BlockSpec((k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x hi
+            pl.BlockSpec(memory_space=pl.ANY),  # x lo
+            bspec, bspec,                       # values hi/lo
+            pl.BlockSpec((k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+                         memory_space=pltpu.VMEM),  # pos
+        ],
+        out_specs=(
+            pl.BlockSpec((tg, LANES), lambda i, w0_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, LANES), lambda i, w0_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, wseg, LANES), xh2.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((g, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(w0, xh2, xl2, vh, vl, pos)
+
+
+def spmv_well_ds_pallas_2d(
+    a: WellDsMatrix, xh2: jax.Array, xl2: jax.Array, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Double-single general-sparsity SpMV: (hi, lo) pairs in lane layout."""
+    return _spmv_well_ds_2d(
+        a.values_hi, a.values_lo, a.pos, a.w0, xh2, xl2,
+        wseg=a.wseg, tg=a.tile_groups, k=a.k_slots, n_tiles=a.n_tiles,
+        interpret=interpret,
+    )
+
+
+def spmv_well_ds(a: WellDsMatrix, x, interpret: bool = False) -> np.ndarray:
+    """Convenience: f64 vector in, f64 out (length nrows_pad)."""
+    from spmv_tpu.ds import ds_to_f64
+
+    xv = np.zeros(a.ncols_pad, dtype=np.float64)
+    n = min(len(x), a.ncols_pad)
+    xv[:n] = np.asarray(x, np.float64)[:n]
+    hi, lo = ds_from_f64(xv)
+    yh, yl = spmv_well_ds_pallas_2d(
+        a, jnp.asarray(hi.reshape(-1, LANES)), jnp.asarray(lo.reshape(-1, LANES)),
+        interpret=interpret,
+    )
+    return ds_to_f64(np.asarray(yh).reshape(-1), np.asarray(yl).reshape(-1))

@@ -79,3 +79,20 @@ def test_ds_dia_kernel_f64_class(gen):
         .astype(np.float64) - want
     ) / np.linalg.norm(want)
     assert err < f32_err / 10
+
+
+def test_ds_well_general_sparsity_f64_class():
+    """Double-single WELL: f64-class GENERAL sparsity (values perturbed
+    below f32 resolution must survive)."""
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.ops.spmv_well_pallas import csr_to_well_ds, spmv_well_ds
+
+    rng = np.random.default_rng(0)
+    a = random_csr(600, 600, 6, seed=1)
+    a.values[:] = a.values * (1 + 1e-10 * rng.standard_normal(a.nnz))
+    w = csr_to_well_ds(a, tile_groups=2)
+    x = rng.standard_normal(a.ncols) * 1e2
+    y = spmv_well_ds(w, x, interpret=True)[: a.nrows]
+    want = a.matvec(x)
+    err = np.linalg.norm(y - want) / np.linalg.norm(want)
+    assert err < 1e-13, err
