@@ -144,6 +144,9 @@ class DistMatrix:
     local_well_pos: jax.Array | None = None     # (D, Kw, G, 128) int32
     local_well_w0: jax.Array | None = None      # (D, n_tiles) int32
     well_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups)
+    # double-single lo planes for local_format == "well_ds"
+    local_well_values_lo: jax.Array | None = None
+    local_values_lo: jax.Array | None = None  # far-block lo plane
 
     # ----- static geometry -----
     @property
@@ -244,7 +247,7 @@ class DistMatrix:
         spec = P(self.axis_name, None)
         mspec = P(self.axis_name, None, None)
 
-        if self.local_format == "dia_ds":
+        if self.local_format in ("dia_ds", "well_ds"):
             raise ValueError("double-single matrices apply via matvec_ds "
                              "(pair vectors); build a separate fp32 operator "
                              "for plain matvec / inner CG")
@@ -309,69 +312,120 @@ class DistMatrix:
         return apply
 
     def matvec_ds(self, xh: jax.Array, xl: jax.Array):
-        """Double-single distributed SpMV (local_format='dia_ds'):
+        """Double-single distributed SpMV (local_format 'dia_ds'/'well_ds'):
         (xh, xl) f32 pairs in the col-side lane layout -> (yh, yl) pairs.
         Both legs ride the same halo plan (two ppermute sets); the local
-        block runs the DS Pallas kernel, the remote term error-free f32
-        arithmetic (spmv_tpu.ds) on gathered ghosts. Gives distributed
+        block runs the DS Pallas kernel (DIA or WELL), the remote/far terms
+        error-free f32 arithmetic (spmv_tpu.ds). Gives distributed
         float64-class SpMV without any XLA-f64 emulation."""
-        if self.local_format != "dia_ds":
-            raise ValueError("matvec_ds requires local_format='dia_ds'")
+        if self.local_format not in ("dia_ds", "well_ds"):
+            raise ValueError("matvec_ds requires local_format 'dia_ds' or "
+                             "'well_ds'")
         from spmv_tpu.ds import ds_add, ds_mul_f32
-        from spmv_tpu.ops.spmv_dia_ds_pallas import (
-            DiaDsMatrix,
-            dia_ds_pallas_supported,
-            spmv_dia_ds_pallas_2d,
-            spmv_dia_ds_xla,
-        )
 
+        is_well = self.local_format == "well_ds"
         spec = P(self.axis_name, None)
         mspec = P(self.axis_name, None, None)
+        m4spec = P(self.axis_name, None, None, None)
         tables = _plan_tables(self.plan)
         nt = len(tables)
         plan = self.plan
         rp = self.row_pad
         on_tpu = self.on_tpu
 
-        def per_shard(xh2, xl2, rci, rvh, rvl, dh, dl, *rest):
+        def ell_ds_term(ci, vh, vl, gh_src, gl_src, acc_h, acc_l):
+            """Accumulate an ELL block (remote or far) in ds arithmetic."""
+            ghg = jnp.take(gh_src, ci, axis=0)  # (R, K)
+            glg = jnp.take(gl_src, ci, axis=0)
+            for kk in range(ci.shape[1]):
+                ph, plo = ds_mul_f32(vh[:, kk], vl[:, kk],
+                                     ghg[:, kk], glg[:, kk])
+                acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
+            return acc_h, acc_l
+
+        def per_shard(xh2, xl2, rci, rvh, rvl, *rest):
+            rest = list(rest)
+            if is_well:
+                wvh = rest.pop(0)[0]
+                wvl = rest.pop(0)[0]
+                wp = rest.pop(0)[0]
+                ww0 = rest.pop(0)[0]
+                lci_ = rest.pop(0)[0]
+                lvh_ = rest.pop(0)[0]
+                lvl_ = rest.pop(0)[0]
+            else:
+                dh = rest.pop(0)[0]
+                dl = rest.pop(0)[0]
             tabs = tuple(r[0] for r in rest)
             rci_, rvh_, rvl_ = rci[0], rvh[0], rvl[0]
-            dm = DiaDsMatrix(
-                data_hi=dh[0], data_lo=dl[0], offsets=self.dia_offsets,
-                nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
-            )
             have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
             if have_ghosts:
                 gh = _plan_gather(plan, xh2.reshape(-1), tabs, self.comm_axes)
                 gl = _plan_gather(plan, xl2.reshape(-1), tabs, self.comm_axes)
-            if on_tpu and dia_ds_pallas_supported(dm):
-                yh, yl = spmv_dia_ds_pallas_2d(dm, xh2, xl2)
+            if is_well:
+                from spmv_tpu.ops.spmv_well_pallas import (
+                    WellDsMatrix,
+                    spmv_well_ds_pallas_2d,
+                )
+
+                k_w, wseg_w, tg_w = self.well_meta
+                wm = WellDsMatrix(
+                    values_hi=wvh, values_lo=wvl, pos=wp, w0=ww0,
+                    nrows=rp, ncols=plan.nlocal_pad, wseg=wseg_w,
+                    tile_groups=tg_w, nseg=plan.nlocal_pad // 128,
+                )
+                yh, yl = spmv_well_ds_pallas_2d(wm, xh2, xl2,
+                                                interpret=not on_tpu)
+                # far remainder of the window split, in ds arithmetic
+                fh = jnp.zeros((rp,), jnp.float32)
+                fl = jnp.zeros((rp,), jnp.float32)
+                fh, fl = ell_ds_term(lci_, lvh_, lvl_,
+                                     xh2.reshape(-1), xl2.reshape(-1), fh, fl)
+                yh, yl = ds_add(yh, yl, fh.reshape(yh.shape),
+                                fl.reshape(yh.shape))
             else:
-                # tiny shards (< kernel tile floor) and CPU: XLA DS apply
-                yh, yl = spmv_dia_ds_xla(dm, xh2, xl2)
+                from spmv_tpu.ops.spmv_dia_ds_pallas import (
+                    DiaDsMatrix,
+                    dia_ds_pallas_supported,
+                    spmv_dia_ds_pallas_2d,
+                    spmv_dia_ds_xla,
+                )
+
+                dm = DiaDsMatrix(
+                    data_hi=dh, data_lo=dl, offsets=self.dia_offsets,
+                    nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
+                )
+                if on_tpu and dia_ds_pallas_supported(dm):
+                    yh, yl = spmv_dia_ds_pallas_2d(dm, xh2, xl2)
+                else:
+                    # tiny shards (< kernel tile floor) and CPU: XLA DS apply
+                    yh, yl = spmv_dia_ds_xla(dm, xh2, xl2)
             if have_ghosts:
-                # remote term in error-free f32 arithmetic, slot by slot
-                ghg = jnp.take(gh, rci_, axis=0)   # (R, Kr)
-                glg = jnp.take(gl, rci_, axis=0)
                 acc_h = jnp.zeros((rp,), jnp.float32)
                 acc_l = jnp.zeros((rp,), jnp.float32)
-                for kk in range(rci_.shape[1]):
-                    ph, plo = ds_mul_f32(rvh_[:, kk], rvl_[:, kk],
-                                         ghg[:, kk], glg[:, kk])
-                    acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
+                acc_h, acc_l = ell_ds_term(rci_, rvh_, rvl_, gh, gl,
+                                           acc_h, acc_l)
                 yh, yl = ds_add(yh, yl, acc_h.reshape(yh.shape),
                                 acc_l.reshape(yh.shape))
             return yh, yl
 
+        if is_well:
+            extra = [self.local_well_values, self.local_well_values_lo,
+                     self.local_well_pos, self.local_well_w0,
+                     self.local_colind, self.local_values,
+                     self.local_values_lo]
+            extra_specs = [m4spec, m4spec, m4spec, P(self.axis_name, None),
+                           mspec, mspec, mspec]
+        else:
+            extra = [self.local_dia_data, self.local_dia_data_lo]
+            extra_specs = [mspec, mspec]
         return jax.shard_map(
             per_shard, mesh=self.mesh,
-            in_specs=(spec, spec, mspec, mspec, mspec,
-                      P(self.axis_name, None, None),
-                      P(self.axis_name, None, None)) + (mspec,) * nt,
+            in_specs=(spec, spec, mspec, mspec, mspec)
+            + tuple(extra_specs) + (mspec,) * nt,
             out_specs=(spec, spec), check_vma=False,
         )(xh, xl, self.remote_colind, self.remote_values,
-          self.remote_values_lo, self.local_dia_data,
-          self.local_dia_data_lo, *tables)
+          self.remote_values_lo, *extra, *tables)
 
     def matvec_transpose(self, x: jax.Array) -> jax.Array:
         """y = A^T @ x: x in the row-side lane layout, y in the col-side
@@ -496,6 +550,7 @@ jax.tree_util.register_dataclass(
         "diagonal", "jacobi_diag", "plan", "local_dia_data",
         "local_dia_data_lo", "remote_values_lo",
         "local_well_values", "local_well_pos", "local_well_w0",
+        "local_well_values_lo", "local_values_lo",
     ],
     meta_fields=[
         "nrows_global", "ncols_global", "row_pad", "symmetric", "nnz_global",
@@ -613,45 +668,59 @@ def _assemble(
     nd = len(shards)
 
     well_stack = None
+    well_lo = None
+    far_lo = None
     well_meta: tuple[int, ...] = ()
-    if local_format == "well":
+    if local_format in ("well", "well_ds"):
         if symmetric:
             raise ValueError(
-                "local_format='well' does not support symmetric storage; "
-                "use 'ell' (general) or 'dia' (banded) for symmetric matrices"
+                f"local_format={local_format!r} does not support symmetric "
+                "storage; use 'ell' (general) or 'dia' (banded) for "
+                "symmetric matrices"
             )
-        from spmv_tpu.formats.well import csr_to_well, split_window
+        from spmv_tpu.formats.well import _build_arrays, split_window
 
         max_groups = max(-(-(s.row_range[1] - s.row_range[0]) // 128)
                          for s in shards)
         tg = next(t for t in (64, 32, 16, 8, 4, 2, 1) if t <= max_groups)
         # near/far split: entries beyond each tile's best 512-segment window
         # leave the WELL block and run through the XLA ELL path instead
-        # (multi-pass general sparsity; far is small after RCM reordering)
+        # (multi-pass general sparsity; far is small after RCM reordering).
+        # Arrays stay NUMPY until upload — a jnp round-trip silently
+        # downcasts f64 values when x64 is off (the DS lo-plane bug class).
         wells, far_blocks = [], []
         for s in shards:
             near, far = split_window(s.local, tile_groups=tg, wseg_cap=512)
-            wells.append(csr_to_well(near, tile_groups=tg, dtype=dtype))
+            wells.append(_build_arrays(
+                near, tg, 64,
+                np.float64 if local_format == "well_ds" else dtype,
+            ))
             far_blocks.append(far)
-        k_w = max(w.k_slots for w in wells)
-        wseg_w = max(w.wseg for w in wells)
+        k_w = max(v.shape[0] for v, _, _, _, _ in wells)
+        wseg_w = max(wseg for _, _, _, wseg, _ in wells)
         # one padded geometry for every shard: groups cover rows AND every
         # window (w0 + wseg) AND the owned column span (x and y share the
         # per-shard padded length on square operators)
         need = max(
-            max(w.ngroups for w in wells),
-            max((int(np.asarray(w.w0).max()) if w.n_tiles else 0) for w in wells)
+            max(v.shape[1] for v, _, _, _, _ in wells),
+            max((int(w0.max()) if len(w0) else 0) for _, _, w0, _, _ in wells)
             + wseg_w,
             max(-(-(s.col_range[1] - s.col_range[0]) // 128) for s in shards),
         )
         gt = _round_up(need, tg)
-        wv = np.zeros((nd, k_w, gt, 128), dtype=wells[0].values.dtype)
+        wv = np.zeros((nd, k_w, gt, 128),
+                      dtype=np.float64 if local_format == "well_ds"
+                      else wells[0][0].dtype)
         wp = np.zeros((nd, k_w, gt, 128), dtype=np.int32)
         ww0 = np.zeros((nd, gt // tg), dtype=np.int32)
-        for s, w in enumerate(wells):
-            wv[s, : w.k_slots, : w.ngroups] = np.asarray(w.values)
-            wp[s, : w.k_slots, : w.ngroups] = np.asarray(w.pos)
-            ww0[s, : w.n_tiles] = np.asarray(w.w0)
+        for s, (v, p, w0, _, _) in enumerate(wells):
+            wv[s, : v.shape[0], : v.shape[1]] = v
+            wp[s, : p.shape[0], : p.shape[1]] = p
+            ww0[s, : len(w0)] = w0
+        if local_format == "well_ds":
+            from spmv_tpu.ds import ds_from_f64
+
+            wv, well_lo = ds_from_f64(wv)
         well_stack = (wv, wp, ww0)
         well_meta = (k_w, wseg_w, tg)
         # force the shared per-shard pad to exactly gt*128 on both sides
@@ -743,14 +812,20 @@ def _assemble(
         lci = np.zeros((nd, r, 1), dtype=np.int32)
         lv = np.zeros((nd, r, 1), dtype=np.float32 if local_format == "dia_ds"
                       else (dtype or shards[0].local.dtype))
-    elif local_format == "well":
+    elif local_format in ("well", "well_ds"):
         # the local ELL arrays carry the far remainder of the window split
         kl = max(max((int(b.row_nnz().max()) if b.nnz else 0)
                      for b in far_blocks), 1)
-        lci, lv = _stack_ell(far_blocks, r, kl, dtype=dtype)
+        if local_format == "well_ds":
+            from spmv_tpu.ds import ds_from_f64
+
+            lci, lv64 = _stack_ell(far_blocks, r, kl, dtype=np.float64)
+            lv, far_lo = ds_from_f64(lv64)
+        else:
+            lci, lv = _stack_ell(far_blocks, r, kl, dtype=dtype)
     else:
         lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
-    if local_format == "dia_ds":
+    if local_format in ("dia_ds", "well_ds"):
         from spmv_tpu.ds import ds_from_f64
 
         rci, rv64 = _stack_ell([s.remote for s in shards], r, kr,
@@ -830,6 +905,10 @@ def _assemble(
                         else put(well_stack[1], P(axis_names, None, None, None))),
         local_well_w0=(None if well_stack is None
                        else put(well_stack[2], P(axis_names, None))),
+        local_well_values_lo=(None if well_lo is None
+                              else put(well_lo, P(axis_names, None, None, None))),
+        local_values_lo=(None if far_lo is None
+                         else put(far_lo, P(axis_names, None, None))),
         well_meta=well_meta,
     )
 
@@ -906,7 +985,7 @@ def build_dist_matrix(
     already distributed (per-shard triplets, possibly with rows owned by
     other shards), use ``build_dist_matrix_from_shards``.
     """
-    if local_format not in ("ell", "dia", "dia_ds", "well", "auto"):
+    if local_format not in ("ell", "dia", "dia_ds", "well", "well_ds", "auto"):
         raise ValueError(f"unknown local_format {local_format!r}")
     if local_format == "auto":
         local_format = select_local_format(a, symmetric=symmetric)
@@ -953,7 +1032,7 @@ def build_dist_matrix_from_shards(
     owner assembles only its own row slice, so host memory stays bounded by
     the largest slice.
     """
-    if local_format not in ("ell", "dia", "dia_ds", "well"):
+    if local_format not in ("ell", "dia", "dia_ds", "well", "well_ds"):
         raise ValueError(f"unknown local_format {local_format!r}")
     ncols_global = nrows_global if ncols_global is None else ncols_global
     if local_format == "dia" and nrows_global != ncols_global:

@@ -151,17 +151,23 @@ def cg_refined_dist(
     inner_rtol: float = 1e-6,
     inner_kmax: int = 500,
     jacobi: bool = False,
+    local_format: str = "dia",
 ) -> RefineResult:
     """DISTRIBUTED mixed-precision refinement: fp32 inner CG on a sharded
     DistMatrix + double-single residuals through the sharded DS matvec
-    (matvec_ds: DS halo exchange + DS kernels). Solves banded SPD systems
-    to float64-class TRUE residual across a device mesh with zero XLA-f64
-    emulation anywhere."""
+    (matvec_ds: DS halo exchange + DS kernels). Solves SPD systems to
+    float64-class TRUE residual across a device mesh with zero XLA-f64
+    emulation anywhere. ``local_format``: 'dia' for banded/stencil
+    operators, 'well' for general sparsity (RCM-reorder first for window
+    locality)."""
+    if local_format not in ("dia", "well"):
+        raise ValueError("local_format must be 'dia' or 'well'")
     from spmv_tpu.parallel.dist_matrix import build_dist_matrix
 
     a32 = build_dist_matrix(a, mesh=mesh, n_devices=n_devices,
-                            dtype=np.float32, local_format="dia")
-    ads = build_dist_matrix(a, mesh=a32.mesh, local_format="dia_ds")
+                            dtype=np.float32, local_format=local_format)
+    ads = build_dist_matrix(a, mesh=a32.mesh,
+                            local_format=local_format + "_ds")
     n = a.nrows
     bh, bl = ds_from_f64(np.asarray(b, np.float64))
     bh_d = a32.to_dist(bh.astype(np.float32))

@@ -113,3 +113,34 @@ def test_distributed_ds_matvec_two_tier():
     got = ds_to_f64(A.from_dist(yh), A.from_dist(yl))
     want = a.matvec(x)
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_distributed_refinement_general_sparsity(n_dev):
+    """f64-class distributed solves for GENERAL (non-banded) SPD matrices:
+    inner fp32 WELL CG + double-single WELL residuals."""
+    from spmv_tpu.formats.csr import CSRHost
+    from spmv_tpu.solvers.refine import cg_refined_dist
+
+    # random SPD: graph Laplacian of a random sparse pattern + mass term
+    rng = np.random.default_rng(5)
+    n = 400
+    er = rng.integers(0, n, 2400)
+    ec = rng.integers(0, n, 2400)
+    keep = er != ec
+    er, ec = er[keep], ec[keep]
+    w = 0.5 + rng.random(len(er))
+    deg = np.zeros(n)
+    np.add.at(deg, er, w)
+    np.add.at(deg, ec, w)
+    a = CSRHost.from_coo(
+        np.concatenate([er, ec, np.arange(n)]),
+        np.concatenate([ec, er, np.arange(n)]),
+        np.concatenate([-w, -w, deg + 0.05]),
+        n, n,
+    )
+    b = rng.standard_normal(n)
+    res = cg_refined_dist(a, b, n_devices=n_dev, rtol=1e-12,
+                          inner_kmax=3000, local_format="well")
+    rel = np.linalg.norm(a.matvec(res.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-10, rel
