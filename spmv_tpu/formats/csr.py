@@ -83,7 +83,12 @@ class CSRHost:
             group = np.cumsum(key_new) - 1
             rows = rows[key_new]
             cols = cols[key_new]
-            vals = np.bincount(group, weights=vals).astype(vals.dtype)
+            if np.iscomplexobj(vals):
+                vals = (np.bincount(group, weights=vals.real)
+                        + 1j * np.bincount(group, weights=vals.imag)
+                        ).astype(vals.dtype)
+            else:
+                vals = np.bincount(group, weights=vals).astype(vals.dtype)
         rowptr = np.zeros(nrows + 1, dtype=np.int64)
         np.add.at(rowptr, rows + 1, 1)
         rowptr = np.cumsum(rowptr)
@@ -108,8 +113,15 @@ class CSRHost:
         construction, summation order may differ from a literal row loop by
         ULPs only)."""
         rows = np.repeat(np.arange(self.nrows), self.row_nnz())
-        prod = self.values.astype(np.float64) * np.asarray(x, dtype=np.float64)[self.colind]
-        out = np.bincount(rows, weights=prod, minlength=self.nrows)
+        acc_t = (np.complex128 if (np.iscomplexobj(self.values)
+                                   or np.iscomplexobj(x)) else np.float64)
+        prod = self.values.astype(acc_t) * np.asarray(x, dtype=acc_t)[self.colind]
+        if acc_t is np.complex128:
+            out = (np.bincount(rows, weights=prod.real, minlength=self.nrows)
+                   + 1j * np.bincount(rows, weights=prod.imag,
+                                      minlength=self.nrows))
+        else:
+            out = np.bincount(rows, weights=prod, minlength=self.nrows)
         return out.astype(np.result_type(self.values, x))
 
     def transpose(self) -> "CSRHost":
