@@ -70,7 +70,7 @@ from spmv_tpu.ops.spmv_dia_pallas import (
     spmv_dia_pallas,
     spmv_dia_pallas_2d,
 )
-from spmv_tpu.solvers.cg import cg, CGResult
+from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
 from spmv_tpu.io.petsc import (
     read_petsc_binary_matrix_host,
@@ -114,6 +114,7 @@ __all__ = [
     "dia_to_2d",
     "dia_pallas_supported",
     "cg",
+    "cg_pipelined",
     "CGResult",
     "cg_refined",
     "cg_refined_dist",

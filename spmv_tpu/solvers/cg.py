@@ -180,3 +180,75 @@ def cg_residual_history(
         step, (x0, r0, r0, rnorm2_0), None, length=iters
     )
     return x, hist
+
+
+def cg_pipelined(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    kmax: int = 100,
+    rtol: float = 1e-10,
+    dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    preconditioner: Callable[[jax.Array], jax.Array] | None = None,
+) -> CGResult:
+    """Single-reduction CG (Chronopoulos-Gear recurrence).
+
+    The classic CG needs 3 dependency-separated global reductions per
+    iteration (reference spmv/cg.cpp:49,65,75 — three MPI_Allreduce calls);
+    at pod scale each psum is a latency hit XLA cannot merge because they
+    gate successive updates. This variant keeps s = A p recursively and
+    computes BOTH scalars (gamma = r.u, delta = w.u) back to back, so XLA's
+    all-reduce combiner fuses them into ONE collective per iteration — the
+    standard communication-avoiding trade (identical math in exact
+    arithmetic; marginally different rounding, covered by the parity test).
+    """
+    if dot is None:
+        dot = lambda u, v: jnp.vdot(u, v)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    precond = preconditioner if preconditioner is not None else (lambda r: r)
+
+    r0 = b - matvec(x0)
+    u0 = precond(r0)
+    w0 = matvec(u0)
+    gamma0 = dot(r0, u0)
+    delta0 = dot(w0, u0)
+    rnorm2_0 = dot(r0, r0) if preconditioner is not None else gamma0
+    rnorm0 = jnp.sqrt(rnorm2_0)
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
+    alpha0 = gamma0 / delta0
+    zeros = jnp.zeros_like(b)
+
+    def cond(state):
+        k, *_rest, rnorm2 = state
+        return (k < kmax) & (jnp.sqrt(rnorm2) / jnp.maximum(rnorm0, eps) >= rtol)
+
+    def body(state):
+        k, x, r, u, w, p, s, alpha, beta, gamma, _rn2 = state
+        p = u + beta * p
+        s = w + beta * s
+        x = x + alpha * p
+        r = r - alpha * s
+        u2 = precond(r)
+        w2 = matvec(u2)
+        gamma_new = dot(r, u2)
+        delta = dot(w2, u2)   # adjacent to gamma_new -> ONE fused reduction
+        rnorm2_new = dot(r, r) if preconditioner is not None else gamma_new
+        beta_new = gamma_new / gamma
+        alpha_new = gamma_new / (delta - beta_new * gamma_new / alpha)
+        return (k + 1, x, r, u2, w2, p, s, alpha_new, beta_new, gamma_new,
+                rnorm2_new)
+
+    state = (jnp.int32(0), x0, r0, u0, w0, zeros, zeros,
+             alpha0, jnp.zeros_like(gamma0), gamma0, rnorm2_0)
+    k, x, r, *_rest, rnorm2 = jax.lax.while_loop(cond, body, state)
+    rnorm = jnp.sqrt(rnorm2)
+    return CGResult(
+        x=x,
+        iterations=k,
+        rnorm=rnorm,
+        rnorm0=rnorm0,
+        converged=rnorm / jnp.maximum(rnorm0, eps) < rtol,
+        r=r,
+        p=None,
+    )

@@ -140,3 +140,65 @@ def test_pcg_identity_matches_plain_cg():
     r2 = cg(mv, b, kmax=100, rtol=1e-10, preconditioner=lambda r: r)
     assert int(r1.iterations) == int(r2.iterations)
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12)
+
+
+def test_cg_pipelined_matches_classic():
+    """Single-reduction CG converges to the same solution (same math,
+    different rounding) and within a similar iteration count."""
+    from spmv_tpu.solvers.cg import cg, cg_pipelined
+
+    a = create_laplace_2d(20, 20)
+    d = csr_to_dia(a)
+    b = jnp.asarray(np.pad(gaussian_bump(a.nrows), (0, d.nrows_pad - a.nrows)))
+    mv = lambda p: spmv_dia(d, p)
+    classic = cg(mv, b, kmax=600, rtol=1e-10)
+    piped = cg_pipelined(mv, b, kmax=600, rtol=1e-10)
+    assert bool(classic.converged) and bool(piped.converged)
+    np.testing.assert_allclose(
+        np.asarray(piped.x), np.asarray(classic.x), rtol=1e-7, atol=1e-9
+    )
+    assert abs(int(piped.iterations) - int(classic.iterations)) <= 5
+
+
+def test_cg_pipelined_distributed():
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.cg import cg_pipelined
+
+    a = create_laplace_2d(16, 16)
+    A = build_dist_matrix(a, n_devices=4, symmetric=True)
+    b_host = gaussian_bump(a.nrows)
+    res = jax.jit(
+        lambda A_, bb: cg_pipelined(A_.as_linear_operator(), bb,
+                                    kmax=400, rtol=1e-10)
+    )(A, A.to_dist(b_host))
+    x_host = A.from_dist(res.x)
+    r = a.matvec(x_host) - b_host
+    assert np.linalg.norm(r) / np.linalg.norm(b_host) < 1e-9
+
+
+def test_cg_pipelined_single_allreduce_in_hlo():
+    """The two per-iteration dots must fuse into one collective: the
+    compiled loop body contains exactly ONE all-reduce(+psum pair fusion)
+    per iteration on a multi-device mesh."""
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.cg import cg, cg_pipelined
+
+    a = create_laplace_2d(16, 16)
+    A = build_dist_matrix(a, n_devices=4, symmetric=True)
+    b = A.to_dist(gaussian_bump(a.nrows))
+
+    def count_loop_allreduces(fn):
+        hlo = jax.jit(fn).lower(A, b).compile().as_text()
+        # the while-loop body computation holds the per-iteration collectives
+        import re
+        bodies = re.findall(r"%(?:wide\.)?body[^{]*\{(?:[^{}]|\{[^{}]*\})*\}",
+                            hlo, re.S)
+        text = max(bodies, key=len) if bodies else hlo
+        return len(re.findall(r"all-reduce(?:-start)?\(", text))
+
+    n_classic = count_loop_allreduces(
+        lambda A_, bb: cg(A_.as_linear_operator(), bb, kmax=10, rtol=1e-30))
+    n_piped = count_loop_allreduces(
+        lambda A_, bb: cg_pipelined(A_.as_linear_operator(), bb,
+                                    kmax=10, rtol=1e-30))
+    assert n_piped < n_classic, (n_piped, n_classic)
