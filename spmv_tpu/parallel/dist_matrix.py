@@ -441,13 +441,6 @@ class DistMatrix:
         """
         if self.symmetric:
             return self.matvec(x)  # symmetric: A^T = A
-        if self.local_format == "well":
-            raise NotImplementedError(
-                "transpose with local_format='well': build the transposed "
-                "operator explicitly — build_dist_matrix(a.transpose(), "
-                "local_format='well') — or rebuild this one with "
-                "local_format='ell'"
-            )
         rp = self.row_pad
         cp = self.col_pad
         spec = P(self.axis_name, None)
@@ -487,6 +480,7 @@ class DistMatrix:
 
         tables = _plan_tables(self.plan)
         nt = len(tables)
+        has_well = self.local_format == "well"
 
         def per_shard(x_s2, lci, lv, rci, rv, *rest):
             rest = list(rest)
@@ -494,7 +488,30 @@ class DistMatrix:
             x_s = x_s2.reshape(rp)
             lci_, lv_, rci_, rv_ = lci[0], lv[0], rci[0], rv[0]
             plan = self.plan
-            if has_dia:
+            if has_well:
+                # WELL local block: each stored nonzero of row (g*128+lane)
+                # sits at shard column w0[tile]*128 + pos (the window is
+                # in-bounds by assembly: the shared pad covers w0+wseg).
+                # Transpose = deterministic scatter-add of value*x[row] at
+                # those columns; the far remainder scatters via its ELL
+                # arrays. XLA-path (like the ELL transpose below) — for
+                # repeated applies in a hot loop, pre-build the transposed
+                # operator (build_dist_matrix(a.transpose())) instead.
+                wv, wp, ww0 = (rest.pop(0)[0] for _ in range(3))
+                k_w, wseg_w, tg_w = self.well_meta
+                cols = wp.astype(jnp.int32) + (
+                    jnp.repeat(ww0.astype(jnp.int32), tg_w) * 128
+                )[None, :, None]
+                contrib = wv * x_s2[None, :, :]
+                y = jnp.zeros((cp,), dtype=x_s.dtype)
+                y = y.at[cols.reshape(-1)].add(
+                    contrib.reshape(-1), mode="promise_in_bounds"
+                )
+                y = y.at[lci_.reshape(-1)].add(
+                    (lv_ * x_s[:, None]).reshape(-1),
+                    mode="promise_in_bounds",
+                )
+            elif has_dia:
                 from spmv_tpu.formats.dia import DiaMatrix
                 from spmv_tpu.ops.spmv_dia_pallas import (
                     dia_pallas_supported,
@@ -528,6 +545,12 @@ class DistMatrix:
         args = [x, self.local_colind, self.local_values, self.remote_colind,
                 self.remote_values, *tables]
         in_specs = [spec, mspec, mspec, mspec, mspec] + [mspec] * nt
+        if has_well:
+            args += [self.local_well_values, self.local_well_pos,
+                     self.local_well_w0]
+            in_specs += [P(self.axis_name, None, None, None),
+                         P(self.axis_name, None, None, None),
+                         P(self.axis_name, None)]
         if has_dia:
             args.append(dia_data_t)
             in_specs.append(P(self.axis_name, None, None))
@@ -662,6 +685,7 @@ def _assemble(
     dtype,
     row_align: int,
     local_format: str,
+    well_wseg_cap: int = 512,
 ) -> DistMatrix:
     """Shared assembly tail: compile the (column-side) CommPlan, stack the
     ELL/DIA blocks, and upload everything sharded in one device_put each."""
@@ -683,14 +707,15 @@ def _assemble(
         max_groups = max(-(-(s.row_range[1] - s.row_range[0]) // 128)
                          for s in shards)
         tg = next(t for t in (64, 32, 16, 8, 4, 2, 1) if t <= max_groups)
-        # near/far split: entries beyond each tile's best 512-segment window
+        # near/far split: entries beyond each tile's best well_wseg_cap-segment window
         # leave the WELL block and run through the XLA ELL path instead
         # (multi-pass general sparsity; far is small after RCM reordering).
         # Arrays stay NUMPY until upload — a jnp round-trip silently
         # downcasts f64 values when x64 is off (the DS lo-plane bug class).
         wells, far_blocks = [], []
         for s in shards:
-            near, far = split_window(s.local, tile_groups=tg, wseg_cap=512)
+            near, far = split_window(s.local, tile_groups=tg,
+                                     wseg_cap=well_wseg_cap)
             wells.append(_build_arrays(
                 near, tg, 64,
                 np.float64 if local_format == "well_ds" else dtype,
@@ -974,8 +999,13 @@ def build_dist_matrix(
     dtype=None,
     row_align: int = 8,
     local_format: str = "ell",
+    well_wseg_cap: int = 512,
 ) -> DistMatrix:
     """Assemble a DistMatrix from a global host CSR.
+
+    ``well_wseg_cap`` bounds the WELL window (in 128-wide segments, so the
+    kernel's per-tile x-window DMA and VMEM footprint); entries outside a
+    tile's best window become the "far" remainder on the XLA ELL path.
 
     The TPU-native replacement for Matrix::create_matrix's distributed
     assembly (reference spmv/Matrix.cpp:164-480): partition rows (and, for
@@ -1002,7 +1032,7 @@ def build_dist_matrix(
     col_ranges = owner_ranges(a.ncols, nd) if a.nrows != a.ncols else owner_ranges(a.nrows, nd)
     return _assemble(
         shards, col_ranges, a.nrows, a.ncols, a.nnz, mesh, axis_name,
-        symmetric, dtype, row_align, local_format,
+        symmetric, dtype, row_align, local_format, well_wseg_cap,
     )
 
 
@@ -1016,6 +1046,7 @@ def build_dist_matrix_from_shards(
     dtype=None,
     row_align: int = 8,
     local_format: str = "ell",
+    well_wseg_cap: int = 512,
 ) -> DistMatrix:
     """Assemble from PRE-DISTRIBUTED per-shard COO triplets with row ghosts.
 
