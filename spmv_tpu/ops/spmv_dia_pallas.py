@@ -208,13 +208,13 @@ def _dia_kernel(
 
 
 def _dia_sym_kernel(
-    x_hbm,      # (nrows, 128) ANY — unframed x
-    d_hbm,      # (nrows, K*128) ANY — interleaved lower-tri diagonals
+    d_ref,      # (TR, K*128) VMEM — interleaved lower-tri diagonals
+                #   (grid-pipelined: ONE contiguous HBM chunk per step)
+    x_hbm,      # (nrows, 128) ANY — unframed x, windows DMA'd manually
     y_ref,      # (TR, 128) VMEM — output tile (pipelined)
-    xwin,       # (2, TR + 2*HR, 128) VMEM scratch
-    dwin,       # (2, TR + HR, K*128) VMEM scratch (upper halo only)
+    xwin,       # (2, TR + HR, 128) VMEM scratch (LOWER halo only)
+    carry,      # (HR, 128) f32 scratch — transpose spill into the next tile
     xsem,       # (2,) DMA semaphores
-    dsem,       # (2,) DMA semaphores
     *,
     offsets: tuple[int, ...],
     tr: int,
@@ -224,188 +224,141 @@ def _dia_sym_kernel(
 ):
     """Symmetric DIA SpMV: A = L + D + L^T with only offsets <= 0 stored.
 
-    The transpose of diagonal o is diagonal -o with the SAME data shifted by
-    -o rows/lanes: y[i] += d_o[i-o] * x[i-o]. So besides the x window, the
-    kernel reads a data window with an upper halo — no scatter, no atomics,
-    ~40%% less matrix traffic than full storage for a 5-point stencil.
+    The transpose of a stored entry A[r, r+o] (o < 0) contributes
+    y[r+o] += d_o[r] * x[r] — a BACKWARD scatter. Instead of gathering it
+    from haloed d/x windows (measured ~60%% of the copy roofline: the extra
+    manual haloed DMA stream breaks the pipelining that gives the vanilla
+    kernel ~80%%), this kernel runs the grid in REVERSE tile order (the
+    index maps of d and y are reversed) and scatters each tile's aligned
+    product d_o[r]*x[r] backward: rows spilling below the tile land in a
+    persistent ``carry`` scratch added to the output of the tile processed
+    next (the grid is sequential under "arbitrary" semantics). d then
+    pipelines exactly like the vanilla kernel (no halo at all) and x needs
+    only a lower halo — no scatter primitives, no atomics, ~40%% less
+    matrix traffic than full storage for a 5-point stencil, at the vanilla
+    kernel's streaming efficiency.
     """
     i = pl.program_id(0)
-    k = len(offsets)
-    wrows = tr + 2 * hr
+    tile = n_tiles - 1 - i  # reversed processing order
+    wrows = tr + hr
 
-    def x_start(slot, tile):
-        if n_tiles == 1:
+    # x window for tile t covers rows [t*tr - hr, t*tr + tr); tile 0 clamps
+    # to the domain and zeros the out-of-domain top (zero Dirichlet halo).
+    def x_start(slot, t):
+        @pl.when(t == 0)
+        def _():
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(0, tr), :],
                 xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
             ).start()
-            return
 
-        @pl.when(tile == 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, tr + hr), :],
-                xwin.at[slot, pl.ds(hr, tr + hr), :], xsem.at[slot],
-            ).start()
-
-        @pl.when(tile == n_tiles - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(n_tiles * tr - (tr + hr), tr + hr), :],
-                xwin.at[slot, pl.ds(0, tr + hr), :], xsem.at[slot],
-            ).start()
-
-        if n_tiles > 2:
-            @pl.when((tile > 0) & (tile < n_tiles - 1))
+        if n_tiles > 1:
+            @pl.when(t > 0)
             def _():
                 pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, sub), wrows), :],
+                    x_hbm.at[pl.ds(pl.multiple_of(t * tr - hr, sub), wrows), :],
                     xwin.at[slot], xsem.at[slot],
                 ).start()
 
-    def x_wait(slot, tile):
-        # reconstruct the started descriptor so the wait matches exactly
-        if n_tiles == 1:
+    def x_wait(slot, t):
+        @pl.when(t == 0)
+        def _():
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(0, tr), :],
                 xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
             ).wait()
-            return
 
-        @pl.when(tile == 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, tr + hr), :],
-                xwin.at[slot, pl.ds(hr, tr + hr), :], xsem.at[slot],
-            ).wait()
-
-        @pl.when(tile == n_tiles - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(n_tiles * tr - (tr + hr), tr + hr), :],
-                xwin.at[slot, pl.ds(0, tr + hr), :], xsem.at[slot],
-            ).wait()
-
-        if n_tiles > 2:
-            @pl.when((tile > 0) & (tile < n_tiles - 1))
+        if n_tiles > 1:
+            @pl.when(t > 0)
             def _():
                 pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, sub), wrows), :],
+                    x_hbm.at[pl.ds(pl.multiple_of(t * tr - hr, sub), wrows), :],
                     xwin.at[slot], xsem.at[slot],
                 ).wait()
 
-    def d_copy(slot, tile):
-        # the interleaved layout makes the whole data window ONE contiguous
-        # chunk; last tile has no upper halo
-        last = tile == n_tiles - 1
-        rows = tr if n_tiles == 1 else None  # static small case below
-        if n_tiles == 1:
-            return pltpu.make_async_copy(
-                d_hbm.at[pl.ds(0, tr), :],
-                dwin.at[slot, pl.ds(0, tr), :], dsem.at[slot],
-            )
-        return None
-
-    def d_start(slot, tile):
-        last = tile == n_tiles - 1
-        if n_tiles == 1:
-            d_copy(slot, tile).start()
-            return
-
-        @pl.when(last)
-        def _():
-            pltpu.make_async_copy(
-                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
-                dwin.at[slot, pl.ds(0, tr), :], dsem.at[slot],
-            ).start()
-
-        @pl.when(jnp.logical_not(last))
-        def _():
-            pltpu.make_async_copy(
-                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
-                dwin.at[slot, pl.ds(0, tr + hr), :], dsem.at[slot],
-            ).start()
-
-    def d_wait(slot, tile):
-        last = tile == n_tiles - 1
-        if n_tiles == 1:
-            d_copy(slot, tile).wait()
-            return
-
-        @pl.when(last)
-        def _():
-            pltpu.make_async_copy(
-                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr), :],
-                dwin.at[slot, pl.ds(0, tr), :], dsem.at[slot],
-            ).wait()
-
-        @pl.when(jnp.logical_not(last))
-        def _():
-            pltpu.make_async_copy(
-                d_hbm.at[pl.ds(pl.multiple_of(tile * tr, sub), tr + hr), :],
-                dwin.at[slot, pl.ds(0, tr + hr), :], dsem.at[slot],
-            ).wait()
-
     @pl.when(i == 0)
     def _():
-        x_start(0, 0)
-        d_start(0, 0)
+        x_start(0, n_tiles - 1)
+        carry[...] = jnp.zeros((hr, LANES), jnp.float32)
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        x_start((i + 1) % 2, i + 1)
-        d_start((i + 1) % 2, i + 1)
+        x_start((i + 1) % 2, tile - 1)
 
-    x_wait(i % 2, i)
-    d_wait(i % 2, i)
+    x_wait(i % 2, tile)
 
-    # zero the out-of-domain rows of edge windows
-    @pl.when(i == 0)
+    @pl.when(tile == 0)
     def _():
         xwin[i % 2, 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
 
-    @pl.when(i == n_tiles - 1)
-    def _():
-        xwin[i % 2, tr + hr : wrows, :] = jnp.zeros((hr, LANES), xwin.dtype)
-        dwin[i % 2, pl.ds(tr, hr), :] = jnp.zeros(
-            (hr, k * LANES), dwin.dtype
-        )
-
     xw = xwin[i % 2]
-    dw = dwin[i % 2]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
 
-    def shifted(buf, base_rows, t):
-        """buf rows [base..base+tr(+1)] viewed at flat element offset t
-        (f32 result; sub-32-bit buffers upcast before the lane rotate,
-        which Mosaic only implements for 32-bit data)."""
+    def gather_shift(t):
+        """x window rows viewed at flat element offset t in [0, hr*128]
+        (y-row r reads xw flat element r*128 + t; f32 result — sub-32-bit
+        windows upcast before the lane rotate, which Mosaic only implements
+        for 32-bit data)."""
         q, rr = divmod(t, LANES)
         if rr == 0:
-            return buf[base_rows + q : base_rows + q + tr, :].astype(jnp.float32)
-        r0 = pltpu.roll(
-            buf[base_rows + q : base_rows + q + tr, :].astype(jnp.float32),
-            LANES - rr, 1,
-        )
+            return xw[q : q + tr, :].astype(jnp.float32)
+        r0 = pltpu.roll(xw[q : q + tr, :].astype(jnp.float32), LANES - rr, 1)
         r1 = pltpu.roll(
-            buf[base_rows + q + 1 : base_rows + q + tr + 1, :].astype(jnp.float32),
-            LANES - rr, 1,
+            xw[q + 1 : q + tr + 1, :].astype(jnp.float32), LANES - rr, 1
         )
         return jnp.where(lane < LANES - rr, r0, r1)
 
-    acc = jnp.zeros((tr, LANES), jnp.float32)
-    for kk, off in enumerate(offsets):
-        # (tr + hr, 128) lane-slice view, rows [i*tr, i*tr + tr + hr)
-        dk = dw[:, kk * LANES : (kk + 1) * LANES]
-        # forward: y[i] += d_o[i] * x[i + o]
-        acc = acc + dk[0:tr, :].astype(jnp.float32) * shifted(
-            xw, 0, hr * LANES + off
+    def scatter_shift(prod, t):
+        """prod (tr, 128) placed at flat element offset t of an extended
+        (hr + tr, 128) array whose row 0 is tile row -hr (zero-filled
+        elsewhere); t in [0, hr*128). The shift is a permutation, so the
+        backward scatter is a static relayout: one lane-roll + zero-row
+        concats."""
+        q, rr = divmod(t, LANES)
+
+        def cat(*parts):
+            # Mosaic rejects zero-row vectors; drop empty padding pieces
+            parts = [p for p in parts if p.shape[0] > 0]
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+        if rr == 0:
+            return cat(
+                jnp.zeros((q, LANES), jnp.float32),
+                prod,
+                jnp.zeros((hr - q, LANES), jnp.float32),
+            )
+        # extended row q+w: lanes >= rr hold prod row w (rolled), lanes < rr
+        # the lane-wrap of prod row w-1
+        r0 = pltpu.roll(prod, rr, 1)
+        r0a = cat(r0, jnp.zeros((1, LANES), jnp.float32))
+        r0b = cat(jnp.zeros((1, LANES), jnp.float32), r0)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (tr + 1, LANES), 1)
+        mid = jnp.where(lane1 >= rr, r0a, r0b)
+        return cat(
+            jnp.zeros((q, LANES), jnp.float32),
+            mid,
+            jnp.zeros((hr - q - 1, LANES), jnp.float32),
         )
+
+    xa = xw[hr : hr + tr, :].astype(jnp.float32)  # aligned x rows of the tile
+    acc = jnp.zeros((tr, LANES), jnp.float32)
+    spill = jnp.zeros((hr, LANES), jnp.float32)
+    for kk, off in enumerate(offsets):
+        dk = d_ref[:, kk * LANES : (kk + 1) * LANES]  # free lane-slice view
+        # forward: y[j] += d_o[j] * x[j + o]  (o <= 0: lower window)
+        acc = acc + dk.astype(jnp.float32) * gather_shift(hr * LANES + off)
         if off < 0:
-            s = -off
-            # transpose: y[i] += d_o[i + s] * x[i + s]
-            acc = acc + shifted(dk, 0, s) * shifted(xw, 0, hr * LANES + s)
-    y_ref[:, :] = acc.astype(y_ref.dtype)
+            # transpose: y[j+o] += d_o[j] * x[j] — the ALIGNED product
+            # scattered backward; the head spills into carry for the
+            # next-processed (lower-index) tile
+            ext = scatter_shift(dk.astype(jnp.float32) * xa, hr * LANES + off)
+            acc = acc + ext[hr : hr + tr, :]
+            spill = spill + ext[0:hr, :]
+    y_ref[:, :] = jnp.concatenate(
+        [acc[0 : tr - hr, :], acc[tr - hr : tr, :] + carry[...]]
+    ).astype(y_ref.dtype)
+    carry[...] = spill
 
 
 @functools.partial(
@@ -415,7 +368,10 @@ def _spmv_dia_sym_pallas_2d(
     data, x2, offsets: tuple[int, ...], tile_rows: int, hr: int,
     interpret: bool = False,
 ):
-    """Symmetric kernel wrapper: data (npad/128, K*128) with offsets<=0."""
+    """Symmetric kernel wrapper: data (npad/128, K*128) with offsets<=0.
+    d and y blocks are grid-pipelined with REVERSED index maps (the kernel
+    processes tiles last-to-first so the backward transpose spill lands on
+    the tile processed next)."""
     nrows, klanes = data.shape
     k = klanes // LANES
     tr = tile_rows
@@ -431,17 +387,20 @@ def _spmv_dia_sym_pallas_2d(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (tr, k * LANES), lambda i: (n_tiles - 1 - i, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tr, LANES), lambda i: (n_tiles - 1 - i, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tr + 2 * hr, LANES), x2.dtype),
-            pltpu.VMEM((2, tr + hr, k * LANES), data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, tr + hr, LANES), x2.dtype),
+            pltpu.VMEM((hr, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -453,7 +412,7 @@ def _spmv_dia_sym_pallas_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, data)
+    )(data, x2)
 
 
 @functools.partial(
@@ -528,19 +487,19 @@ def _pick_tile_rows(
 ) -> int:
     """Largest divisor-of-nrows tile (in 128-lane rows, a multiple of the
     dtype's sublane tile — 8 rows for fp32, 16 for bf16 — and >= hr for the
-    edge-window math) fitting the VMEM budget: double-buffered window
-    (2*(tr+2hr)) + data (pipelined 2*k*tr, or haloed window 2*k*(tr+hr) for
-    the symmetric kernel) + pipelined y (2*tr). Bigger tiles amortize
+    edge-window math) fitting the VMEM budget: double-buffered x window
+    (2*(tr+2hr), lower-halo-only 2*(tr+hr) for the symmetric kernel) +
+    pipelined data (2*k*tr) + pipelined y (2*tr). Bigger tiles amortize
     per-grid-step overhead. Returns 0 when no valid tile exists (caller
     falls back to the XLA path)."""
-    # the symmetric kernel's roll/select chains keep several (tr, 128) vreg
-    # temporaries live — leave Mosaic extra scoped-stack headroom
-    budget = (4 if sym else 10) * 1024 * 1024
+    # the symmetric kernel's roll/select/concat chains keep several
+    # (tr, 128) vreg temporaries live — leave Mosaic extra headroom
+    budget = (8 if sym else 10) * 1024 * 1024
     sublanes = 8 if itemsize >= 4 else 16
 
     def fits(tr: int) -> bool:
-        dneed = 2 * k * (tr + hr) if sym else 2 * k * tr
-        need = (2 * (tr + 2 * hr) + dneed + 2 * tr) * LANES * itemsize
+        xneed = 2 * (tr + hr) if sym else 2 * (tr + 2 * hr)
+        need = (xneed + 2 * k * tr + 2 * tr) * LANES * itemsize
         return need <= budget
 
     best = 0
