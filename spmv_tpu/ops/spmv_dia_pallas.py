@@ -211,10 +211,12 @@ def _dia_sym_kernel(
     d_ref,      # (TR, K*128) VMEM — interleaved lower-tri diagonals
                 #   (grid-pipelined: ONE contiguous HBM chunk per step)
     x_hbm,      # (nrows, 128) ANY — unframed x, windows DMA'd manually
-    y_ref,      # (TR, 128) VMEM — output tile (pipelined)
+    y_hbm,      # (nrows, 128) ANY — output, tiles DMA'd manually
     xwin,       # (2, TR + HR, 128) VMEM scratch (LOWER halo only)
-    carry,      # (HR, 128) f32 scratch — transpose spill into the next tile
+    carry,      # (TR, 128) f32 scratch — previous tile's accumulator
+    yscr,       # (2, TR, 128) VMEM staging for the delayed y writes
     xsem,       # (2,) DMA semaphores
+    ysem,       # (2,) DMA semaphores
     *,
     offsets: tuple[int, ...],
     tr: int,
@@ -228,18 +230,21 @@ def _dia_sym_kernel(
     y[r+o] += d_o[r] * x[r] — a BACKWARD scatter. Instead of gathering it
     from haloed d/x windows (measured ~60%% of the copy roofline: the extra
     manual haloed DMA stream breaks the pipelining that gives the vanilla
-    kernel ~80%%), this kernel runs the grid in REVERSE tile order (the
-    index maps of d and y are reversed) and scatters each tile's aligned
-    product d_o[r]*x[r] backward: rows spilling below the tile land in a
-    persistent ``carry`` scratch added to the output of the tile processed
-    next (the grid is sequential under "arbitrary" semantics). d then
-    pipelines exactly like the vanilla kernel (no halo at all) and x needs
-    only a lower halo — no scatter primitives, no atomics, ~40%% less
-    matrix traffic than full storage for a 5-point stencil, at the vanilla
-    kernel's streaming efficiency.
+    kernel ~80%%), this kernel scatters each tile's aligned product
+    d_o[r]*x[r] backward and DELAYS the y write by one step: step i
+    computes tile i's accumulator into persistent scratch and ships tile
+    i-1 = saved_acc + this tile's spill via a double-buffered manual DMA
+    (the final step additionally ships its own tile, which receives no
+    spill). The grid is sequential ("arbitrary" semantics), stays at
+    n_tiles steps with plain AFFINE index maps — non-affine (clamped) maps
+    measured ~7%% slower (they defeat the pipeline's block prefetch,
+    tools/exp_affine) and a reversed grid ~9%% slower (descending HBM
+    streams defeat prefetch, tools/exp_reverse_order.py). d pipelines
+    exactly like the vanilla kernel (no halo at all) and x needs only a
+    lower halo — no scatter primitives, no atomics, ~40%% less matrix
+    traffic than full storage for a 5-point stencil.
     """
-    i = pl.program_id(0)
-    tile = n_tiles - 1 - i  # reversed processing order
+    i = pl.program_id(0)  # step i processes tile i, ships y tile i-1
     wrows = tr + hr
 
     # x window for tile t covers rows [t*tr - hr, t*tr + tr); tile 0 clamps
@@ -276,18 +281,24 @@ def _dia_sym_kernel(
                     xwin.at[slot], xsem.at[slot],
                 ).wait()
 
+    def y_dma(slot, t):
+        return pltpu.make_async_copy(
+            yscr.at[slot],
+            y_hbm.at[pl.ds(t * tr, tr), :],
+            ysem.at[slot],
+        )
+
     @pl.when(i == 0)
     def _():
-        x_start(0, n_tiles - 1)
-        carry[...] = jnp.zeros((hr, LANES), jnp.float32)
+        x_start(0, 0)
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        x_start((i + 1) % 2, tile - 1)
+        x_start((i + 1) % 2, i + 1)
 
-    x_wait(i % 2, tile)
+    x_wait(i % 2, i)
 
-    @pl.when(tile == 0)
+    @pl.when(i == 0)
     def _():
         xwin[i % 2, 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
 
@@ -350,15 +361,45 @@ def _dia_sym_kernel(
         acc = acc + dk.astype(jnp.float32) * gather_shift(hr * LANES + off)
         if off < 0:
             # transpose: y[j+o] += d_o[j] * x[j] — the ALIGNED product
-            # scattered backward; the head spills into carry for the
-            # next-processed (lower-index) tile
+            # scattered backward; the head spills into the PREVIOUS tile's
+            # output block, finalized this step
             ext = scatter_shift(dk.astype(jnp.float32) * xa, hr * LANES + off)
             acc = acc + ext[hr : hr + tr, :]
             spill = spill + ext[0:hr, :]
-    y_ref[:, :] = jnp.concatenate(
-        [acc[0 : tr - hr, :], acc[tr - hr : tr, :] + carry[...]]
-    ).astype(y_ref.dtype)
-    carry[...] = spill
+    prev = carry[...]
+
+    # ship tile i-1 = prev accumulator + this tile's spill (its last hr
+    # rows). Each yscr slot's prior DMA (started two regular writes ago, at
+    # step i-2) is waited before the slot is rewritten.
+    @pl.when(i > 0)
+    def _():
+        if n_tiles > 3:
+            @pl.when(i >= 3)
+            def _():
+                y_dma((i - 1) % 2, i - 3).wait()
+        yscr[(i - 1) % 2] = jnp.concatenate(
+            [prev[0 : tr - hr, :], prev[tr - hr : tr, :] + spill]
+        ).astype(yscr.dtype)
+        y_dma((i - 1) % 2, i - 1).start()
+
+    carry[...] = acc
+
+    # final step: ship this tile too (it receives no spill), then drain
+    # every outstanding DMA before the program ends
+    @pl.when(i == n_tiles - 1)
+    def _():
+        if n_tiles > 2:
+            @pl.when(i >= 2)
+            def _():
+                y_dma(i % 2, i - 2).wait()
+        yscr[i % 2] = acc.astype(yscr.dtype)
+        y_dma(i % 2, i).start()
+
+        @pl.when(i > 0)
+        def _():
+            y_dma((i - 1) % 2, i - 1).wait()
+
+        y_dma(i % 2, i).wait()
 
 
 @functools.partial(
@@ -369,9 +410,8 @@ def _spmv_dia_sym_pallas_2d(
     interpret: bool = False,
 ):
     """Symmetric kernel wrapper: data (npad/128, K*128) with offsets<=0.
-    d and y blocks are grid-pipelined with REVERSED index maps (the kernel
-    processes tiles last-to-first so the backward transpose spill lands on
-    the tile processed next)."""
+    n_tiles ascending grid steps with plain affine index maps; y is shipped
+    by the kernel's own double-buffered DMAs (delayed one step)."""
     nrows, klanes = data.shape
     k = klanes // LANES
     tr = tile_rows
@@ -388,19 +428,17 @@ def _spmv_dia_sym_pallas_2d(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (tr, k * LANES), lambda i: (n_tiles - 1 - i, 0),
-                memory_space=pltpu.VMEM,
+                (tr, k * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (tr, LANES), lambda i: (n_tiles - 1 - i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, tr + hr, LANES), x2.dtype),
-            pltpu.VMEM((hr, LANES), jnp.float32),
+            pltpu.VMEM((tr, LANES), jnp.float32),
+            pltpu.VMEM((2, tr, LANES), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -498,8 +536,10 @@ def _pick_tile_rows(
     sublanes = 8 if itemsize >= 4 else 16
 
     def fits(tr: int) -> bool:
-        xneed = 2 * (tr + hr) if sym else 2 * (tr + 2 * hr)
-        need = (xneed + 2 * k * tr + 2 * tr) * LANES * itemsize
+        # sym: lower-halo-only x window + (tr, 128) f32 carry + (2, tr, 128)
+        # y staging (y is otherwise unbuffered: out lives in ANY space)
+        xneed = 2 * (tr + hr) + 3 * tr if sym else 2 * (tr + 2 * hr) + 2 * tr
+        need = (xneed + 2 * k * tr) * LANES * itemsize
         return need <= budget
 
     best = 0
