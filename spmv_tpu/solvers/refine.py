@@ -62,11 +62,14 @@ def cg_refined(
     max_outer: int = 6,
     inner_rtol: float = 1e-6,
     inner_kmax: int = 500,
+    jacobi: bool = False,
     interpret: bool = False,
 ) -> RefineResult:
     """Solve SPD ``a x = b`` to float64-class TRUE residual using fp32
     compute. ``a`` must be banded (DIA-convertible); fp64 values honored via
-    double-single storage.
+    double-single storage. ``jacobi=True`` diagonal-scales the fp32 inner
+    solves — for ill-conditioned systems this cuts inner iterations without
+    touching the refinement floor (the DS residual path is unchanged).
     """
     d32 = csr_to_dia(a, row_align=1024, dtype=np.float32)
     dds = csr_to_dia_ds(a, row_align=1024)
@@ -91,6 +94,19 @@ def cg_refined(
         rh, rl = ds_add(bh2_, bl2_, -yh, -yl)
         return rh, rl
 
+    precond = None
+    if jacobi:
+        lens = a.row_nnz()
+        rows = np.repeat(np.arange(n), lens)
+        on_diag = a.colind == rows
+        diag = np.zeros(npad, np.float32)
+        diag[rows[on_diag]] = a.values[on_diag]
+        diag2 = jnp.asarray(diag.reshape(-1, LANES))
+
+        def precond(r2):
+            return jnp.where(diag2 != 0, r2 / jnp.where(diag2 != 0, diag2, 1),
+                             r2)
+
     @jax.jit
     def inner_solve(d32_, rh2, scale):
         """fp32 CG on the scaled residual."""
@@ -101,7 +117,8 @@ def cg_refined(
                 return spmv_dia_pallas_2d(d32_, p2)
             return spmv_dia(d32_, p2.reshape(-1), method="xla").reshape(p2.shape)
 
-        res = cg(mv, rs, kmax=inner_kmax, rtol=inner_rtol)
+        res = cg(mv, rs, kmax=inner_kmax, rtol=inner_rtol,
+                 preconditioner=precond)
         return res.x, res.iterations
 
     xh2 = jnp.zeros((npad // LANES, LANES), jnp.float32)

@@ -144,3 +144,48 @@ def test_distributed_refinement_general_sparsity(n_dev):
                           inner_kmax=3000, local_format="well")
     rel = np.linalg.norm(a.matvec(res.x) - b) / np.linalg.norm(b)
     assert rel < 1e-10, rel
+
+
+def test_refinement_jacobi_inner():
+    """Jacobi-scaled inner solves on a badly diagonally-scaled SPD operator:
+    same f64-class floor, strictly fewer inner iterations."""
+    from spmv_tpu.formats.csr import CSRHost
+
+    a0 = create_laplace_2d(48, 48)
+    n = a0.nrows
+    # D^1/2 A D^1/2 keeps SPD but spreads the diagonal over ~6 orders
+    w = np.logspace(-3, 3, n)
+    lens = a0.row_nnz()
+    rows = np.repeat(np.arange(n), lens)
+    vals = a0.values * w[rows] * w[a0.colind]
+    a = CSRHost(rowptr=a0.rowptr, colind=a0.colind, values=vals, ncols=n)
+    b = gaussian_bump(n)
+    plain = cg_refined(a, b, rtol=1e-10, inner_kmax=4000, max_outer=8,
+                       interpret=True)
+    jac = cg_refined(a, b, rtol=1e-10, inner_kmax=4000, max_outer=8,
+                     jacobi=True, interpret=True)
+    rel = np.linalg.norm(a.matvec(jac.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-9, rel
+    assert jac.inner_iterations < plain.inner_iterations, (
+        jac.inner_iterations, plain.inner_iterations)
+
+
+def test_distributed_refinement_jacobi():
+    """cg_refined_dist(jacobi=True) on a badly diagonally-scaled SPD
+    operator: f64-class floor with fewer inner iterations than unscaled."""
+    from spmv_tpu.formats.csr import CSRHost
+    from spmv_tpu.solvers.refine import cg_refined_dist
+
+    a0 = create_laplace_2d(48, 48)
+    n = a0.nrows
+    w = np.logspace(-2, 2, n)
+    rows = np.repeat(np.arange(n), a0.row_nnz())
+    a = CSRHost(rowptr=a0.rowptr, colind=a0.colind,
+                values=a0.values * w[rows] * w[a0.colind], ncols=n)
+    b = gaussian_bump(n)
+    plain = cg_refined_dist(a, b, n_devices=4, rtol=1e-10, inner_kmax=4000)
+    jac = cg_refined_dist(a, b, n_devices=4, rtol=1e-10, inner_kmax=4000,
+                          jacobi=True)
+    rel = np.linalg.norm(a.matvec(jac.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-9, rel
+    assert jac.inner_iterations < plain.inner_iterations
