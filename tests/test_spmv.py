@@ -233,3 +233,55 @@ def test_bf16_storage_ell_and_dia():
     y_d = np.asarray(spmv_dia(d, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
     assert rel_err(y_e[: a.nrows], want) < 4e-2
     assert rel_err(y_d[: a.nrows], want) < 4e-2
+
+
+def test_dia_sym_pallas_tile_count_sweep():
+    """The symmetric carry kernel's delayed-write/DMA-wait choreography has
+    per-n_tiles cases (1 tile, 2, 3, >3); sweep them all explicitly against
+    the oracle (interpreter)."""
+    from spmv_tpu.ops.spmv_dia_pallas import (
+        _spmv_dia_sym_pallas_2d, dia_halo_rows, dia_to_2d,
+    )
+
+    a = create_laplace_2d(64, 96)  # 6144 rows, padded to 96 lane-rows
+    d = csr_to_dia(a, dtype=np.float32, symmetric=True, row_align=12288)
+    hr = dia_halo_rows(d)
+    nrows = d.nrows_pad // 128
+    x = np.random.default_rng(17).standard_normal(a.ncols).astype(np.float32)
+    x2 = dia_to_2d(d, jnp.asarray(np.pad(x, (0, d.nrows_pad - a.ncols))))
+    want = a.matvec(x.astype(np.float64))
+    tried = 0
+    for tr in (nrows, nrows // 2, nrows // 3, nrows // 4, nrows // 6):
+        # (96 lane-rows: 1, 2, 3, 4 and 6 tiles; all 8-aligned and >= hr)
+        if nrows % tr or tr % 8 or tr < hr:
+            continue
+        tried += 1
+        got = np.asarray(
+            _spmv_dia_sym_pallas_2d(d.data, x2, d.offsets, tr, hr,
+                                    interpret=True)
+        ).reshape(-1)
+        assert rel_err(got[: a.nrows], want) < 1e-5, (tr, nrows // tr)
+    assert tried >= 4, tried
+
+
+def test_dia_sym_pallas_bf16_interpret():
+    """bf16 symmetric storage through the carry kernel (staging buffers are
+    bf16, accumulation f32)."""
+    from spmv_tpu.ops.spmv_dia_pallas import (
+        _spmv_dia_sym_pallas_2d, dia_halo_rows, dia_to_2d, _pick_tile_rows,
+    )
+
+    a = create_laplace_2d(48, 48)
+    d = csr_to_dia(a, dtype=jnp.bfloat16, symmetric=True, row_align=2048)
+    hr = dia_halo_rows(d)
+    nrows = d.nrows_pad // 128
+    tr = _pick_tile_rows(nrows, len(d.offsets), hr, 2, sym=True)
+    assert tr > 0
+    x = np.random.default_rng(19).standard_normal(a.ncols).astype(np.float32)
+    x2 = dia_to_2d(d, jnp.asarray(np.pad(x, (0, d.nrows_pad - a.ncols)))
+                   ).astype(jnp.bfloat16)
+    got = np.asarray(
+        _spmv_dia_sym_pallas_2d(d.data, x2, d.offsets, tr, hr, interpret=True)
+    ).astype(np.float64).reshape(-1)
+    want = a.matvec(x.astype(np.float64))
+    assert rel_err(got[: a.nrows], want) < 3e-2
