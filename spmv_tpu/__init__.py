@@ -70,6 +70,7 @@ from spmv_tpu.ops.spmv_dia_pallas import (
     spmv_dia_pallas,
     spmv_dia_pallas_2d,
 )
+from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
 from spmv_tpu.io.petsc import (
@@ -115,6 +116,8 @@ __all__ = [
     "dia_pallas_supported",
     "cg",
     "cg_pipelined",
+    "bicgstab",
+    "BiCGStabResult",
     "CGResult",
     "cg_refined",
     "cg_refined_dist",
