@@ -41,6 +41,9 @@ def main() -> int:
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
+    ap.add_argument("--solver", choices=["cg", "bicgstab"], default="cg",
+                    help="bicgstab handles NON-symmetric operators "
+                         "(the reference's CG-only solver layer cannot)")
     ap.add_argument("--refine", action="store_true",
                     help="mixed-precision iterative refinement: fp32 inner "
                          "CG + double-single residuals -> f64-class TRUE "
@@ -139,8 +142,11 @@ def main() -> int:
     b = A.to_dist(b_host)
     # A passed as a pytree ARGUMENT (closure capture would embed the matrix
     # as literal constants in the compiled program)
+    from spmv_tpu.solvers.bicgstab import bicgstab
+
+    krylov = bicgstab if args.solver == "bicgstab" else cg
     solve = jax.jit(
-        lambda A_, bb: cg(
+        lambda A_, bb: krylov(
             A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
             preconditioner=A_.jacobi_preconditioner() if args.jacobi else None,
         )

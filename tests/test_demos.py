@@ -93,3 +93,15 @@ def test_demo_cg_mtx_file(tmp_path):
          "--kmax", "200"]
     )
     assert "Converged: True" in stdout
+
+
+def test_demo_cg_bicgstab_solver():
+    """--solver bicgstab through the CLI (non-symmetric-capable path; the
+    Laplacian is symmetric so both solvers must agree on the solution)."""
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--solver", "bicgstab"]
+    )
+    assert "Converged: True" in stdout
+    rnorm = float(stdout.split("r.norm = ")[1].split()[0])
+    assert rnorm < 1e-8
