@@ -71,6 +71,7 @@ from spmv_tpu.ops.spmv_dia_pallas import (
     spmv_dia_pallas_2d,
 )
 from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
+from spmv_tpu.solvers.gmres import GMRESResult, gmres
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
 from spmv_tpu.io.petsc import (
@@ -118,6 +119,8 @@ __all__ = [
     "cg_pipelined",
     "bicgstab",
     "BiCGStabResult",
+    "gmres",
+    "GMRESResult",
     "CGResult",
     "cg_refined",
     "cg_refined_dist",

@@ -1,0 +1,103 @@
+"""GMRES(m) for general systems (beyond-reference; see solvers/gmres.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.gen import random_csr
+from spmv_tpu.solvers.gmres import gmres
+
+
+def nonsym_dd(n, seed, k=5, dom=1.0):
+    a = random_csr(n, n, k, seed=seed)
+    dense = a.to_dense()
+    np.fill_diagonal(dense, np.abs(dense).sum(axis=1) * dom + 1.0)
+    return CSRHost.from_dense(dense)
+
+
+def test_gmres_matches_direct_solve():
+    a = nonsym_dd(200, seed=23)
+    b = np.random.default_rng(24).standard_normal(200)
+    mv = lambda x: jnp.asarray(a.to_dense()) @ x
+    res = jax.jit(lambda bb: gmres(mv, bb, restart=40, max_cycles=10,
+                                   rtol=1e-12))(jnp.asarray(b))
+    assert bool(res.converged)
+    want = np.linalg.solve(a.to_dense(), b)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-7, atol=1e-9)
+
+
+def test_gmres_true_residual_reported():
+    a = nonsym_dd(150, seed=29)
+    b = np.random.default_rng(30).standard_normal(150)
+    mv = lambda x: jnp.asarray(a.to_dense()) @ x
+    res = gmres(mv, jnp.asarray(b), restart=30, max_cycles=10, rtol=1e-10)
+    r = b - a.matvec(np.asarray(res.x))
+    np.testing.assert_allclose(np.linalg.norm(r), float(res.rnorm),
+                               rtol=1e-5, atol=1e-12)
+
+
+def test_gmres_restarts_make_progress():
+    """Small restart on a harder system: multiple cycles run and converge."""
+    a = nonsym_dd(300, seed=31, dom=0.3)
+    b = np.random.default_rng(32).standard_normal(300)
+    mv = lambda x: jnp.asarray(a.to_dense()) @ x
+    res = gmres(mv, jnp.asarray(b), restart=15, max_cycles=40, rtol=1e-9)
+    assert bool(res.converged)
+    assert int(res.cycles) > 1
+    rel = np.linalg.norm(a.matvec(np.asarray(res.x)) - b) / np.linalg.norm(b)
+    assert rel < 1e-8
+
+
+def test_gmres_jacobi_right_preconditioned():
+    a0 = nonsym_dd(240, seed=37)
+    n = a0.nrows
+    w = np.logspace(-2, 2, n)
+    dense = a0.to_dense() * w[:, None] * w[None, :]
+    diag = jnp.asarray(np.diag(dense))
+    b = np.random.default_rng(38).standard_normal(n)
+    mv = lambda x: jnp.asarray(dense) @ x
+    plain = gmres(mv, jnp.asarray(b), restart=30, max_cycles=40, rtol=1e-9)
+    prec = gmres(mv, jnp.asarray(b), restart=30, max_cycles=40, rtol=1e-9,
+                 preconditioner=lambda r: r / diag)
+    assert bool(prec.converged)
+    rel = np.linalg.norm(dense @ np.asarray(prec.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-8
+    assert int(prec.iterations) <= int(plain.iterations)
+
+
+def test_gmres_exact_in_one_unrestarted_cycle():
+    """restart >= n: GMRES is a direct method (lucky breakdown path)."""
+    a = nonsym_dd(40, seed=41)
+    b = np.random.default_rng(42).standard_normal(40)
+    mv = lambda x: jnp.asarray(a.to_dense()) @ x
+    res = gmres(mv, jnp.asarray(b), restart=48, max_cycles=3, rtol=1e-10)
+    assert bool(res.converged)
+    assert int(res.cycles) == 1
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_gmres_distributed(n_dev):
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    rng = np.random.default_rng(200 + n_dev)
+    n = 260
+    rows, cols, vals = [], [], []
+    for off in (-7, -1, 1, 3):
+        i = np.arange(max(0, -off), min(n, n - off))
+        rows.append(i); cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    i = np.arange(n)
+    rows.append(i); cols.append(i); vals.append(np.full(n, 8.0))
+    a = CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                         np.concatenate(vals), n, n)
+    A = build_dist_matrix(a, n_devices=n_dev)
+    b = rng.standard_normal(n)
+    res = jax.jit(
+        lambda A_, bb: gmres(A_.as_linear_operator(), bb, restart=30,
+                             max_cycles=20, rtol=1e-11)
+    )(A, A.to_dist(b))
+    assert bool(res.converged), float(res.rnorm)
+    x = A.from_dist(res.x, side="col")
+    rel = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
+    assert rel < 1e-9, rel
