@@ -25,8 +25,8 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from spmv_tpu.parallel.comm_plan import CommPlan
-from spmv_tpu.parallel.dist_matrix import DistMatrix
+from spmv_tpu.parallel.comm_plan import CommPlan, CommPlan2
+from spmv_tpu.parallel.dist_matrix import DIST_DATA_FIELDS, DistMatrix
 
 
 def _npz_path(path: str) -> str:
@@ -39,23 +39,27 @@ def _npz_path(path: str) -> str:
 
 def save_dist_matrix(path: str, a: DistMatrix) -> None:
     """Persist the assembled operator (without the mesh — meshes are
-    machine-specific and are re-supplied at load)."""
+    machine-specific and are re-supplied at load). Every array field of the
+    DistMatrix pytree is saved by name, so ALL local formats round-trip
+    (ell/dia/well and their double-single variants)."""
+    if isinstance(a.plan, CommPlan2):
+        raise NotImplementedError(
+            "two-tier (CommPlan2) operators cannot be checkpointed yet; "
+            "rebuild on a 1-D mesh or re-assemble on load"
+        )
     path = _npz_path(path)
     arrays = {
-        "local_colind": np.asarray(a.local_colind),
-        "local_values": np.asarray(a.local_values),
-        "remote_colind": np.asarray(a.remote_colind),
-        "remote_values": np.asarray(a.remote_values),
-        "jacobi_diag": np.asarray(a.jacobi_diag),
         "plan_send_idx": np.asarray(a.plan.send_idx),
         "plan_recv_pos": np.asarray(a.plan.recv_pos),
         "plan_nlocal": np.asarray(a.plan.nlocal),
         "plan_nghosts": np.asarray(a.plan.nghosts),
     }
-    if a.diagonal is not None:
-        arrays["diagonal"] = np.asarray(a.diagonal)
-    if a.local_dia_data is not None:
-        arrays["local_dia_data"] = np.asarray(a.local_dia_data)
+    for name in DIST_DATA_FIELDS:
+        if name == "plan":
+            continue
+        v = getattr(a, name)
+        if v is not None:
+            arrays[name] = np.asarray(v)
     np.savez_compressed(path, **arrays)
     meta = {
         "version": 1,
@@ -67,6 +71,8 @@ def save_dist_matrix(path: str, a: DistMatrix) -> None:
         "axis_name": a.axis_name,
         "local_format": a.local_format,
         "dia_offsets": list(a.dia_offsets),
+        "well_meta": list(a.well_meta),
+        "well_far_nnz": a.well_far_nnz,
         "dia_layout": "interleaved",
         "plan": {
             "rounds": list(a.plan.rounds),
@@ -113,13 +119,18 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
         nlocal_pad=pm["nlocal_pad"],
         nghost_pad=pm["nghost_pad"],
     )
+    kwargs = {}
+    for name in DIST_DATA_FIELDS:
+        if name == "plan":
+            continue
+        if name in z:
+            arr = z[name]
+            if name == "local_dia_data":
+                arr = _dia_to_interleaved(arr, meta.get("dia_layout"))
+            kwargs[name] = put(arr, P(axis, *([None] * (arr.ndim - 1))))
+        else:
+            kwargs[name] = None
     return DistMatrix(
-        local_colind=put(z["local_colind"], mspec),
-        local_values=put(z["local_values"], mspec),
-        remote_colind=put(z["remote_colind"], mspec),
-        remote_values=put(z["remote_values"], mspec),
-        diagonal=put(z["diagonal"], P(axis, None)) if "diagonal" in z else None,
-        jacobi_diag=put(z["jacobi_diag"], P(axis, None)),
         plan=plan,
         nrows_global=meta["nrows_global"],
         ncols_global=meta.get("ncols_global", meta["nrows_global"]),
@@ -129,14 +140,10 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
         mesh=mesh,
         axis_name=axis,
         local_format=meta.get("local_format", "ell"),
-        local_dia_data=(
-            put(_dia_to_interleaved(z["local_dia_data"],
-                                    meta.get("dia_layout")),
-                P(axis, None, None))
-            if "local_dia_data" in z
-            else None
-        ),
         dia_offsets=tuple(meta.get("dia_offsets", [])),
+        well_meta=tuple(meta.get("well_meta", [])),
+        well_far_nnz=meta.get("well_far_nnz", 0),
+        **kwargs,
     )
 
 

@@ -147,6 +147,16 @@ class DistMatrix:
     # double-single lo planes for local_format == "well_ds"
     local_well_values_lo: jax.Array | None = None
     local_values_lo: jax.Array | None = None  # far-block lo plane
+    # far remainder of the WELL window split as compact COO (local_format
+    # == "well"): gathers/scatters far_nnz elements instead of streaming an
+    # (R, K) ELL rectangle through the ~1 GB/s XLA gather — measured 9x
+    # end-to-end on a matrix with an EMPTY far block before this existed.
+    # well_ds keeps the ELL far arrays (its ds_add chain needs them) but
+    # skips them statically when well_far_nnz == 0.
+    far_rows: jax.Array | None = None  # (D, F) int32 local row indices
+    far_cols: jax.Array | None = None  # (D, F) int32 local col indices
+    far_vals: jax.Array | None = None  # (D, F)
+    well_far_nnz: int = 0              # static: max per-shard far nnz
 
     # ----- static geometry -----
     @property
@@ -254,6 +264,8 @@ class DistMatrix:
         has_diag = self.diagonal is not None
         has_dia = self.local_format == "dia"
         has_well = self.local_format == "well"
+        has_far = has_well and self.well_far_nnz > 0
+        n_well = (6 if has_far else 3) if has_well else 0
         tables = _plan_tables(self.plan)
         nt = len(tables)
 
@@ -263,7 +275,8 @@ class DistMatrix:
             diag = rest.pop(0)[0] if has_diag else None
             dia_data = rest.pop(0)[0] if has_dia else None
             well = (
-                tuple(rest.pop(0)[0] for _ in range(3)) if has_well else None
+                tuple(rest.pop(0)[0] for _ in range(n_well))
+                if has_well else None
             )
             y = _shard_mult(
                 x_s, lci[0], lv[0], rci[0], rv[0], diag,
@@ -291,6 +304,9 @@ class DistMatrix:
             in_specs += [P(self.axis_name, None, None, None),
                          P(self.axis_name, None, None, None),
                          P(self.axis_name, None)]
+            if has_far:
+                args += [self.far_rows, self.far_cols, self.far_vals]
+                in_specs += [P(self.axis_name, None)] * 3
         return jax.shard_map(
             per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
             out_specs=spec, check_vma=False,  # pallas_call inside shard_map
@@ -376,13 +392,16 @@ class DistMatrix:
                 )
                 yh, yl = spmv_well_ds_pallas_2d(wm, xh2, xl2,
                                                 interpret=not on_tpu)
-                # far remainder of the window split, in ds arithmetic
-                fh = jnp.zeros((rp,), jnp.float32)
-                fl = jnp.zeros((rp,), jnp.float32)
-                fh, fl = ell_ds_term(lci_, lvh_, lvl_,
-                                     xh2.reshape(-1), xl2.reshape(-1), fh, fl)
-                yh, yl = ds_add(yh, yl, fh.reshape(yh.shape),
-                                fl.reshape(yh.shape))
+                if self.well_far_nnz > 0:
+                    # far remainder of the window split, in ds arithmetic
+                    # (statically absent when the split left nothing out)
+                    fh = jnp.zeros((rp,), jnp.float32)
+                    fl = jnp.zeros((rp,), jnp.float32)
+                    fh, fl = ell_ds_term(lci_, lvh_, lvl_,
+                                         xh2.reshape(-1), xl2.reshape(-1),
+                                         fh, fl)
+                    yh, yl = ds_add(yh, yl, fh.reshape(yh.shape),
+                                    fl.reshape(yh.shape))
             else:
                 from spmv_tpu.ops.spmv_dia_ds_pallas import (
                     DiaDsMatrix,
@@ -497,7 +516,9 @@ class DistMatrix:
                 # arrays. XLA-path (like the ELL transpose below) — for
                 # repeated applies in a hot loop, pre-build the transposed
                 # operator (build_dist_matrix(a.transpose())) instead.
-                wv, wp, ww0 = (rest.pop(0)[0] for _ in range(3))
+                n_w = 6 if self.well_far_nnz > 0 else 3
+                wellt = tuple(rest.pop(0)[0] for _ in range(n_w))
+                wv, wp, ww0 = wellt[:3]
                 k_w, wseg_w, tg_w = self.well_meta
                 cols = wp.astype(jnp.int32) + (
                     jnp.repeat(ww0.astype(jnp.int32), tg_w) * 128
@@ -507,10 +528,12 @@ class DistMatrix:
                 y = y.at[cols.reshape(-1)].add(
                     contrib.reshape(-1), mode="promise_in_bounds"
                 )
-                y = y.at[lci_.reshape(-1)].add(
-                    (lv_ * x_s[:, None]).reshape(-1),
-                    mode="promise_in_bounds",
-                )
+                if n_w > 3:
+                    # compact-COO far remainder transposed: y[col] += v*x[row]
+                    fr_, fc_, fv_ = wellt[3:6]
+                    y = y.at[fc_].add(
+                        fv_ * x_s[fr_], mode="promise_in_bounds"
+                    )
             elif has_dia:
                 from spmv_tpu.formats.dia import DiaMatrix
                 from spmv_tpu.ops.spmv_dia_pallas import (
@@ -551,6 +574,9 @@ class DistMatrix:
             in_specs += [P(self.axis_name, None, None, None),
                          P(self.axis_name, None, None, None),
                          P(self.axis_name, None)]
+            if self.well_far_nnz > 0:
+                args += [self.far_rows, self.far_cols, self.far_vals]
+                in_specs += [P(self.axis_name, None)] * 3
         if has_dia:
             args.append(dia_data_t)
             in_specs.append(P(self.axis_name, None, None))
@@ -566,19 +592,25 @@ class DistMatrix:
 # jitted function instead would embed its arrays as literal constants in the
 # lowered program — observed shipping a 2 GB matrix through the remote
 # compile service. Mesh and all shape/format descriptors are static.
+# single source of truth for the array/meta field split — the pytree
+# registration AND the checkpoint writer iterate these
+DIST_DATA_FIELDS = (
+    "local_colind", "local_values", "remote_colind", "remote_values",
+    "diagonal", "jacobi_diag", "plan", "local_dia_data",
+    "local_dia_data_lo", "remote_values_lo",
+    "local_well_values", "local_well_pos", "local_well_w0",
+    "local_well_values_lo", "local_values_lo",
+    "far_rows", "far_cols", "far_vals",
+)
+DIST_META_FIELDS = (
+    "nrows_global", "ncols_global", "row_pad", "symmetric", "nnz_global",
+    "mesh", "axis_name", "local_format", "dia_offsets", "well_meta",
+    "well_far_nnz",
+)
 jax.tree_util.register_dataclass(
     DistMatrix,
-    data_fields=[
-        "local_colind", "local_values", "remote_colind", "remote_values",
-        "diagonal", "jacobi_diag", "plan", "local_dia_data",
-        "local_dia_data_lo", "remote_values_lo",
-        "local_well_values", "local_well_pos", "local_well_w0",
-        "local_well_values_lo", "local_values_lo",
-    ],
-    meta_fields=[
-        "nrows_global", "ncols_global", "row_pad", "symmetric", "nnz_global",
-        "mesh", "axis_name", "local_format", "dia_offsets", "well_meta",
-    ],
+    data_fields=list(DIST_DATA_FIELDS),
+    meta_fields=list(DIST_META_FIELDS),
 )
 
 
@@ -636,9 +668,14 @@ def _shard_mult(
         )
         # interpret mode on CPU = the reference-executor analogue
         y2 = spmv_well_pallas_2d(wm, x2, interpret=not on_tpu)
-        # far remainder of the window split rides the ELL local arrays
-        far = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
-        y2 = y2 + far.reshape(y2.shape)
+        if len(well) > 3:
+            # compact-COO far remainder: touch far_nnz elements only
+            # (statically absent when the window split left nothing out)
+            fr_, fc_, fv_ = well[3:6]
+            far = jnp.zeros((row_pad,), x.dtype).at[fr_].add(
+                fv_ * jnp.take(x, fc_, axis=0), mode="promise_in_bounds"
+            )
+            y2 = y2 + far.reshape(y2.shape)
         y = None
     else:
         y = jnp.einsum("rk,rk->r", lv, jnp.take(x, lci, axis=0))
@@ -694,6 +731,8 @@ def _assemble(
     well_stack = None
     well_lo = None
     far_lo = None
+    far_rows = far_cols = far_vals = None
+    far_max = 0
     well_meta: tuple[int, ...] = ()
     if local_format in ("well", "well_ds"):
         if symmetric:
@@ -838,16 +877,38 @@ def _assemble(
         lv = np.zeros((nd, r, 1), dtype=np.float32 if local_format == "dia_ds"
                       else (dtype or shards[0].local.dtype))
     elif local_format in ("well", "well_ds"):
-        # the local ELL arrays carry the far remainder of the window split
-        kl = max(max((int(b.row_nnz().max()) if b.nnz else 0)
-                     for b in far_blocks), 1)
+        # far remainder of the window split. well_ds keeps it in the local
+        # ELL arrays (the DS accumulation chain works column-wise); plain
+        # well stores it as compact COO so the device term touches only
+        # far_nnz elements (an (R, K) ELL rectangle through the XLA gather
+        # costs ~R*K elements even when the far block is EMPTY — measured
+        # 9x end-to-end slowdown before this split).
+        far_max = max((b.nnz for b in far_blocks), default=0)
         if local_format == "well_ds":
             from spmv_tpu.ds import ds_from_f64
 
+            kl = max(max((int(b.row_nnz().max()) if b.nnz else 0)
+                         for b in far_blocks), 1)
             lci, lv64 = _stack_ell(far_blocks, r, kl, dtype=np.float64)
             lv, far_lo = ds_from_f64(lv64)
         else:
-            lci, lv = _stack_ell(far_blocks, r, kl, dtype=dtype)
+            kl = 1
+            lci = np.zeros((nd, r, 1), dtype=np.int32)
+            lv = np.zeros((nd, r, 1), dtype=dtype or shards[0].local.dtype)
+            if far_max > 0:
+                far_rows = np.zeros((nd, far_max), dtype=np.int32)
+                far_cols = np.zeros((nd, far_max), dtype=np.int32)
+                far_vals = np.zeros((nd, far_max),
+                                    dtype=dtype or shards[0].local.dtype)
+                for s, bf in enumerate(far_blocks):
+                    if bf.nnz == 0:
+                        continue
+                    far_rows[s, : bf.nnz] = np.repeat(
+                        np.arange(bf.nrows, dtype=np.int32), bf.row_nnz()
+                    )
+                    far_cols[s, : bf.nnz] = bf.colind
+                    far_vals[s, : bf.nnz] = bf.values
+                    # padding slots stay (row 0, col 0, val 0): adds 0.0
     else:
         lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
     if local_format in ("dia_ds", "well_ds"):
@@ -935,6 +996,13 @@ def _assemble(
         local_values_lo=(None if far_lo is None
                          else put(far_lo, P(axis_names, None, None))),
         well_meta=well_meta,
+        far_rows=(None if far_rows is None
+                  else put(far_rows, P(axis_names, None))),
+        far_cols=(None if far_cols is None
+                  else put(far_cols, P(axis_names, None))),
+        far_vals=(None if far_vals is None
+                  else put(far_vals, P(axis_names, None))),
+        well_far_nnz=int(far_max),
     )
 
 

@@ -101,3 +101,31 @@ def test_warm_resume_beats_cold_restart():
               resume=(half.r, half.p, half.rnorm0))
     cold = cg(op, b, x0=half.x, kmax=30, rtol=1e-30)
     assert float(warm.rnorm) < float(cold.rnorm)
+
+
+def test_checkpoint_well_operator_roundtrip(tmp_path):
+    """WELL operators (incl. a nonempty compact-COO far remainder and the
+    DS variants' extra planes) round-trip through save/load — the writer
+    iterates the pytree's array fields, so no format loses arrays."""
+    import jax
+
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.io.checkpoint import load_dist_matrix, save_dist_matrix
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = random_csr(8000, 8000, 6, seed=77)
+    A = build_dist_matrix(a, n_devices=4, local_format="well",
+                          well_wseg_cap=8)
+    assert A.well_far_nnz > 0
+    p = str(tmp_path / "well_op")
+    save_dist_matrix(p, A)
+    B = load_dist_matrix(p, mesh=A.mesh)
+    assert B.local_format == "well"
+    assert B.well_far_nnz == A.well_far_nnz
+    assert B.well_meta == A.well_meta
+    x = np.random.default_rng(78).standard_normal(8000)
+    ya = A.from_dist(jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x)))
+    yb = B.from_dist(jax.jit(lambda M, v: M.matvec(v))(B, B.to_dist(x)))
+    np.testing.assert_array_equal(ya, yb)
+    want = a.matvec(x)
+    assert np.linalg.norm(yb - want) / np.linalg.norm(want) < 1e-12

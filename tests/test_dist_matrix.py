@@ -396,7 +396,7 @@ def test_dist_well_transpose_scattered():
     a = random_csr(8000, 8000, 6, seed=98)
     A = build_dist_matrix(a, n_devices=4, local_format="well",
                           well_wseg_cap=8)
-    assert int(np.asarray(A.local_values).nonzero()[0].size) > 0, \
+    assert A.well_far_nnz > 0 and A.far_vals is not None, \
         "fixture should produce a far remainder"
     x_host = np.random.default_rng(99).standard_normal(8000)
     fwd = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x_host)))
