@@ -196,11 +196,15 @@ class DistMatrix:
         return self.local_values.dtype
 
     def format_size_bytes(self) -> int:
-        """Device bytes actually held (reference Matrix::format_size parity,
+        """Device bytes actually held across every array field of whatever
+        local format this matrix uses (reference Matrix::format_size parity,
         spmv/Matrix.h:94-111)."""
         total = 0
-        for arr in (self.local_colind, self.local_values, self.remote_colind,
-                    self.remote_values, self.diagonal, self.local_dia_data):
+        for name in DIST_DATA_FIELDS:
+            if name in ("plan", "jacobi_diag"):
+                continue  # plan tables are comm metadata, jacobi_diag is
+                # an optional preconditioner extract, not matrix storage
+            arr = getattr(self, name)
             if arr is not None:
                 total += arr.size * arr.dtype.itemsize
         return total
