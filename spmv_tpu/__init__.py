@@ -72,6 +72,8 @@ from spmv_tpu.ops.spmv_dia_pallas import (
 )
 from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.gmres import GMRESResult, gmres
+from spmv_tpu.ops.spmm_dia_pallas import spmm_dia, spmm_dia_supported
+from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
 from spmv_tpu.io.petsc import (
@@ -121,6 +123,9 @@ __all__ = [
     "BiCGStabResult",
     "gmres",
     "GMRESResult",
+    "block_jacobi_preconditioner",
+    "spmm_dia",
+    "spmm_dia_supported",
     "CGResult",
     "cg_refined",
     "cg_refined_dist",
