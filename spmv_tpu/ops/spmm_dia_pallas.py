@@ -49,6 +49,9 @@ def _dia_mrhs_kernel(
     i = pl.program_id(0)
     wrows = tr + 2 * hr
     lanes_all = nrhs * LANES
+    # f32 accumulation on TPU dtypes; f64 data (CPU/interpret — the oracle
+    # path, spmm_dia_supported gates TPU to f32/bf16) accumulates in f64
+    cdt = jnp.float64 if data_ref.dtype == jnp.float64 else jnp.float32
 
     def dma_mid(slot, tile):
         return pltpu.make_async_copy(
@@ -141,16 +144,16 @@ def _dia_mrhs_kernel(
         sl = slice(r * LANES, (r + 1) * LANES)
         q, rr = divmod(t, LANES)
         if rr == 0:
-            return xw[q : q + tr, sl].astype(jnp.float32)
-        r0 = pltpu.roll(xw[q : q + tr, sl].astype(jnp.float32), LANES - rr, 1)
+            return xw[q : q + tr, sl].astype(cdt)
+        r0 = pltpu.roll(xw[q : q + tr, sl].astype(cdt), LANES - rr, 1)
         r1 = pltpu.roll(
-            xw[q + 1 : q + tr + 1, sl].astype(jnp.float32), LANES - rr, 1
+            xw[q + 1 : q + tr + 1, sl].astype(cdt), LANES - rr, 1
         )
         return jnp.where(lane < LANES - rr, r0, r1)
 
-    accs = [jnp.zeros((tr, LANES), jnp.float32) for _ in range(nrhs)]
+    accs = [jnp.zeros((tr, LANES), cdt) for _ in range(nrhs)]
     for kk, off in enumerate(offsets):
-        dk = data_ref[:, kk * LANES : (kk + 1) * LANES].astype(jnp.float32)
+        dk = data_ref[:, kk * LANES : (kk + 1) * LANES].astype(cdt)
         for r in range(nrhs):
             accs[r] = accs[r] + dk * shifted(r, hr * LANES + off)
     y_ref[:, :] = jnp.concatenate(accs, axis=1).astype(y_ref.dtype)

@@ -1,0 +1,278 @@
+"""Block CG (O'Leary 1980) — solve A X = B for nrhs right-hand sides at once.
+
+Why on TPU: SpMV is matrix-traffic-bound, so solving nrhs systems one at a
+time re-streams the matrix nrhs times per "iteration row"; block CG applies
+A to the whole block (``ops/spmm_dia_pallas`` streams it ONCE) and shares
+Krylov information between columns — typically FEWER iterations than the
+worst single column needs, with all the block linear algebra as small
+(nrhs x nrhs) dense ops the MXU eats for free. The reference has neither
+multi-RHS application nor block solvers (one vector everywhere,
+reference spmv/cg.cpp).
+
+Vectors live in the SpMM lane layout (rows, nrhs*128) — element
+(i, r*128+j) is flat element i*128+j of RHS r — so repeated applies chain
+with zero data movement. Block dots/updates treat that layout as
+(rows, nrhs, 128) einsums.
+
+Rank deficiency (columns converging early makes P^T A P singular) is
+handled the standard way: the small solves are Tikhonov-regularized at
+~eps * trace scale, which leaves well-conditioned blocks untouched.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+
+
+@dataclasses.dataclass
+class BlockCGResult:
+    x: jax.Array           # (rows, nrhs*128) lane layout
+    iterations: jax.Array  # int32 — block iterations (= SpMM applies)
+    rnorm: jax.Array       # (nrhs,) final per-column |r|_2
+    rnorm0: jax.Array      # (nrhs,)
+    converged: jax.Array   # bool — ALL columns below rtol
+
+
+jax.tree_util.register_dataclass(
+    BlockCGResult,
+    data_fields=["x", "iterations", "rnorm", "rnorm0", "converged"],
+    meta_fields=[],
+)
+
+
+def _as3(v, nrhs):
+    return v.reshape(v.shape[0], nrhs, LANES)
+
+
+def block_cg(
+    matmat: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    nrhs: int,
+    x0: jax.Array | None = None,
+    kmax: int = 100,
+    rtol: float = 1e-10,
+) -> BlockCGResult:
+    """Solve SPD A X = B. ``b`` is (rows, nrhs*128) in the SpMM lane layout
+    (zero padding entries); ``matmat`` maps that layout to itself (e.g. a
+    closure over ``_spmm_dia_pallas_2d``). Stops when EVERY column's
+    relative residual is below ``rtol``."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    rdtype = jnp.finfo(b.dtype).dtype
+    eps = jnp.asarray(jnp.finfo(b.dtype).eps, rdtype)
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, rdtype)
+
+    def gram(u, v):
+        """(nrhs, nrhs) block dot in the lane layout."""
+        return jnp.einsum(
+            "rac,rbc->ab", _as3(u, nrhs), _as3(v, nrhs),
+            preferred_element_type=rdtype,
+        )
+
+    def colmix(u, m):
+        """u @ m over the column axis: out[:, b] = sum_a u[:, a] m[a, b]."""
+        return jnp.einsum(
+            "rac,ab->rbc", _as3(u, nrhs), m.astype(b.dtype)
+        ).reshape(u.shape)
+
+    def rsolve(m, rhs):
+        """Solve the small SPD-ish (nrhs, nrhs) system with a trace-scaled
+        ridge — identity action on well-conditioned blocks, keeps converged
+        (near-zero) columns from blowing up the others."""
+        ridge = (jnp.trace(m) / nrhs + tiny) * eps * 16
+        return jnp.linalg.solve(
+            m.astype(rdtype) + ridge * jnp.eye(nrhs, dtype=rdtype),
+            rhs.astype(rdtype),
+        )
+
+    r0 = b - matmat(x0)
+    gamma0 = gram(r0, r0)
+    rnorm0 = jnp.sqrt(jnp.maximum(jnp.diag(gamma0), 0))
+
+    def cond(state):
+        k, _x, _r, _p, gamma = state
+        rn = jnp.sqrt(jnp.maximum(jnp.diag(gamma), 0))
+        return (k < kmax) & jnp.any(
+            rn / jnp.maximum(rnorm0, tiny) >= rtol
+        )
+
+    def body(state):
+        k, x, r, p, gamma = state
+        q = matmat(p)                      # ONE matrix stream for the block
+        delta = gram(p, q)
+        alpha = rsolve(delta, gamma)       # (nrhs, nrhs)
+        x = x + colmix(p, alpha)
+        r = r - colmix(q, alpha)
+        gamma_new = gram(r, r)
+        beta = rsolve(gamma, gamma_new)
+        p = r + colmix(p, beta)
+        return (k + 1, x, r, p, gamma_new)
+
+    k, x, r, _p, gamma = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, r0, gamma0)
+    )
+    rnorm = jnp.sqrt(jnp.maximum(jnp.diag(gamma), 0))
+    return BlockCGResult(
+        x=x,
+        iterations=k,
+        rnorm=rnorm,
+        rnorm0=rnorm0,
+        converged=jnp.all(rnorm / jnp.maximum(rnorm0, tiny) < rtol),
+    )
+
+
+def block_cg_dia(a, B, kmax: int = 100, rtol: float = 1e-10,
+                 interpret: bool = False) -> tuple:
+    """Convenience wiring for a DiaMatrix: B is (n, nrhs) columns; returns
+    (X (n, nrhs), BlockCGResult). Uses the multi-RHS SpMM kernel so each
+    block iteration streams the matrix once."""
+    import numpy as np
+
+    from spmv_tpu.ops.spmm_dia_pallas import (
+        _pick_tile_rows_mrhs,
+        _spmm_dia_pallas_2d,
+        spmm_from_layout,
+        spmm_to_layout,
+    )
+    from spmv_tpu.ops.spmv_dia_pallas import dia_halo_rows
+
+    n, nrhs = B.shape
+    hr = dia_halo_rows(a)
+    tr = _pick_tile_rows_mrhs(
+        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize, nrhs
+    )
+    if tr == 0:
+        raise ValueError("no valid tile; check spmm_dia_supported first")
+
+    def matmat(x2):
+        return _spmm_dia_pallas_2d(a.data, x2, a.offsets, tr, hr, nrhs,
+                                   interpret=interpret)
+
+    b2 = spmm_to_layout(a, jnp.asarray(B))
+    res = jax.jit(
+        lambda b_: block_cg(matmat, b_, nrhs, kmax=kmax, rtol=rtol)
+    )(b2)
+    X = spmm_from_layout(res.x, nrhs)[:n]
+    return X, res
+
+
+def block_cg_refined(
+    a,
+    B,
+    rtol: float = 1e-12,
+    max_outer: int = 10,
+    inner_kmax: int = 400,
+    inner_rtol: float = 1e-4,
+    interpret: bool = False,
+):
+    """f64-class multi-RHS solves at fp32 block speed.
+
+    fp32 block CG stalls around kappa * eps_f32 (measured ~2e-2 on a
+    262k-row Laplacian: the small-block solves lose conjugacy in f32 long
+    before single-vector CG does). Wrapping it in Wilkinson refinement
+    fixes both problems at once: double-single TRUE residuals restore
+    accuracy to the kappa*2^-48 floor, and restarting the inner block CG
+    every outer pass resets the decayed Krylov block, so each pass
+    contracts by roughly its achievable inner tolerance. All hot compute is
+    the fp32 multi-RHS SpMM (matrix streamed once per inner iteration) and
+    the DS residual SpMVs (nrhs per outer pass).
+
+    ``a``: host CSRHost (banded/DIA-convertible, SPD); ``B``: (n, nrhs).
+    Returns (X (n, nrhs) float64, outer_iterations, inner_iterations,
+    final per-column TRUE residual norms).
+    """
+    import numpy as np
+
+    from spmv_tpu.ds import ds_add, ds_from_f64, ds_to_f64
+    from spmv_tpu.formats.dia import csr_to_dia
+    from spmv_tpu.ops.spmm_dia_pallas import (
+        _pick_tile_rows_mrhs,
+        _spmm_dia_pallas_2d,
+        spmm_from_layout,
+        spmm_to_layout,
+    )
+    from spmv_tpu.ops.spmv_dia_ds_pallas import (
+        csr_to_dia_ds,
+        dia_ds_pallas_supported,
+        spmv_dia_ds_pallas_2d,
+        spmv_dia_ds_xla,
+    )
+    from spmv_tpu.ops.spmv_dia_pallas import dia_halo_rows
+
+    n, nrhs = B.shape
+    d32 = csr_to_dia(a, row_align=1024, dtype=np.float32)
+    dds = csr_to_dia_ds(a, row_align=1024)
+    npad = dds.nrows_pad
+    on_tpu = jax.default_backend() == "tpu" and not interpret
+    hr = dia_halo_rows(d32)
+    tr = _pick_tile_rows_mrhs(npad // LANES, len(d32.offsets), hr, 4, nrhs)
+    if tr == 0:
+        raise ValueError("no valid SpMM tile for this size/nrhs")
+
+    bh, bl = ds_from_f64(
+        np.pad(np.asarray(B, np.float64), ((0, npad - n), (0, 0)))
+    )
+    bh2 = jnp.asarray(bh.reshape(-1, LANES, nrhs))
+    bl2 = jnp.asarray(bl.reshape(-1, LANES, nrhs))
+    bnorm = np.linalg.norm(B, axis=0)
+
+    @jax.jit
+    def residual_col(dds_, bh_c, bl_c, xh_c, xl_c):
+        if on_tpu and dia_ds_pallas_supported(dds_):
+            yh, yl = spmv_dia_ds_pallas_2d(dds_, xh_c, xl_c)
+        else:
+            yh, yl = spmv_dia_ds_xla(dds_, xh_c, xl_c)
+        return ds_add(bh_c, bl_c, -yh, -yl)
+
+    @jax.jit
+    def inner_block(d32_, r2, scales):
+        def matmat(x2):
+            return _spmm_dia_pallas_2d(d32_.data, x2, d32_.offsets, tr, hr,
+                                       nrhs, interpret=interpret)
+
+        return block_cg(matmat, r2, nrhs, kmax=inner_kmax, rtol=inner_rtol)
+
+    xh = jnp.zeros((npad // LANES, LANES, nrhs), jnp.float32)
+    xl = jnp.zeros_like(xh)
+    inner_total = 0
+    history = []
+    for outer in range(max_outer):
+        rhs_cols = []
+        rnorms = np.zeros(nrhs)
+        rh_cols, rl_cols = [], []
+        for r in range(nrhs):
+            rh, rl = residual_col(dds, bh2[..., r], bl2[..., r],
+                                  xh[..., r], xl[..., r])
+            rh_cols.append(rh)
+            rl_cols.append(rl)
+            rnorms[r] = float(jnp.linalg.norm(rh.reshape(-1)[:n]))
+        history.append(rnorms.copy())
+        if np.all(rnorms <= rtol * bnorm):
+            break
+        if len(history) > 1 and np.all(rnorms > 0.5 * history[-2]):
+            break  # stalled at the kappa * eps_ds floor
+        scale = 1.0 / np.maximum(rnorms, 1e-300)
+        r_flat = jnp.stack(
+            [rh_cols[r].reshape(-1) * jnp.float32(scale[r])
+             for r in range(nrhs)], axis=1)
+        r2 = spmm_to_layout(d32, r_flat)
+        res = inner_block(d32, r2, None)
+        inner_total += int(res.iterations)
+        d_cols = spmm_from_layout(res.x, nrhs)  # (npad, nrhs)
+        for r in range(nrhs):
+            dh = (d_cols[:, r] * jnp.float32(rnorms[r])).reshape(
+                -1, LANES)
+            nh, nl = ds_add(xh[..., r], xl[..., r], dh, jnp.zeros_like(dh))
+            xh = xh.at[..., r].set(nh)
+            xl = xl.at[..., r].set(nl)
+
+    X = np.stack(
+        [ds_to_f64(np.asarray(xh[..., r]).reshape(-1),
+                   np.asarray(xl[..., r]).reshape(-1))[:n]
+         for r in range(nrhs)], axis=1)
+    return X, len(history), inner_total, history[-1]
