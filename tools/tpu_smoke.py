@@ -184,6 +184,31 @@ def _(env):
     return np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-12
 
 
+@check("multi-RHS SpMM bitwise-matches single applies")
+def _spmm(env):
+    st, jnp = env["st"], env["jnp"]
+    import jax
+    import numpy as np
+    from spmv_tpu.ops.spmm_dia_pallas import (
+        spmm_dia, spmm_dia_supported, spmm_to_layout,
+    )
+    from spmv_tpu.ops.spmv_dia_pallas import spmv_dia_pallas
+
+    a = st.create_laplace_2d(128, 128, dtype=np.float32)
+    d = st.csr_to_dia(a, dtype=np.float32, row_align=4096)
+    if not spmm_dia_supported(d, 3):
+        return False
+    X = np.random.default_rng(5).standard_normal(
+        (a.nrows, 3)).astype(np.float32)
+    Y = np.asarray(spmm_dia(d, jnp.asarray(X)))
+    for r in range(3):
+        y1 = np.asarray(spmv_dia_pallas(
+            d, jnp.asarray(np.pad(X[:, r], (0, d.nrows_pad - a.nrows)))))
+        if not np.array_equal(Y[:, r], y1):
+            return False
+    return True
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
