@@ -29,7 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spmv_tpu.formats.dia import DiaMatrix
-from spmv_tpu.ops.spmv_dia_pallas import LANES, _round_up, dia_halo_rows
+from spmv_tpu.ops.spmv_dia_pallas import (
+    LANES,
+    _pick_tile_rows,
+    _x_window_dma,
+    dia_halo_rows,
+)
 
 
 def _dia_mrhs_kernel(
@@ -53,67 +58,7 @@ def _dia_mrhs_kernel(
     # path, spmm_dia_supported gates TPU to f32/bf16) accumulates in f64
     cdt = jnp.float64 if data_ref.dtype == jnp.float64 else jnp.float32
 
-    def dma_mid(slot, tile):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(tile * tr - hr, sub), wrows), :],
-            xwin.at[slot], xsem.at[slot],
-        )
-
-    def dma_first(slot):
-        rows = min(tr + hr, n_tiles * tr)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, rows), :],
-            xwin.at[slot, pl.ds(hr, rows), :], xsem.at[slot],
-        )
-
-    def dma_last(slot):
-        rows = min(tr + hr, n_tiles * tr)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(n_tiles * tr - rows, rows), :],
-            xwin.at[slot, pl.ds(0, rows), :], xsem.at[slot],
-        )
-
-    def start(slot, tile):
-        if n_tiles == 1:
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, tr), :],
-                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
-            ).start()
-            return
-
-        @pl.when(tile == 0)
-        def _():
-            dma_first(slot).start()
-
-        @pl.when(tile == n_tiles - 1)
-        def _():
-            dma_last(slot).start()
-
-        if n_tiles > 2:
-            @pl.when((tile > 0) & (tile < n_tiles - 1))
-            def _():
-                dma_mid(slot, tile).start()
-
-    def wait(slot, tile):
-        if n_tiles == 1:
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, tr), :],
-                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
-            ).wait()
-            return
-
-        @pl.when(tile == 0)
-        def _():
-            dma_first(slot).wait()
-
-        @pl.when(tile == n_tiles - 1)
-        def _():
-            dma_last(slot).wait()
-
-        if n_tiles > 2:
-            @pl.when((tile > 0) & (tile < n_tiles - 1))
-            def _():
-                dma_mid(slot, tile).wait()
+    start, wait = _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub)
 
     @pl.when(i == 0)
     def _():
@@ -208,25 +153,9 @@ def _spmm_dia_pallas_2d(
 
 def _pick_tile_rows_mrhs(nrows: int, k: int, hr: int, itemsize: int,
                          nrhs: int) -> int:
-    """Largest divisor-of-nrows tile fitting the VMEM budget with nrhs-wide
-    x window and y tiles (see spmv_dia_pallas._pick_tile_rows)."""
-    budget = 10 * 1024 * 1024
-    sublanes = 8 if itemsize >= 4 else 16
-
-    def fits(tr: int) -> bool:
-        need = (2 * (tr + 2 * hr) * nrhs + 2 * k * tr + 2 * tr * nrhs) \
-            * LANES * itemsize
-        return need <= budget
-
-    best = 0
-    d = 1
-    while d * d <= nrows:
-        if nrows % d == 0:
-            for tr in (d, nrows // d):
-                if tr % sublanes == 0 and tr >= hr and fits(tr) and tr > best:
-                    best = tr
-        d += 1
-    return best
+    """Tile picker with nrhs-wide x window and y tiles — the shared divisor
+    search (spmv_dia_pallas._pick_tile_rows) with the nrhs factor."""
+    return _pick_tile_rows(nrows, k, hr, itemsize, nrhs=nrhs)
 
 
 def spmm_dia_supported(a: DiaMatrix, nrhs: int) -> bool:
@@ -268,6 +197,11 @@ def spmm_from_layout(y2: jax.Array, nrhs: int) -> jax.Array:
 def spmm_dia(a: DiaMatrix, x: jax.Array, interpret: bool = False) -> jax.Array:
     """Y = A X for X (n, nrhs): the matrix is streamed once for the whole
     block. Returns (nrows_pad, nrhs)."""
+    if a.symmetric:
+        raise ValueError(
+            "spmm_dia has no symmetric (lower-triangle) kernel yet; convert "
+            "with csr_to_dia(..., symmetric=False) for block applies"
+        )
     nrhs = x.shape[1]
     hr = dia_halo_rows(a)
     tr = _pick_tile_rows_mrhs(

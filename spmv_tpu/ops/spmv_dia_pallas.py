@@ -71,28 +71,17 @@ def dia_to_2d(a: DiaMatrix, x: jax.Array) -> jax.Array:
     return flat.reshape(nrows, LANES)
 
 
-def _dia_kernel(
-    data_ref,   # (TR, K*128) VMEM — interleaved diagonal data tile
-                #   (pipelined; ONE contiguous HBM chunk per grid step)
-    x_hbm,      # (nrows, 128) ANY — UNFRAMED x, windows DMA'd manually
-    y_ref,      # (TR, 128) VMEM — output tile (pipelined)
-    xwin,       # (2, TR + 2*HR, 128) VMEM scratch
-    xsem,       # (2,) DMA semaphores
-    *,
-    offsets: tuple[int, ...],
-    tr: int,
-    hr: int,
-    n_tiles: int,
-    sub: int,
-):
-    i = pl.program_id(0)
+def _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub):
+    """(start, wait) closures for the double-buffered FULL-halo x-window
+    DMA — the window for tile t covers x rows [t*tr - hr, t*tr + tr + hr);
+    the first/last tiles clamp to the domain (callers zero the out-of-
+    domain frame rows in VMEM — zero Dirichlet halo). Start/wait pairs
+    branch identically so each wait matches its start. Requires tr >= hr
+    (enforced by _pick_tile_rows). Shared by the vanilla single-RHS kernel
+    and the multi-RHS SpMM kernel (spmm_dia_pallas) — the lane width is
+    whatever xwin/x_hbm carry."""
     wrows = tr + 2 * hr
 
-    # The window for tile t covers x rows [t*tr - hr, t*tr + tr + hr); the
-    # first/last tiles clamp to the domain and zero the out-of-domain frame
-    # rows in VMEM instead (zero Dirichlet halo — exactly what a framed
-    # vector would hold). Start/wait pairs branch identically so each wait
-    # matches its start. Requires tr >= hr (enforced by _pick_tile_rows).
     def dma_mid(slot, tile):
         # tr is a multiple of the dtype's sublane tile ``sub`` and hr of 16,
         # so this offset is provably a multiple of ``sub`` — promising more
@@ -160,6 +149,27 @@ def _dia_kernel(
             @pl.when((tile > 0) & (tile < n_tiles - 1))
             def _():
                 dma_mid(slot, tile).wait()
+
+    return start, wait
+
+
+def _dia_kernel(
+    data_ref,   # (TR, K*128) VMEM — interleaved diagonal data tile
+                #   (pipelined; ONE contiguous HBM chunk per grid step)
+    x_hbm,      # (nrows, 128) ANY — UNFRAMED x, windows DMA'd manually
+    y_ref,      # (TR, 128) VMEM — output tile (pipelined)
+    xwin,       # (2, TR + 2*HR, 128) VMEM scratch
+    xsem,       # (2,) DMA semaphores
+    *,
+    offsets: tuple[int, ...],
+    tr: int,
+    hr: int,
+    n_tiles: int,
+    sub: int,
+):
+    i = pl.program_id(0)
+    wrows = tr + 2 * hr
+    start, wait = _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub)
 
     @pl.when(i == 0)
     def _():
@@ -521,15 +531,16 @@ def dia_pallas_supported(a: DiaMatrix, x: jax.Array | None = None) -> bool:
 
 
 def _pick_tile_rows(
-    nrows: int, k: int, hr: int, itemsize: int, sym: bool = False
+    nrows: int, k: int, hr: int, itemsize: int, sym: bool = False,
+    nrhs: int = 1,
 ) -> int:
     """Largest divisor-of-nrows tile (in 128-lane rows, a multiple of the
     dtype's sublane tile — 8 rows for fp32, 16 for bf16 — and >= hr for the
     edge-window math) fitting the VMEM budget: double-buffered x window
-    (2*(tr+2hr), lower-halo-only 2*(tr+hr) for the symmetric kernel) +
-    pipelined data (2*k*tr) + pipelined y (2*tr). Bigger tiles amortize
-    per-grid-step overhead. Returns 0 when no valid tile exists (caller
-    falls back to the XLA path)."""
+    (2*(tr+2hr) per RHS, lower-halo-only 2*(tr+hr) for the symmetric
+    kernel) + pipelined data (2*k*tr) + pipelined y (2*tr per RHS). Bigger
+    tiles amortize per-grid-step overhead. Returns 0 when no valid tile
+    exists (caller falls back to the XLA path)."""
     # the symmetric kernel's roll/select/concat chains keep several
     # (tr, 128) vreg temporaries live — leave Mosaic extra headroom
     budget = (8 if sym else 10) * 1024 * 1024
@@ -538,7 +549,8 @@ def _pick_tile_rows(
     def fits(tr: int) -> bool:
         # sym: lower-halo-only x window + (tr, 128) f32 carry + (2, tr, 128)
         # y staging (y is otherwise unbuffered: out lives in ANY space)
-        xneed = 2 * (tr + hr) + 3 * tr if sym else 2 * (tr + 2 * hr) + 2 * tr
+        xneed = (2 * (tr + hr) + 3 * tr if sym
+                 else (2 * (tr + 2 * hr) + 2 * tr) * nrhs)
         need = (xneed + 2 * k * tr) * LANES * itemsize
         return need <= budget
 

@@ -67,11 +67,12 @@ def bicgstab(
 
     r0 = b - matvec(x0)
     rhat = r0  # fixed shadow residual
-    rnorm2_0 = dot(r0, r0)
+    rdtype = jnp.finfo(b.dtype).dtype  # real dtype (norms); scalars stay
+    rnorm2_0 = dot(r0, r0).real.astype(rdtype)  # b.dtype (complex-capable)
     rnorm0 = jnp.sqrt(rnorm2_0)
-    eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
-    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=rnorm2_0.dtype)
-    one = jnp.ones_like(rnorm2_0)
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=rdtype)
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=rdtype)
+    one = jnp.ones((), b.dtype)
     zeros = jnp.zeros_like(b)
 
     def cond(state):
@@ -80,27 +81,35 @@ def bicgstab(
         return (k < kmax) & ok & jnp.logical_not(brk)
 
     def body(state):
-        k, x, r, p, v, rho, alpha, omega, _rnorm2, _brk = state
-        rho_new = dot(rhat, r)
+        k, x0_, r0_, p0_, v0_, rho0_, alpha0_, omega0_, rnorm2_0_, _brk = state
+        rho_new = dot(rhat, r0_)
         brk = jnp.abs(rho_new) <= tiny * 4
-        beta = (rho_new / _safe(rho, tiny)) * (alpha / _safe(omega, tiny))
-        p = r + beta * (p - omega * v)
+        beta = (rho_new / _safe(rho0_, tiny)) * (alpha0_ / _safe(omega0_, tiny))
+        p = r0_ + beta * (p0_ - omega0_ * v0_)
         phat = precond(p)
         v = matvec(phat)
         denom = dot(rhat, v)
         brk = brk | (jnp.abs(denom) <= tiny * 4)
         alpha = rho_new / _safe(denom, tiny)
-        s = r - alpha * v
+        s = r0_ - alpha * v
         shat = precond(s)
         t = matvec(shat)
         ts = dot(t, s)
         tt = dot(t, t)  # adjacent to ts -> one fused reduction
         omega = ts / _safe(tt, tiny)
         brk = brk | (jnp.abs(omega) <= tiny * 4)
-        x = x + alpha * phat + omega * shat
+        x = x0_ + alpha * phat + omega * shat
         r = s - omega * t
-        rnorm2 = dot(r, r)
-        return (k + 1, x, r, p, v, rho_new, alpha, omega, rnorm2, brk)
+        rnorm2 = dot(r, r).real.astype(rnorm2_0.dtype)
+        # on breakdown keep the PRE-update iterate (the garbage quotients
+        # above must not reach the returned state — "restart from x" in the
+        # docstring has to mean the last good x)
+        def pick(new, old):
+            return jnp.where(brk, old, new)
+        return (k + jnp.where(brk, 0, 1).astype(jnp.int32),
+                pick(x, x0_), pick(r, r0_), pick(p, p0_), pick(v, v0_),
+                pick(rho_new, rho0_), pick(alpha, alpha0_),
+                pick(omega, omega0_), pick(rnorm2, rnorm2_0_), brk)
 
     state = (jnp.int32(0), x0, r0, zeros, zeros, one, one, one,
              rnorm2_0, jnp.asarray(False))
@@ -120,5 +129,10 @@ def bicgstab(
 
 def _safe(d, tiny):
     """Keep divisions finite on the breakdown path (the flag, not the
-    garbage quotient, decides what happens next)."""
-    return jnp.where(jnp.abs(d) <= tiny, jnp.where(d < 0, -tiny, tiny), d)
+    garbage quotient, decides what happens next). Complex-safe: the sign
+    clamp uses the real part."""
+    return jnp.where(
+        jnp.abs(d) <= tiny,
+        jnp.where(jnp.real(d) < 0, -tiny, tiny).astype(d.dtype),
+        d,
+    )

@@ -142,6 +142,12 @@ def block_cg_dia(a, B, kmax: int = 100, rtol: float = 1e-10,
     from spmv_tpu.ops.spmv_dia_pallas import dia_halo_rows
 
     n, nrhs = B.shape
+    if a.symmetric:
+        raise ValueError(
+            "block_cg_dia needs a full-storage DiaMatrix (the SpMM kernel "
+            "has no lower-triangle transpose term); convert with "
+            "csr_to_dia(..., symmetric=False)"
+        )
     hr = dia_halo_rows(a)
     tr = _pick_tile_rows_mrhs(
         a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize, nrhs
@@ -230,7 +236,7 @@ def block_cg_refined(
         return ds_add(bh_c, bl_c, -yh, -yl)
 
     @jax.jit
-    def inner_block(d32_, r2, scales):
+    def inner_block(d32_, r2):
         def matmat(x2):
             return _spmm_dia_pallas_2d(d32_.data, x2, d32_.offsets, tr, hr,
                                        nrhs, interpret=interpret)
@@ -261,7 +267,7 @@ def block_cg_refined(
             [rh_cols[r].reshape(-1) * jnp.float32(scale[r])
              for r in range(nrhs)], axis=1)
         r2 = spmm_to_layout(d32, r_flat)
-        res = inner_block(d32, r2, None)
+        res = inner_block(d32, r2)
         inner_total += int(res.iterations)
         d_cols = spmm_from_layout(res.x, nrhs)  # (npad, nrhs)
         for r in range(nrhs):

@@ -65,23 +65,26 @@ def gmres(
     m = restart
     vshape = b.shape
     n_flat = b.size
-    # scalar/Hessenberg precision follows the vector dtype's REAL precision
-    # (f32 Hessenberg math would cap each cycle at ~1e-7 even for f64 data)
+    # norms/tolerances in the vector dtype's REAL precision (f32 Hessenberg
+    # math would cap each cycle at ~1e-7 even for f64 data); projection
+    # coefficients and the Hessenberg keep the vector dtype itself so
+    # COMPLEX systems orthogonalize correctly (a .real cast here leaves
+    # components along i*v_j unremoved — measured |<v_i,v_j>| ~ 0.3)
     rdtype = jnp.finfo(b.dtype).dtype
+    cdtype = b.dtype
     eps = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=rdtype)
 
-    rnorm0 = jnp.sqrt(dot(b - matvec(x0), b - matvec(x0)).real.astype(
-        rdtype))
+    r_init = b - matvec(x0)
+    rnorm0 = jnp.sqrt(dot(r_init, r_init).real.astype(rdtype))
 
     def cycle_body(state):
-        x, k_total, cycles, _rnorm = state
-        r = b - matvec(x)
+        x, r, k_total, cycles, _rnorm = state
         beta = jnp.sqrt(dot(r, r).real.astype(rdtype))
         safe_beta = jnp.maximum(beta, eps)
         v0 = (r / safe_beta.astype(b.dtype)).reshape(n_flat)
 
         basis0 = jnp.zeros((m + 1, n_flat), b.dtype).at[0].set(v0)
-        h0 = jnp.zeros((m + 1, m), rdtype)
+        h0 = jnp.zeros((m + 1, m), cdtype)
 
         def arnoldi_step(carry, j):
             basis, h, live = carry
@@ -89,9 +92,9 @@ def gmres(
             w = matvec(precond(vj)).reshape(n_flat)
             # CGS2: two passes of project-against-all (masked to rows <= j)
             mask = (jnp.arange(m + 1) <= j).astype(rdtype)
-            coeffs = jnp.zeros((m + 1,), rdtype)
+            coeffs = jnp.zeros((m + 1,), cdtype)
             for _ in range(2):
-                proj = (basis.conj() @ w).real.astype(rdtype) * mask
+                proj = (basis.conj() @ w) * mask
                 w = w - (proj.astype(b.dtype) @ basis)
                 coeffs = coeffs + proj
             wnorm = jnp.sqrt((w.conj() @ w).real.astype(rdtype))
@@ -102,7 +105,8 @@ def gmres(
                 jnp.where(alive, (w / wn_safe.astype(b.dtype)),
                           jnp.zeros_like(w))
             )
-            hcol = (coeffs.at[j + 1].set(wnorm)) * live.astype(rdtype)
+            hcol = (coeffs.at[j + 1].set(wnorm.astype(cdtype))
+                    ) * live.astype(rdtype)
             h = h.at[:, j].set(hcol)
             return (basis, h, alive), live
 
@@ -115,27 +119,32 @@ def gmres(
         # Dead columns (after a lucky breakdown) are zero; regularize them
         # with identity rows so the solve stays well-posed and yields y=0
         # there.
-        e1 = jnp.zeros((m + 1,), rdtype).at[0].set(beta)
+        e1 = jnp.zeros((m + 1,), cdtype).at[0].set(beta.astype(cdtype))
         col_dead = jnp.arange(m) >= steps
-        h_solve = h + jnp.eye(m + 1, m, dtype=rdtype) * col_dead.astype(
-            rdtype)
+        h_solve = h + (jnp.eye(m + 1, m, dtype=rdtype)
+                       * col_dead.astype(rdtype)).astype(cdtype)
         q, rr = jnp.linalg.qr(h_solve, mode="reduced")
-        y = jax.scipy.linalg.solve_triangular(rr, q.T @ e1, lower=False)
-        y = jnp.where(col_dead, 0.0, y)
+        y = jax.scipy.linalg.solve_triangular(
+            rr, q.conj().T @ e1, lower=False
+        )
+        y = jnp.where(col_dead, jnp.zeros((), cdtype), y)
         dx = (y.astype(b.dtype) @ basis[:m]).reshape(vshape)
         x = x + precond(dx)
+        # the TRUE residual doubles as the next cycle's starting residual —
+        # carrying it saves one matvec per cycle
         r_new = b - matvec(x)
         rnorm = jnp.sqrt(dot(r_new, r_new).real.astype(rdtype))
-        return (x, k_total + steps, cycles + jnp.int32(1), rnorm)
+        return (x, r_new, k_total + steps, cycles + jnp.int32(1), rnorm)
 
     def cycle_cond(state):
-        _x, _k, cycles, rnorm = state
+        _x, _r, _k, cycles, rnorm = state
         return (cycles < max_cycles) & (
             rnorm / jnp.maximum(rnorm0, eps) >= rtol
         )
 
-    x, k_total, cycles, rnorm = jax.lax.while_loop(
-        cycle_cond, cycle_body, (x0, jnp.int32(0), jnp.int32(0), rnorm0)
+    x, _r, k_total, cycles, rnorm = jax.lax.while_loop(
+        cycle_cond, cycle_body,
+        (x0, r_init, jnp.int32(0), jnp.int32(0), rnorm0),
     )
     return GMRESResult(
         x=x,

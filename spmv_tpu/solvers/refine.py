@@ -94,7 +94,7 @@ def cg_refined(
         rh, rl = ds_add(bh2_, bl2_, -yh, -yl)
         return rh, rl
 
-    precond = None
+    diag2 = None
     if jacobi:
         lens = a.row_nnz()
         rows = np.repeat(np.arange(n), lens)
@@ -103,14 +103,18 @@ def cg_refined(
         diag[rows[on_diag]] = a.values[on_diag]
         diag2 = jnp.asarray(diag.reshape(-1, LANES))
 
-        def precond(r2):
-            return jnp.where(diag2 != 0, r2 / jnp.where(diag2 != 0, diag2, 1),
-                             r2)
-
     @jax.jit
-    def inner_solve(d32_, rh2, scale):
-        """fp32 CG on the scaled residual."""
+    def inner_solve(d32_, rh2, scale, diag2_):
+        """fp32 CG on the scaled residual. The diagonal arrives as an
+        ARGUMENT — a closure capture would embed it as a literal constant
+        in the compiled program (the 2-GB-through-the-compiler bug class,
+        see dist_matrix pytree note)."""
         rs = rh2 * scale
+        precond = None
+        if jacobi:
+            def precond(r2):
+                return jnp.where(diag2_ != 0,
+                                 r2 / jnp.where(diag2_ != 0, diag2_, 1), r2)
 
         def mv(p2):
             if on_tpu:
@@ -141,7 +145,7 @@ def cg_refined(
         # scale the residual to unit norm: keeps the fp32 inner solve away
         # from under/overflow as r shrinks toward 1e-14 * |b|
         scale = jnp.float32(1.0 / max(rnorm, 1e-300))
-        d2, it = inner_solve(d32, rh2, scale)
+        d2, it = inner_solve(d32, rh2, scale, diag2)
         inner_total += int(it)
         # x += d / scale, accumulated in double-single
         dh = d2 * jnp.float32(1.0 / float(scale))

@@ -90,3 +90,31 @@ def test_bicgstab_distributed(n_dev):
     x = A.from_dist(res.x, side="col")
     rel = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
     assert rel < 1e-9, rel
+
+
+def test_bicgstab_complex_system():
+    """Complex non-Hermitian system (complex dtypes are supported through
+    the ELL paths; vdot conjugates, so the BiCG recurrences are the standard
+    complex ones)."""
+    rng = np.random.default_rng(55)
+    n = 120
+    dense = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+             ) * (rng.random((n, n)) < 0.05)
+    np.fill_diagonal(dense, np.abs(dense).sum(axis=1) + 2.0)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    mv = lambda x: jnp.asarray(dense) @ x
+    res = bicgstab(mv, jnp.asarray(b), kmax=300, rtol=1e-10)
+    assert bool(res.converged) and not bool(res.breakdown)
+    want = np.linalg.solve(dense, b)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-7, atol=1e-9)
+
+
+def test_bicgstab_breakdown_returns_last_good_iterate():
+    """Skew-symmetric operator forces rho-breakdown at step 2; the result
+    must carry a FINITE pre-breakdown iterate, not garbage quotients."""
+    A = jnp.asarray(np.array([[0.0, 1.0], [-1.0, 0.0]]))
+    b = jnp.asarray(np.array([1.0, 0.0]))
+    res = bicgstab(lambda x: A @ x, b, kmax=50, rtol=1e-12)
+    assert bool(res.breakdown)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert np.isfinite(float(res.rnorm))

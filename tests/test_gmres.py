@@ -101,3 +101,19 @@ def test_gmres_distributed(n_dev):
     x = A.from_dist(res.x, side="col")
     rel = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
     assert rel < 1e-9, rel
+
+
+def test_gmres_complex_system():
+    """Complex non-Hermitian system: the Arnoldi coefficients/Hessenberg
+    must stay complex (a .real cast leaves i*v_j components unremoved)."""
+    rng = np.random.default_rng(71)
+    n = 100
+    dense = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+             ) * (rng.random((n, n)) < 0.08)
+    np.fill_diagonal(dense, np.abs(dense).sum(axis=1) + 2.0)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    mv = lambda x: jnp.asarray(dense) @ x
+    res = gmres(mv, jnp.asarray(b), restart=25, max_cycles=20, rtol=1e-10)
+    assert bool(res.converged)
+    want = np.linalg.solve(dense, b)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-7, atol=1e-9)
