@@ -197,8 +197,19 @@ def _csr_to_dia_host(a, row_align, max_diags, dtype, symmetric):
     if len(rows):
         dsel = np.searchsorted(uniq, offs)
         # accumulate (duplicate CSR entries sum, matching CSR semantics) via
-        # bincount — np.add.at is orders of magnitude slower at 10M+ rows
+        # bincount — np.add.at is orders of magnitude slower at 10M+ rows.
+        # bincount weights must be real: complex values (reference mpi_type
+        # traits parity, mpi_utils.h:55-77) split into two passes.
         flat = dsel * np.int64(nrows_pad) + rows
-        acc = np.bincount(flat, weights=vals_all, minlength=ndiags * nrows_pad)
+        if np.iscomplexobj(vals_all):
+            acc = np.bincount(
+                flat, weights=vals_all.real, minlength=ndiags * nrows_pad
+            ) + 1j * np.bincount(
+                flat, weights=vals_all.imag, minlength=ndiags * nrows_pad
+            )
+        else:
+            acc = np.bincount(
+                flat, weights=vals_all, minlength=ndiags * nrows_pad
+            )
         data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
     return data, tuple(int(o) for o in uniq) or (0,), int(len(rows))

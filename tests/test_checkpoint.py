@@ -129,3 +129,22 @@ def test_checkpoint_well_operator_roundtrip(tmp_path):
     np.testing.assert_array_equal(ya, yb)
     want = a.matvec(x)
     assert np.linalg.norm(yb - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_checkpoint_two_tier_rejected():
+    """Two-tier (CommPlan2) operators raise a clear error instead of
+    silently saving a broken plan."""
+    import pytest
+    from jax.sharding import Mesh
+    import jax
+
+    from spmv_tpu.gen import create_laplace_2d
+    from spmv_tpu.io.checkpoint import save_dist_matrix
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("dcn", "ici"))
+    a = create_laplace_2d(16, 16)
+    A = build_dist_matrix(a, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="two-tier"):
+        save_dist_matrix("/tmp/should_not_exist", A)
