@@ -46,3 +46,72 @@ def test_spmm_layout_roundtrip():
     lay = spmm_to_layout(d, jnp.asarray(X))
     back = np.asarray(spmm_from_layout(lay, 4))
     np.testing.assert_array_equal(back[: a.nrows], X)
+
+
+import jax
+import pytest
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4])
+@pytest.mark.parametrize("fmt", ["ell", "dia"])
+def test_dist_matmat_matches_per_column(n_dev, fmt):
+    """DistMatrix.matmat: block apply across meshes equals per-column
+    matvec for every local format path."""
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_2d(16, 24)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format=fmt)
+    rng = np.random.default_rng(50 + n_dev)
+    X = rng.standard_normal((a.nrows, 3))
+    Y = A.from_dist_block(
+        jax.jit(lambda M, v: M.matmat(v))(A, A.to_dist_block(X)))
+    for r in range(3):
+        want = a.matvec(X[:, r])
+        err = np.linalg.norm(Y[:, r] - want) / np.linalg.norm(want)
+        assert err < 1e-12, (n_dev, fmt, r, err)
+
+
+def test_dist_matmat_symmetric_and_well():
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a_sym = create_laplace_2d(20, 20)
+    A = build_dist_matrix(a_sym, n_devices=4, symmetric=True)
+    rng = np.random.default_rng(60)
+    X = rng.standard_normal((a_sym.nrows, 2))
+    Y = A.from_dist_block(
+        jax.jit(lambda M, v: M.matmat(v))(A, A.to_dist_block(X)))
+    for r in range(2):
+        want = a_sym.matvec(X[:, r])
+        assert np.linalg.norm(Y[:, r] - want) < 1e-12 * np.linalg.norm(want)
+
+    a_w = random_csr(700, 700, 6, seed=61)
+    W = build_dist_matrix(a_w, n_devices=2, local_format="well")
+    Xw = rng.standard_normal((700, 2))
+    Yw = W.from_dist_block(
+        jax.jit(lambda M, v: M.matmat(v))(W, W.to_dist_block(Xw)))
+    for r in range(2):
+        want = a_w.matvec(Xw[:, r])
+        assert np.linalg.norm(Yw[:, r] - want) < 1e-12 * np.linalg.norm(want)
+
+
+def test_dist_block_cg():
+    """Distributed block CG: block_cg over DistMatrix.matmat (gram einsums
+    psum under jit)."""
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.block_cg import block_cg
+
+    a = create_laplace_2d(20, 20)
+    A = build_dist_matrix(a, n_devices=4)
+    rng = np.random.default_rng(70)
+    B = rng.standard_normal((a.nrows, 3))
+    bd = A.to_dist_block(B)
+    res = jax.jit(
+        lambda M, b_: block_cg(M.matmat, b_, 3, kmax=600, rtol=1e-10)
+    )(A, bd)
+    assert bool(res.converged)
+    X = A.from_dist_block(res.x)
+    for r in range(3):
+        rel = np.linalg.norm(a.matvec(X[:, r]) - B[:, r]) \
+            / np.linalg.norm(B[:, r])
+        assert rel < 1e-9, (r, rel)
