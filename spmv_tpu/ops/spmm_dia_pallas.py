@@ -32,6 +32,7 @@ from spmv_tpu.formats.dia import DiaMatrix
 from spmv_tpu.ops.spmv_dia_pallas import (
     LANES,
     _pick_tile_rows,
+    _spmv_dia_sym_pallas_2d,
     _x_window_dma,
     dia_halo_rows,
 )
@@ -159,15 +160,16 @@ def _pick_tile_rows_mrhs(nrows: int, k: int, hr: int, itemsize: int,
 
 
 def spmm_dia_supported(a: DiaMatrix, nrhs: int) -> bool:
-    if a.dtype not in (jnp.float32, jnp.bfloat16) or a.symmetric:
+    if a.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if a.nrows_pad % (8 * LANES) != 0 or nrhs < 1:
         return False
     hr = dia_halo_rows(a)
     if hr > 512:
         return False
-    return _pick_tile_rows_mrhs(
-        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize, nrhs
+    return _pick_tile_rows(
+        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize,
+        sym=a.symmetric, nrhs=nrhs,
     ) > 0
 
 
@@ -196,21 +198,24 @@ def spmm_from_layout(y2: jax.Array, nrhs: int) -> jax.Array:
 
 def spmm_dia(a: DiaMatrix, x: jax.Array, interpret: bool = False) -> jax.Array:
     """Y = A X for X (n, nrhs): the matrix is streamed once for the whole
-    block. Returns (nrows_pad, nrhs)."""
-    if a.symmetric:
-        raise ValueError(
-            "spmm_dia has no symmetric (lower-triangle) kernel yet; convert "
-            "with csr_to_dia(..., symmetric=False) for block applies"
-        )
+    block. Symmetric (lower-triangle) storage dispatches to the multi-RHS
+    carry kernel. Returns (nrows_pad, nrhs)."""
     nrhs = x.shape[1]
     hr = dia_halo_rows(a)
-    tr = _pick_tile_rows_mrhs(
-        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize, nrhs
+    tr = _pick_tile_rows(
+        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize,
+        sym=a.symmetric, nrhs=nrhs,
     )
     if tr == 0:
         raise ValueError("no valid tile; check spmm_dia_supported first")
-    y2 = _spmm_dia_pallas_2d(
-        a.data, spmm_to_layout(a, x), a.offsets, tr, hr, nrhs,
-        interpret=interpret,
-    )
+    if a.symmetric:
+        y2 = _spmv_dia_sym_pallas_2d(
+            a.data, spmm_to_layout(a, x), a.offsets, tr, hr, nrhs=nrhs,
+            interpret=interpret,
+        )
+    else:
+        y2 = _spmm_dia_pallas_2d(
+            a.data, spmm_to_layout(a, x), a.offsets, tr, hr, nrhs,
+            interpret=interpret,
+        )
     return spmm_from_layout(y2, nrhs)

@@ -233,8 +233,12 @@ def _dia_sym_kernel(
     hr: int,
     n_tiles: int,
     sub: int,
+    nrhs: int = 1,
 ):
     """Symmetric DIA SpMV: A = L + D + L^T with only offsets <= 0 stored.
+    Multi-RHS capable (nrhs > 1): x/y/carry/staging are nrhs*128 lanes wide
+    in the SpMM lane layout (spmm_dia_pallas) and the matrix is streamed
+    ONCE for the whole block.
 
     The transpose of a stored entry A[r, r+o] (o < 0) contributes
     y[r+o] += d_o[r] * x[r] — a BACKWARD scatter. Instead of gathering it
@@ -256,6 +260,10 @@ def _dia_sym_kernel(
     """
     i = pl.program_id(0)  # step i processes tile i, ships y tile i-1
     wrows = tr + hr
+    wl = nrhs * LANES
+    # f32 accumulation for the TPU dtypes; f64 data (CPU/interpret oracle
+    # runs — dia_pallas_supported gates TPU to f32/bf16) accumulates in f64
+    cdt = jnp.float64 if d_ref.dtype == jnp.float64 else jnp.float32
 
     # x window for tile t covers rows [t*tr - hr, t*tr + tr); tile 0 clamps
     # to the domain and zeros the out-of-domain top (zero Dirichlet halo).
@@ -310,23 +318,23 @@ def _dia_sym_kernel(
 
     @pl.when(i == 0)
     def _():
-        xwin[i % 2, 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
+        xwin[i % 2, 0:hr, :] = jnp.zeros((hr, wl), xwin.dtype)
 
     xw = xwin[i % 2]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
 
-    def gather_shift(t):
-        """x window rows viewed at flat element offset t in [0, hr*128]
-        (y-row r reads xw flat element r*128 + t; f32 result — sub-32-bit
-        windows upcast before the lane rotate, which Mosaic only implements
-        for 32-bit data)."""
+    def gather_shift(sl, t):
+        """RHS lane-slice ``sl`` of the x window viewed at flat element
+        offset t in [0, hr*128] (y-row r reads flat element r*128 + t; f32
+        result — sub-32-bit windows upcast before the lane rotate, which
+        Mosaic only implements for 32-bit data)."""
         q, rr = divmod(t, LANES)
         if rr == 0:
-            return xw[q : q + tr, :].astype(jnp.float32)
-        r0 = pltpu.roll(xw[q : q + tr, :].astype(jnp.float32), LANES - rr, 1)
+            return xw[q : q + tr, sl].astype(cdt)
+        r0 = pltpu.roll(xw[q : q + tr, sl].astype(cdt), LANES - rr, 1)
         r1 = pltpu.roll(
-            xw[q + 1 : q + tr + 1, :].astype(jnp.float32), LANES - rr, 1
+            xw[q + 1 : q + tr + 1, sl].astype(cdt), LANES - rr, 1
         )
         return jnp.where(lane < LANES - rr, r0, r1)
 
@@ -345,37 +353,46 @@ def _dia_sym_kernel(
 
         if rr == 0:
             return cat(
-                jnp.zeros((q, LANES), jnp.float32),
+                jnp.zeros((q, LANES), cdt),
                 prod,
-                jnp.zeros((hr - q, LANES), jnp.float32),
+                jnp.zeros((hr - q, LANES), cdt),
             )
         # extended row q+w: lanes >= rr hold prod row w (rolled), lanes < rr
         # the lane-wrap of prod row w-1
         r0 = pltpu.roll(prod, rr, 1)
-        r0a = cat(r0, jnp.zeros((1, LANES), jnp.float32))
-        r0b = cat(jnp.zeros((1, LANES), jnp.float32), r0)
+        r0a = cat(r0, jnp.zeros((1, LANES), cdt))
+        r0b = cat(jnp.zeros((1, LANES), cdt), r0)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (tr + 1, LANES), 1)
         mid = jnp.where(lane1 >= rr, r0a, r0b)
         return cat(
-            jnp.zeros((q, LANES), jnp.float32),
+            jnp.zeros((q, LANES), cdt),
             mid,
-            jnp.zeros((hr - q - 1, LANES), jnp.float32),
+            jnp.zeros((hr - q - 1, LANES), cdt),
         )
 
-    xa = xw[hr : hr + tr, :].astype(jnp.float32)  # aligned x rows of the tile
-    acc = jnp.zeros((tr, LANES), jnp.float32)
-    spill = jnp.zeros((hr, LANES), jnp.float32)
-    for kk, off in enumerate(offsets):
-        dk = d_ref[:, kk * LANES : (kk + 1) * LANES]  # free lane-slice view
-        # forward: y[j] += d_o[j] * x[j + o]  (o <= 0: lower window)
-        acc = acc + dk.astype(jnp.float32) * gather_shift(hr * LANES + off)
-        if off < 0:
-            # transpose: y[j+o] += d_o[j] * x[j] — the ALIGNED product
-            # scattered backward; the head spills into the PREVIOUS tile's
-            # output block, finalized this step
-            ext = scatter_shift(dk.astype(jnp.float32) * xa, hr * LANES + off)
-            acc = acc + ext[hr : hr + tr, :]
-            spill = spill + ext[0:hr, :]
+    accs, spills = [], []
+    for r in range(nrhs):
+        sl = slice(r * LANES, (r + 1) * LANES)
+        xa = xw[hr : hr + tr, sl].astype(cdt)  # aligned tile rows
+        acc = jnp.zeros((tr, LANES), cdt)
+        spill = jnp.zeros((hr, LANES), cdt)
+        for kk, off in enumerate(offsets):
+            dk = d_ref[:, kk * LANES : (kk + 1) * LANES]  # free lane slice
+            # forward: y[j] += d_o[j] * x[j + o]  (o <= 0: lower window)
+            acc = acc + dk.astype(cdt) * gather_shift(
+                sl, hr * LANES + off)
+            if off < 0:
+                # transpose: y[j+o] += d_o[j] * x[j] — the ALIGNED product
+                # scattered backward; the head spills into the PREVIOUS
+                # tile's output block, finalized this step
+                ext = scatter_shift(dk.astype(cdt) * xa,
+                                    hr * LANES + off)
+                acc = acc + ext[hr : hr + tr, :]
+                spill = spill + ext[0:hr, :]
+        accs.append(acc)
+        spills.append(spill)
+    acc = accs[0] if nrhs == 1 else jnp.concatenate(accs, axis=1)
+    spill = spills[0] if nrhs == 1 else jnp.concatenate(spills, axis=1)
     prev = carry[...]
 
     # ship tile i-1 = prev accumulator + this tile's spill (its last hr
@@ -413,25 +430,28 @@ def _dia_sym_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "tile_rows", "hr", "interpret")
+    jax.jit, static_argnames=("offsets", "tile_rows", "hr", "nrhs",
+                              "interpret")
 )
 def _spmv_dia_sym_pallas_2d(
     data, x2, offsets: tuple[int, ...], tile_rows: int, hr: int,
-    interpret: bool = False,
+    nrhs: int = 1, interpret: bool = False,
 ):
     """Symmetric kernel wrapper: data (npad/128, K*128) with offsets<=0.
     n_tiles ascending grid steps with plain affine index maps; y is shipped
-    by the kernel's own double-buffered DMAs (delayed one step)."""
+    by the kernel's own double-buffered DMAs (delayed one step). nrhs > 1
+    applies the whole block with one matrix stream (SpMM lane layout)."""
     nrows, klanes = data.shape
     k = klanes // LANES
     tr = tile_rows
     n_tiles = nrows // tr
+    wl = nrhs * LANES
     # strongest TRUE promise: hr is 16-aligned (dia_halo_rows), so
     # tile*tr - hr is 16-aligned iff tr is; otherwise the dtype sublane tile
     sub = 16 if tr % 16 == 0 else (8 if data.dtype.itemsize >= 4 else 16)
     kernel = functools.partial(
         _dia_sym_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles,
-        sub=sub,
+        sub=sub, nrhs=nrhs,
     )
     return pl.pallas_call(
         kernel,
@@ -443,11 +463,14 @@ def _spmv_dia_sym_pallas_2d(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((nrows, wl), data.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tr + hr, LANES), x2.dtype),
-            pltpu.VMEM((tr, LANES), jnp.float32),
-            pltpu.VMEM((2, tr, LANES), data.dtype),
+            pltpu.VMEM((2, tr + hr, wl), x2.dtype),
+            pltpu.VMEM(
+                (tr, wl),
+                jnp.float64 if data.dtype == jnp.float64 else jnp.float32,
+            ),
+            pltpu.VMEM((2, tr, wl), data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -455,8 +478,9 @@ def _spmv_dia_sym_pallas_2d(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * k * nrows * LANES,
-            bytes_accessed=(k + 2) * nrows * LANES * data.dtype.itemsize,
+            flops=4 * k * nrows * LANES * nrhs,
+            bytes_accessed=(k + 2 * nrhs) * nrows * LANES
+            * data.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -549,7 +573,7 @@ def _pick_tile_rows(
     def fits(tr: int) -> bool:
         # sym: lower-halo-only x window + (tr, 128) f32 carry + (2, tr, 128)
         # y staging (y is otherwise unbuffered: out lives in ANY space)
-        xneed = (2 * (tr + hr) + 3 * tr if sym
+        xneed = ((2 * (tr + hr) + 3 * tr) * nrhs if sym
                  else (2 * (tr + 2 * hr) + 2 * tr) * nrhs)
         need = (xneed + 2 * k * tr) * LANES * itemsize
         return need <= budget

@@ -142,22 +142,27 @@ def block_cg_dia(a, B, kmax: int = 100, rtol: float = 1e-10,
     from spmv_tpu.ops.spmv_dia_pallas import dia_halo_rows
 
     n, nrhs = B.shape
-    if a.symmetric:
-        raise ValueError(
-            "block_cg_dia needs a full-storage DiaMatrix (the SpMM kernel "
-            "has no lower-triangle transpose term); convert with "
-            "csr_to_dia(..., symmetric=False)"
-        )
+    from spmv_tpu.ops.spmv_dia_pallas import (
+        _pick_tile_rows,
+        _spmv_dia_sym_pallas_2d,
+    )
+
     hr = dia_halo_rows(a)
-    tr = _pick_tile_rows_mrhs(
-        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize, nrhs
+    tr = _pick_tile_rows(
+        a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize,
+        sym=a.symmetric, nrhs=nrhs,
     )
     if tr == 0:
         raise ValueError("no valid tile; check spmm_dia_supported first")
 
-    def matmat(x2):
-        return _spmm_dia_pallas_2d(a.data, x2, a.offsets, tr, hr, nrhs,
-                                   interpret=interpret)
+    if a.symmetric:
+        def matmat(x2):
+            return _spmv_dia_sym_pallas_2d(a.data, x2, a.offsets, tr, hr,
+                                           nrhs=nrhs, interpret=interpret)
+    else:
+        def matmat(x2):
+            return _spmm_dia_pallas_2d(a.data, x2, a.offsets, tr, hr, nrhs,
+                                       interpret=interpret)
 
     b2 = spmm_to_layout(a, jnp.asarray(B))
     res = jax.jit(

@@ -115,3 +115,36 @@ def test_dist_block_cg():
         rel = np.linalg.norm(a.matvec(X[:, r]) - B[:, r]) \
             / np.linalg.norm(B[:, r])
         assert rel < 1e-9, (r, rel)
+
+
+@pytest.mark.parametrize("nrhs", [1, 3])
+def test_spmm_symmetric_storage(nrhs):
+    """Multi-RHS through the symmetric (lower-triangle) carry kernel: the
+    SPD class gets both 40% less matrix traffic and one stream per block."""
+    a = create_laplace_2d(64, 64)
+    d = csr_to_dia(a, dtype=np.float32, row_align=4096, symmetric=True)
+    assert spmm_dia_supported(d, nrhs)
+    X = np.random.default_rng(nrhs + 30).standard_normal(
+        (a.nrows, nrhs)).astype(np.float32)
+    Y = np.asarray(spmm_dia(d, jnp.asarray(X), interpret=True))
+    for r in range(nrhs):
+        want = a.matvec(X[:, r].astype(np.float64))
+        err = np.linalg.norm(Y[: a.nrows, r] - want) / np.linalg.norm(want)
+        assert err < 1e-5, (nrhs, r, err)
+
+
+def test_block_cg_symmetric_storage():
+    from spmv_tpu.gen import gaussian_bump
+    from spmv_tpu.solvers.block_cg import block_cg_dia
+
+    a = create_laplace_2d(48, 48)
+    d = csr_to_dia(a, dtype=np.float64, row_align=4096, symmetric=True)
+    rng = np.random.default_rng(99)
+    B = np.stack([gaussian_bump(a.nrows), rng.standard_normal(a.nrows)],
+                 axis=1)
+    X, res = block_cg_dia(d, B, kmax=800, rtol=1e-10, interpret=True)
+    assert bool(res.converged)
+    for r in range(2):
+        rel = np.linalg.norm(a.matvec(np.asarray(X[:, r])) - B[:, r]) \
+            / np.linalg.norm(B[:, r])
+        assert rel < 1e-9, (r, rel)
