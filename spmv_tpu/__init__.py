@@ -74,6 +74,7 @@ from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.gmres import GMRESResult, gmres
 from spmv_tpu.ops.spmm_dia_pallas import spmm_dia, spmm_dia_supported
 from spmv_tpu.solvers.block_cg import BlockCGResult, block_cg, block_cg_dia
+from spmv_tpu.solvers.lanczos import condition_estimate, lanczos_extreme
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
@@ -125,6 +126,8 @@ __all__ = [
     "gmres",
     "GMRESResult",
     "block_jacobi_preconditioner",
+    "lanczos_extreme",
+    "condition_estimate",
     "spmm_dia",
     "spmm_dia_supported",
     "block_cg",

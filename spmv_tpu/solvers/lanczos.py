@@ -1,0 +1,95 @@
+"""Lanczos extreme-eigenvalue estimation (SPD operators).
+
+Practical companion to the solver stack: the attainable accuracy of every
+mixed-precision path in this library is a kappa * eps floor
+(solvers/refine.py), and CG iteration counts scale with sqrt(kappa) — but
+the reference (and most sparse libraries) leave kappa unknown. A short
+Lanczos run with full reorthogonalization estimates lambda_min/lambda_max
+(extreme Ritz values converge first) for the cost of ``m`` matvecs.
+
+Same architecture as the other solvers: pure JAX ``lax.scan`` over the
+injected ``matvec`` (so it runs on a DistMatrix across a mesh — the dots
+psum under jit), CGS2 full reorthogonalization as batched matmuls (the
+MXU-friendly choice, like solvers/gmres.py), small tridiagonal eigensolve
+on device. The operator's padding rows must map zero to zero (true for all
+formats here) and ``v0`` must be zero in the padding so the Krylov space
+never leaves the genuine operator subspace.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def lanczos_extreme(
+    matvec: Callable[[jax.Array], jax.Array],
+    v0: jax.Array,
+    m: int = 64,
+    dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Estimate (lambda_min, lambda_max) of the SPD operator behind
+    ``matvec`` from an m-step Lanczos process started at ``v0`` (any
+    nonzero vector in the operator's padded layout, zero on padding).
+    Returns device scalars; wrap in ``jax.jit`` for repeated use."""
+    if dot is None:
+        dot = lambda u, v: jnp.vdot(u, v)
+    rdtype = jnp.finfo(v0.dtype).dtype
+    eps = jnp.asarray(jnp.finfo(v0.dtype).eps, rdtype)
+    vshape = v0.shape
+    n_flat = v0.size
+
+    nrm0 = jnp.sqrt(dot(v0, v0).real.astype(rdtype))
+    q0 = (v0 / nrm0.astype(v0.dtype)).reshape(n_flat)
+    basis0 = jnp.zeros((m + 1, n_flat), v0.dtype).at[0].set(q0)
+
+    def step(carry, j):
+        basis, live = carry
+        w = matvec(basis[j].reshape(vshape)).reshape(n_flat)
+        alpha = dot(basis[j], w).real.astype(rdtype)
+        # CGS2 full reorthogonalization (extreme Ritz values are the first
+        # to converge, and reorthogonalization keeps them honest)
+        mask = (jnp.arange(m + 1) <= j).astype(rdtype)
+        for _ in range(2):
+            proj = (basis.conj() @ w) * mask.astype(w.dtype)
+            w = w - proj @ basis
+        beta = jnp.sqrt((w.conj() @ w).real.astype(rdtype))
+        alive = live & (beta > eps * 16)
+        wn = jnp.maximum(beta, eps)
+        basis = basis.at[j + 1].set(
+            jnp.where(alive, w / wn.astype(w.dtype), jnp.zeros_like(w))
+        )
+        return (basis, alive), (alpha, beta * alive.astype(rdtype),
+                                live)
+
+    (basis, _), (alphas, betas, lives) = jax.lax.scan(
+        step, (basis0, jnp.asarray(True)), jnp.arange(m)
+    )
+    # dead steps (after an invariant subspace) decouple with beta=0; give
+    # them the first Ritz value so they cannot extend the spectrum
+    alphas = jnp.where(lives, alphas, alphas[0])
+    t = (jnp.diag(alphas)
+         + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    evals = jnp.linalg.eigh(t)[0]
+    return evals[0], evals[-1]
+
+
+def condition_estimate(
+    matvec: Callable[[jax.Array], jax.Array],
+    v0: jax.Array,
+    m: int = 64,
+) -> jax.Array:
+    """kappa_2(A) ~= lambda_max / lambda_min for SPD A (see
+    ``lanczos_extreme``). Drives e.g. the expected refinement floor
+    kappa * 2^-48 (solvers/refine.py) and CG iteration estimates.
+
+    Caveat: lambda_max converges in a handful of steps, but a
+    cluster-bound smallest eigenvalue (e.g. a large Laplacian's) needs
+    many — short runs therefore UNDERESTIMATE kappa (measured on a
+    262k-row Laplacian at m=100: lambda_max exact to 1e-4, lambda_min ~10x
+    high). Treat the result as a lower bound, or raise ``m``."""
+    lmin, lmax = lanczos_extreme(matvec, v0, m=m)
+    tiny = jnp.finfo(lmax.dtype).tiny
+    return lmax / jnp.maximum(lmin, tiny)
