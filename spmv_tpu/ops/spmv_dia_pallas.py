@@ -47,11 +47,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def dia_halo_rows(a: DiaMatrix) -> int:
-    """Window halo rows for this matrix's offsets, rounded to a multiple of
-    8 so every partial-window DMA length (tr + hr) stays sublane-aligned
-    (Mosaic requires slice shapes aligned to the dtype tiling)."""
-    hr = _round_up(max(max(abs(o) for o in a.offsets), 1), LANES) // LANES
+def dia_halo_rows(a) -> int:
+    """Window halo rows for this matrix's offsets (a DiaMatrix or a plain
+    offsets tuple), rounded to a multiple of 8 so every partial-window DMA
+    length (tr + hr) stays sublane-aligned (Mosaic requires slice shapes
+    aligned to the dtype tiling)."""
+    offsets = a if isinstance(a, tuple) else a.offsets
+    hr = _round_up(max(max(abs(o) for o in offsets), 1), LANES) // LANES
     # 16 covers the strictest sublane tiling (bf16); DMA offsets like
     # tile*tr - hr must be provably tiling-divisible
     return _round_up(hr, 16)

@@ -265,13 +265,8 @@ class DistMatrix:
             raise ValueError("double-single matrices apply via matvec_ds "
                              "(pair vectors); build a separate fp32 operator "
                              "for plain matvec / inner CG")
-        has_diag = self.diagonal is not None
-        has_dia = self.local_format == "dia"
-        has_well = self.local_format == "well"
-        has_far = has_well and self.well_far_nnz > 0
-        n_well = (6 if has_far else 3) if has_well else 0
-        tables = _plan_tables(self.plan)
-        nt = len(tables)
+        (args, op_specs, nt, has_diag, has_dia, has_well,
+         n_well) = self._mult_operands()
 
         def per_shard(x_s, lci, lv, rci, rv, *rest):
             rest = list(rest)
@@ -290,18 +285,34 @@ class DistMatrix:
             )
             return y
 
-        args = [
-            self.local_colind, self.local_values,
-            self.remote_colind, self.remote_values,
-            *tables,
-        ]
-        in_specs = [spec, mspec, mspec, mspec, mspec] + [mspec] * nt
+        return jax.shard_map(
+            per_shard, mesh=self.mesh, in_specs=(spec, *op_specs),
+            out_specs=spec, check_vma=False,  # pallas_call inside shard_map
+        )(x, *args)
+
+    def as_linear_operator(self):
+        """Closure for solvers: matvec on the padded sharded layout."""
+        return lambda p: self.matvec(p)
+
+    def _mult_operands(self):
+        """The shard_map operand list + specs shared by matvec and matmat
+        (order: local/remote ELL, plan tables, then diag / dia / well / far
+        extras — per_shard pops in the same order)."""
+        mspec = P(self.axis_name, None, None)
+        tables = _plan_tables(self.plan)
+        has_diag = self.diagonal is not None
+        has_dia = self.local_format == "dia"
+        has_well = self.local_format == "well"
+        has_far = has_well and self.well_far_nnz > 0
+        args = [self.local_colind, self.local_values,
+                self.remote_colind, self.remote_values, *tables]
+        in_specs = [mspec, mspec, mspec, mspec] + [mspec] * len(tables)
         if has_diag:
             args.append(self.diagonal)
             in_specs.append(P(self.axis_name, None))
         if has_dia:
             args.append(self.local_dia_data)
-            in_specs.append(P(self.axis_name, None, None))
+            in_specs.append(mspec)
         if has_well:
             args += [self.local_well_values, self.local_well_pos,
                      self.local_well_w0]
@@ -311,14 +322,9 @@ class DistMatrix:
             if has_far:
                 args += [self.far_rows, self.far_cols, self.far_vals]
                 in_specs += [P(self.axis_name, None)] * 3
-        return jax.shard_map(
-            per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
-            out_specs=spec, check_vma=False,  # pallas_call inside shard_map
-        )(x, *args)
-
-    def as_linear_operator(self):
-        """Closure for solvers: matvec on the padded sharded layout."""
-        return lambda p: self.matvec(p)
+        n_well = (6 if has_far else 3) if has_well else 0
+        return (args, in_specs, len(tables), has_diag, has_dia, has_well,
+                n_well)
 
     # ----- distributed multi-RHS (block) apply -----
     def to_dist_block(self, x_global: np.ndarray, side: str = "col") -> jax.Array:
@@ -360,8 +366,6 @@ class DistMatrix:
         per-column through the single-RHS machinery. Halo exchange runs per
         column over the same plan. Feeding this to ``solvers.block_cg``
         gives distributed block solves (the gram einsums psum under jit)."""
-        import types
-
         from spmv_tpu.ops.spmm_dia_pallas import _spmm_dia_pallas_2d
         from spmv_tpu.ops.spmv_dia_pallas import (
             _pick_tile_rows,
@@ -370,30 +374,24 @@ class DistMatrix:
 
         nrhs = x.shape[1] // 128
         spec = P(self.axis_name, None)
-        mspec = P(self.axis_name, None, None)
-        tables = _plan_tables(self.plan)
-        nt = len(tables)
         rp = self.row_pad
+        on_tpu = self.on_tpu
 
+        # mrhs fast path whenever the dtype/tile admit it (interpret mode on
+        # CPU, so tests exercise the SAME branch production multichip runs)
         mrhs_tr = 0
         hr_d = 0
         if (self.local_format == "dia" and not self.symmetric
-                and self.on_tpu
                 and self.local_values.dtype in (jnp.float32, jnp.bfloat16)):
-            hr_d = dia_halo_rows(
-                types.SimpleNamespace(offsets=self.dia_offsets)
-            )
+            hr_d = dia_halo_rows(self.dia_offsets)
             if hr_d <= 512:
                 mrhs_tr = _pick_tile_rows(
                     self.plan.nlocal_pad // 128, len(self.dia_offsets), hr_d,
                     self.local_values.dtype.itemsize, nrhs=nrhs,
                 )
 
-        has_dia = self.local_format == "dia"
-        has_well = self.local_format == "well"
-        has_far = has_well and self.well_far_nnz > 0
-        n_well = (6 if has_far else 3) if has_well else 0
-        has_diag = self.diagonal is not None
+        (args, op_specs, nt, has_diag, has_dia, has_well,
+         n_well) = self._mult_operands()
 
         def per_shard(x_s2, lci, lv, rci, rv, *rest):
             rest = list(rest)
@@ -405,7 +403,8 @@ class DistMatrix:
             cols = [x_s2[:, r * 128:(r + 1) * 128] for r in range(nrhs)]
             if mrhs_tr > 0:
                 y2 = _spmm_dia_pallas_2d(
-                    dia_data, x_s2, self.dia_offsets, mrhs_tr, hr_d, nrhs
+                    dia_data, x_s2, self.dia_offsets, mrhs_tr, hr_d, nrhs,
+                    interpret=not on_tpu,
                 )
                 if self.plan.nghost_pad > 0 and len(self.plan.rounds) > 0:
                     outs = []
@@ -425,35 +424,14 @@ class DistMatrix:
                     cols[r], lci[0], lv[0], rci[0], rv[0], diag,
                     tabs, self.plan, rp, self.symmetric, self.comm_axes,
                     self.local_format, dia_data, self.dia_offsets,
-                    self.on_tpu, well, self.well_meta,
+                    on_tpu, well, self.well_meta,
                 )
                 for r in range(nrhs)
             ]
             return jnp.concatenate(ys, axis=1)
 
-        args = [
-            self.local_colind, self.local_values,
-            self.remote_colind, self.remote_values,
-            *tables,
-        ]
-        in_specs = [spec, mspec, mspec, mspec, mspec] + [mspec] * nt
-        if has_diag:
-            args.append(self.diagonal)
-            in_specs.append(P(self.axis_name, None))
-        if has_dia:
-            args.append(self.local_dia_data)
-            in_specs.append(P(self.axis_name, None, None))
-        if has_well:
-            args += [self.local_well_values, self.local_well_pos,
-                     self.local_well_w0]
-            in_specs += [P(self.axis_name, None, None, None),
-                         P(self.axis_name, None, None, None),
-                         P(self.axis_name, None)]
-            if has_far:
-                args += [self.far_rows, self.far_cols, self.far_vals]
-                in_specs += [P(self.axis_name, None)] * 3
         return jax.shard_map(
-            per_shard, mesh=self.mesh, in_specs=tuple(in_specs),
+            per_shard, mesh=self.mesh, in_specs=(spec, *op_specs),
             out_specs=spec, check_vma=False,
         )(x, *args)
 
@@ -992,9 +970,17 @@ def _assemble(
                 continue
             dsel = np.searchsorted(union, offs)
             flat = dsel * np.int64(r) + rows
-            dd[s] += np.bincount(
-                flat, weights=vals, minlength=kd * r
-            ).reshape(kd, r).astype(dd.dtype)
+            # bincount weights must be real; complex splits into two passes
+            # (same as formats/dia._csr_to_dia_host)
+            if np.iscomplexobj(vals):
+                acc = np.bincount(
+                    flat, weights=vals.real, minlength=kd * r
+                ) + 1j * np.bincount(
+                    flat, weights=vals.imag, minlength=kd * r
+                )
+            else:
+                acc = np.bincount(flat, weights=vals, minlength=kd * r)
+            dd[s] += acc.reshape(kd, r).astype(dd.dtype)
         # row-interleaved device layout (see DiaMatrix.data)
         def interleave(arr):
             return (arr.reshape(nd, kd, r // 128, 128)

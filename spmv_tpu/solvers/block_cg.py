@@ -134,19 +134,17 @@ def block_cg_dia(a, B, kmax: int = 100, rtol: float = 1e-10,
     import numpy as np
 
     from spmv_tpu.ops.spmm_dia_pallas import (
-        _pick_tile_rows_mrhs,
         _spmm_dia_pallas_2d,
         spmm_from_layout,
         spmm_to_layout,
     )
-    from spmv_tpu.ops.spmv_dia_pallas import dia_halo_rows
-
-    n, nrhs = B.shape
     from spmv_tpu.ops.spmv_dia_pallas import (
         _pick_tile_rows,
         _spmv_dia_sym_pallas_2d,
+        dia_halo_rows,
     )
 
+    n, nrhs = B.shape
     hr = dia_halo_rows(a)
     tr = _pick_tile_rows(
         a.nrows_pad // LANES, len(a.offsets), hr, a.data.dtype.itemsize,

@@ -27,27 +27,27 @@ def lanczos_extreme(
     matvec: Callable[[jax.Array], jax.Array],
     v0: jax.Array,
     m: int = 64,
-    dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Estimate (lambda_min, lambda_max) of the SPD operator behind
     ``matvec`` from an m-step Lanczos process started at ``v0`` (any
     nonzero vector in the operator's padded layout, zero on padding).
-    Returns device scalars; wrap in ``jax.jit`` for repeated use."""
-    if dot is None:
-        dot = lambda u, v: jnp.vdot(u, v)
+    Inner products are Euclidean throughout; on sharded inputs under jit
+    they lower to global psum reductions. Returns device scalars; wrap in
+    ``jax.jit`` for repeated use."""
     rdtype = jnp.finfo(v0.dtype).dtype
     eps = jnp.asarray(jnp.finfo(v0.dtype).eps, rdtype)
+    tiny = jnp.asarray(jnp.finfo(v0.dtype).tiny, rdtype)
     vshape = v0.shape
     n_flat = v0.size
 
-    nrm0 = jnp.sqrt(dot(v0, v0).real.astype(rdtype))
+    nrm0 = jnp.sqrt(jnp.vdot(v0, v0).real.astype(rdtype))
     q0 = (v0 / nrm0.astype(v0.dtype)).reshape(n_flat)
     basis0 = jnp.zeros((m + 1, n_flat), v0.dtype).at[0].set(q0)
 
     def step(carry, j):
-        basis, live = carry
+        basis, live, scale = carry
         w = matvec(basis[j].reshape(vshape)).reshape(n_flat)
-        alpha = dot(basis[j], w).real.astype(rdtype)
+        alpha = jnp.vdot(basis[j], w).real.astype(rdtype)
         # CGS2 full reorthogonalization (extreme Ritz values are the first
         # to converge, and reorthogonalization keeps them honest)
         mask = (jnp.arange(m + 1) <= j).astype(rdtype)
@@ -55,16 +55,22 @@ def lanczos_extreme(
             proj = (basis.conj() @ w) * mask.astype(w.dtype)
             w = w - proj @ basis
         beta = jnp.sqrt((w.conj() @ w).real.astype(rdtype))
-        alive = live & (beta > eps * 16)
-        wn = jnp.maximum(beta, eps)
+        # breakdown test RELATIVE to the operator scale seen so far — an
+        # absolute eps threshold falsely "breaks down" at step 0 for
+        # small-norm operators (e.g. a 1e-7-scaled Laplacian) and returns
+        # garbage extremes
+        scale = jnp.maximum(scale, jnp.maximum(jnp.abs(alpha), beta))
+        alive = live & (beta > eps * 16 * jnp.maximum(scale, tiny))
+        wn = jnp.maximum(beta, tiny)
         basis = basis.at[j + 1].set(
             jnp.where(alive, w / wn.astype(w.dtype), jnp.zeros_like(w))
         )
-        return (basis, alive), (alpha, beta * alive.astype(rdtype),
-                                live)
+        return (basis, alive, scale), (alpha, beta * alive.astype(rdtype),
+                                       live)
 
-    (basis, _), (alphas, betas, lives) = jax.lax.scan(
-        step, (basis0, jnp.asarray(True)), jnp.arange(m)
+    (basis, _, _), (alphas, betas, lives) = jax.lax.scan(
+        step, (basis0, jnp.asarray(True), jnp.zeros((), rdtype)),
+        jnp.arange(m),
     )
     # dead steps (after an invariant subspace) decouple with beta=0; give
     # them the first Ritz value so they cannot extend the spectrum

@@ -161,3 +161,28 @@ def test_complex_dia_path_and_solver():
     xs = np.asarray(res.x)[:n]
     rel = np.linalg.norm(a.to_dense() @ xs - b) / np.linalg.norm(b)
     assert rel < 1e-9, rel
+
+
+def test_complex_dia_distributed():
+    """Complex banded matrices through build_dist_matrix(local_format='dia')
+    — the assembly bincount splits real/imag like the single-device
+    converter (auto-selection picks 'dia' for banded complex input)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    n = 260
+    rows, cols, vals = [], [], []
+    for off in (-2, 0, 1):
+        i = np.arange(max(0, -off), min(n, n - off))
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i))
+                    + 1j * rng.standard_normal(len(i)))
+    a = CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                         np.concatenate(vals), n, n)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    want = a.to_dense() @ x
+    A = build_dist_matrix(a, n_devices=4, local_format="auto")
+    assert A.local_format == "dia"
+    got = A.from_dist(jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x)))
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13

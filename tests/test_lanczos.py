@@ -58,3 +58,16 @@ def test_breakdown_on_invariant_subspace():
                                  jnp.asarray(v0), m=40)
     np.testing.assert_allclose(float(lmin), 1.0, rtol=1e-10)
     np.testing.assert_allclose(float(lmax), 4.0, rtol=1e-10)
+
+
+def test_small_norm_operator_no_false_breakdown():
+    """A 1e-7-scaled operator must not trip the (relative) breakdown test
+    at step 0 — an absolute eps threshold returned kappa=1 for kappa=1e3
+    operators."""
+    a = create_laplace_2d(12, 12)
+    dense = a.to_dense() * 1e-7
+    want = np.linalg.eigvalsh(dense)
+    v0 = jnp.asarray(np.random.default_rng(3).standard_normal(a.nrows))
+    lmin, lmax = lanczos_extreme(lambda x: jnp.asarray(dense) @ x, v0, m=144)
+    np.testing.assert_allclose(float(lmax), want[-1], rtol=1e-6)
+    np.testing.assert_allclose(float(lmin), want[0], rtol=1e-3)

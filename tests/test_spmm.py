@@ -148,3 +148,24 @@ def test_block_cg_symmetric_storage():
         rel = np.linalg.norm(a.matvec(np.asarray(X[:, r])) - B[:, r]) \
             / np.linalg.norm(B[:, r])
         assert rel < 1e-9, (r, rel)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_dist_matmat_mrhs_fast_path_with_ghosts(n_dev):
+    """The production multichip configuration: f32 DIA local blocks take the
+    multi-RHS kernel branch (interpret mode here) WITH nonempty ghost
+    rounds — must match the f64 oracle per column."""
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_2d(40, 32)  # banded, ghosts across shards
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="dia",
+                          dtype=np.float32)
+    assert A.local_values.dtype == np.float32
+    rng = np.random.default_rng(80 + n_dev)
+    X = rng.standard_normal((a.nrows, 3)).astype(np.float32)
+    Y = A.from_dist_block(
+        jax.jit(lambda M, v: M.matmat(v))(A, A.to_dist_block(X)))
+    for r in range(3):
+        want = a.matvec(X[:, r].astype(np.float64))
+        err = np.linalg.norm(Y[:, r] - want) / np.linalg.norm(want)
+        assert err < 1e-5, (n_dev, r, err)
