@@ -41,8 +41,9 @@ def main() -> int:
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
-    ap.add_argument("--solver", choices=["cg", "bicgstab"], default="cg",
-                    help="bicgstab handles NON-symmetric operators "
+    ap.add_argument("--solver", choices=["cg", "bicgstab", "gmres"],
+                    default="cg",
+                    help="bicgstab/gmres handle NON-symmetric operators "
                          "(the reference's CG-only solver layer cannot)")
     ap.add_argument("--refine", action="store_true",
                     help="mixed-precision iterative refinement: fp32 inner "
@@ -143,8 +144,17 @@ def main() -> int:
     # A passed as a pytree ARGUMENT (closure capture would embed the matrix
     # as literal constants in the compiled program)
     from spmv_tpu.solvers.bicgstab import bicgstab
+    from spmv_tpu.solvers.gmres import gmres
 
-    krylov = bicgstab if args.solver == "bicgstab" else cg
+    if args.solver == "gmres":
+        def krylov(mv, bb, kmax, rtol, preconditioner):
+            return gmres(mv, bb, restart=min(30, kmax),
+                         max_cycles=-(-kmax // min(30, kmax)), rtol=rtol,
+                         preconditioner=preconditioner)
+    elif args.solver == "bicgstab":
+        krylov = bicgstab
+    else:
+        krylov = cg
     solve = jax.jit(
         lambda A_, bb: krylov(
             A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,

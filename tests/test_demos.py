@@ -105,3 +105,12 @@ def test_demo_cg_bicgstab_solver():
     assert "Converged: True" in stdout
     rnorm = float(stdout.split("r.norm = ")[1].split()[0])
     assert rnorm < 1e-8
+
+
+def test_demo_cg_gmres_solver():
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--solver", "gmres"]
+    )
+    assert "Converged: True" in stdout
+    assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-8
