@@ -270,9 +270,7 @@ def main():
         "sym_full": (loop_s(tr_s, "full"), ds.data),
         "sym_noT": (loop_s(tr_s, "noT"), ds.data),
         "sym_tr632": (loop_s(632, "full"), ds.data),
-        "sym_tr316_x2? skip": None,
     }
-    variants = {k: v for k, v in variants.items() if v is not None}
 
     n = 64 * 1024 * 1024
 
