@@ -18,6 +18,10 @@ without a preconditioner.
 Breakdown (rho or omega numerically zero — possible for any BiCG-family
 method) exits the loop with ``breakdown=True`` and the best iterate so far;
 callers can restart from ``x``.
+
+Checkpoint/resume: restart from a saved solution via ``x0`` (a fresh
+shadow residual is the standard BiCGStab restart; unlike CG there is no
+exact-sequence state worth carrying).
 """
 from __future__ import annotations
 

@@ -56,7 +56,13 @@ def gmres(
 ) -> GMRESResult:
     """Solve A x = b with restarted GMRES(m), m = ``restart``. Vectors keep
     b's (padded) shape; padding entries of b must be zero. Total matvec
-    budget is restart * max_cycles (+1 residual per cycle)."""
+    budget is restart * max_cycles (+1 residual per cycle).
+
+    Checkpoint/resume: passing a saved solution as ``x0`` IS the exact warm
+    resume — every restart cycle rebuilds the Krylov space from the current
+    residual anyway, so a resumed run continues precisely like an
+    uninterrupted one at the same cycle boundary (unlike CG, which needs
+    its carried r/p state — solvers/cg.py ``resume``)."""
     if dot is None:
         dot = lambda u, v: jnp.vdot(u, v)
     if x0 is None:
