@@ -216,8 +216,12 @@ def halo_gather(
     device-side gather into the send buffer (= gather_ghosts_run,
     reference_executor.cpp:150-164) then one collective per round landing
     directly in the ghost buffer. Returns the (nghost_pad,) ghost values.
+
+    Block-capable: x may be (nlocal_pad, nrhs) — each round then moves the
+    whole block in ONE ppermute (nrhs times the payload instead of nrhs
+    separate collectives; latency-bound halo rounds amortize).
     """
-    g = jnp.zeros((nghost_pad,), dtype=x.dtype)
+    g = jnp.zeros((nghost_pad,) + x.shape[1:], dtype=x.dtype)
     for i, d in enumerate(rounds):
         buf = jnp.take(x, send_idx[i], axis=0)
         buf = jax.lax.ppermute(buf, axis_name, perm=_perm(n_devices, d))
@@ -400,8 +404,8 @@ def halo_gather_two_tier(
 ) -> jax.Array:
     """Two-tier forward halo exchange. DCN rounds are issued first: their
     sends have the longest latency and overlap the ICI rounds and the
-    interior kernel in program order."""
-    g = jnp.zeros((nghost_pad,), dtype=x.dtype)
+    interior kernel in program order. Block-capable like halo_gather."""
+    g = jnp.zeros((nghost_pad,) + x.shape[1:], dtype=x.dtype)
     for i, (dd, di) in enumerate(rounds_dcn):
         buf = jnp.take(x, dcn_si[i], axis=0)
         buf = jax.lax.ppermute(buf, dcn_axis, perm=_perm(n_dcn, dd))

@@ -407,15 +407,23 @@ class DistMatrix:
                     interpret=not on_tpu,
                 )
                 if self.plan.nghost_pad > 0 and len(self.plan.rounds) > 0:
-                    outs = []
-                    for r in range(nrhs):
-                        xr = cols[r].reshape(-1)
-                        ghosts = _plan_gather(self.plan, xr, tabs,
-                                              self.comm_axes)
-                        gy = jnp.einsum("rk,rk->r", rv[0],
-                                        jnp.take(ghosts, rci[0], axis=0))
-                        outs.append(y2[:, r * 128:(r + 1) * 128]
-                                    + gy.reshape(-1, 128))
+                    # BLOCK halo exchange: one ppermute per round for the
+                    # whole nrhs block (halo rounds are latency-bound; the
+                    # batched payload costs what one column's round does)
+                    xblk = jnp.stack(
+                        [c.reshape(-1) for c in cols], axis=1
+                    )  # (nlocal_pad, nrhs)
+                    ghosts = _plan_gather(self.plan, xblk, tabs,
+                                          self.comm_axes)
+                    gy = jnp.einsum(
+                        "rk,rkn->rn", rv[0],
+                        jnp.take(ghosts, rci[0], axis=0)
+                    )  # (R, nrhs)
+                    outs = [
+                        y2[:, r * 128:(r + 1) * 128]
+                        + gy[:, r].reshape(-1, 128)
+                        for r in range(nrhs)
+                    ]
                     y2 = jnp.concatenate(outs, axis=1)
                 return y2
             # generic: per-column through the single-RHS shard machinery

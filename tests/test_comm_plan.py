@@ -208,3 +208,47 @@ def test_plan_stats_and_inefficiency_warning(caplog):
     s = plan_stats(plan)
     assert s["rounds"] >= 7
     assert any("halo plan" in r.message for r in caplog.records) or s["padding_waste"] < 0.75
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_halo_gather_block_matches_per_column(n_dev):
+    """Block-capable halo_gather: an (nlocal_pad, nrhs) block gathered in
+    one ppermute set per round equals nrhs per-column gathers exactly."""
+    import jax
+
+    rng = np.random.default_rng(300 + n_dev)
+    nlocal = 32
+    ranges = np.arange(n_dev + 1) * nlocal
+    ghosts = []
+    for s in range(n_dev):
+        lo, hi = ranges[s], ranges[s + 1]
+        cand = np.setdiff1d(
+            rng.choice(ranges[-1], size=10, replace=False),
+            np.arange(lo, hi),
+        )
+        ghosts.append(np.sort(cand))
+    plan = compile_plan(ranges, ghosts)
+    x_glob = rng.standard_normal((ranges[-1], 3))
+
+    def run(nrhs_slice):
+        def per_shard(xs, si, rp):
+            return halo_gather(xs[0], si[0], rp[0], plan.rounds,
+                               plan.n_devices, plan.nghost_pad)
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("shards",))
+        xsh = x_glob.reshape(n_dev, plan.nlocal_pad, 3)
+        if nrhs_slice is not None:
+            xsh = xsh[..., nrhs_slice]
+        return np.asarray(jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("shards"), P("shards"), P("shards")),
+            out_specs=P("shards"), check_vma=False,
+        ))(jnp.asarray(xsh), plan.send_idx, plan.recv_pos))
+
+    blk = run(None)  # (n_dev*nghost_pad, 3)
+    for r in range(3):
+        col = run(r)
+        np.testing.assert_array_equal(blk.reshape(n_dev, -1, 3)[..., r],
+                                      col.reshape(n_dev, -1))
