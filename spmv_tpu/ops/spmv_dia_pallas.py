@@ -578,6 +578,10 @@ def _pick_tile_rows(
         xneed = ((2 * (tr + hr) + 3 * tr) * nrhs if sym
                  else (2 * (tr + 2 * hr) + 2 * tr) * nrhs)
         need = (xneed + 2 * k * tr) * LANES * itemsize
+        if sym and itemsize < 4:
+            # the carry scratch is ALWAYS f32 regardless of storage dtype —
+            # re-account it at 4 bytes so bf16 tiles don't overrun VMEM
+            need += tr * nrhs * LANES * (4 - itemsize)
         return need <= budget
 
     best = 0

@@ -84,24 +84,37 @@ def bicgstab(
         ok = jnp.sqrt(rnorm2) / jnp.maximum(rnorm0, eps) >= rtol
         return (k < kmax) & ok & jnp.logical_not(brk)
 
+    # near-breakdown detection is RELATIVE (advisor r2): rho = <rhat, r> is
+    # compared against its natural scale |rhat||r| (likewise denom vs
+    # |rhat||v| and ts vs |t||s|), so collapsing angles are caught at
+    # ~machine-eps alignment BEFORE the quotients degrade the iterate — an
+    # absolute tiny*4 test only fires on exact zeros (denormal scale).
+    releps = jnp.asarray(jnp.finfo(b.dtype).eps, dtype=rdtype) * 4
+
     def body(state):
         k, x0_, r0_, p0_, v0_, rho0_, alpha0_, omega0_, rnorm2_0_, _brk = state
         rho_new = dot(rhat, r0_)
-        brk = jnp.abs(rho_new) <= tiny * 4
+        rnorm_cur = jnp.sqrt(rnorm2_0_)
+        brk = jnp.abs(rho_new) <= jnp.maximum(
+            releps * rnorm0 * rnorm_cur, tiny * 4)
         beta = (rho_new / _safe(rho0_, tiny)) * (alpha0_ / _safe(omega0_, tiny))
         p = r0_ + beta * (p0_ - omega0_ * v0_)
         phat = precond(p)
         v = matvec(phat)
         denom = dot(rhat, v)
-        brk = brk | (jnp.abs(denom) <= tiny * 4)
+        vnorm2 = dot(v, v).real.astype(rdtype)  # fuses with denom's reduction
+        brk = brk | (jnp.abs(denom) <= jnp.maximum(
+            releps * rnorm0 * jnp.sqrt(vnorm2), tiny * 4))
         alpha = rho_new / _safe(denom, tiny)
         s = r0_ - alpha * v
         shat = precond(s)
         t = matvec(shat)
         ts = dot(t, s)
-        tt = dot(t, t)  # adjacent to ts -> one fused reduction
+        tt = dot(t, t)      # adjacent to ts -> one fused reduction
+        ss = dot(s, s).real.astype(rdtype)
         omega = ts / _safe(tt, tiny)
-        brk = brk | (jnp.abs(omega) <= tiny * 4)
+        brk = brk | (jnp.abs(ts) <= jnp.maximum(
+            releps * jnp.sqrt(tt.real.astype(rdtype) * ss), tiny * 4))
         x = x0_ + alpha * phat + omega * shat
         r = s - omega * t
         rnorm2 = dot(r, r).real.astype(rnorm2_0.dtype)

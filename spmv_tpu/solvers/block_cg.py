@@ -250,16 +250,22 @@ def block_cg_refined(
     xl = jnp.zeros_like(xh)
     inner_total = 0
     history = []
-    for outer in range(max_outer):
-        rhs_cols = []
-        rnorms = np.zeros(nrhs)
+
+    def true_residuals():
         rh_cols, rl_cols = [], []
+        rnorms = np.zeros(nrhs)
         for r in range(nrhs):
             rh, rl = residual_col(dds, bh2[..., r], bl2[..., r],
                                   xh[..., r], xl[..., r])
             rh_cols.append(rh)
             rl_cols.append(rl)
             rnorms[r] = float(jnp.linalg.norm(rh.reshape(-1)[:n]))
+        return rh_cols, rl_cols, rnorms
+
+    corrected = False  # True while the last inner update is unmeasured
+    for outer in range(max_outer):
+        rh_cols, rl_cols, rnorms = true_residuals()
+        corrected = False
         history.append(rnorms.copy())
         if np.all(rnorms <= rtol * bnorm):
             break
@@ -279,6 +285,14 @@ def block_cg_refined(
             nh, nl = ds_add(xh[..., r], xl[..., r], dh, jnp.zeros_like(dh))
             xh = xh.at[..., r].set(nh)
             xl = xl.at[..., r].set(nl)
+        corrected = True
+
+    if corrected:
+        # loop exhausted max_outer with a correction applied AFTER the last
+        # residual measurement — measure once more so history[-1] describes
+        # the returned X, not the previous pass (advisor r2)
+        _, _, rnorms = true_residuals()
+        history.append(rnorms.copy())
 
     X = np.stack(
         [ds_to_f64(np.asarray(xh[..., r]).reshape(-1),
