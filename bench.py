@@ -1,22 +1,32 @@
 #!/usr/bin/env python
 """Headline benchmark: single-chip SpMV throughput on a 10M-row 2-D Laplacian
-(fp32, DIA Pallas kernel) — BASELINE.md north-star config 1.
+(fp32, DIA Pallas kernels) + a general-sparsity WELL audit config
+(4M-row banded-random, FEM-like spread) — BASELINE.md north-star config 1.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": GFLOP/s, "unit": "GFLOP/s", "vs_baseline": r}
-where r = (achieved HBM-traffic bandwidth / measured streaming roofline) / 0.8
-— r >= 1.0 means the north-star target (>=80% of roofline, BASELINE.json) is
-met. The roofline denominator is measured on the attached chip with the same
-methodology.
+  {"metric": ..., "value": GFLOP/s, "unit": "GFLOP/s", "vs_baseline": r, ...}
+where r = (median achieved effective bandwidth / same-trial measured
+streaming roofline) / 0.8 — r >= 1.0 means the north-star (>=80% of
+roofline, BASELINE.json) is met. All roofline fractions are reported as the
+MEDIAN over N interleaved trials with min/max spread (the chip's absolute
+throughput drifts +-8 points run to run — BENCH_NOTES; a same-trial ratio
+cancels the drift, a median over trials kills the tail).
 
 Measurement methodology (see .claude/skills/verify/SKILL.md): on this TPU
 tunnel, block_until_ready does not truly synchronize and per-dispatch
 wall-clock includes ~23 ms of tunnel round-trip. So each measurement runs K
-chained iterations inside ONE jitted lax.fori_loop (device-side loop, no
-dispatch gaps), uses fresh input values per call (defeats tunnel caching),
-and syncs by pulling one scalar to the host.
+chained iterations inside ONE jitted lax.fori_loop (device-side loop, the
+kernel output feeding the next input so nothing is loop-invariant), uses
+fresh input values per call (defeats tunnel caching), and syncs by pulling
+one scalar to the host.
+
+``--smoke`` runs the same code on tiny shapes with the Pallas interpreter
+(CPU) — the CI configuration (.github/workflows/test.yml), a functional
+dry run of the benchmark path, not a performance claim.
 """
+import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -25,45 +35,86 @@ import numpy as np
 K = 30  # iterations inside the device-side loop
 
 
-def _timed_call(fn_loop, args, sync_index=(7, 5)) -> float:
+def _timed_call(fn_loop, args, k) -> float:
     t0 = time.perf_counter()
     out = fn_loop(*args)
     # slice ON DEVICE before transferring: np.asarray(out) would drag the
     # whole array through the tunnel (~2 GB/s) and swamp the measurement
-    _ = float(out[sync_index])
-    return (time.perf_counter() - t0) / K
+    _ = float(out.reshape(-1)[7])
+    return (time.perf_counter() - t0) / k
 
 
-def interleaved_loop_seconds(loops_and_args, trials=6):
-    """Best seconds/iteration for each device loop, measured INTERLEAVED
-    (a,b,a,b,...) with the first round (compile) discarded. The chip's
-    throughput fluctuates minute to minute; interleaving makes the
-    spmv/roofline ratio sample the same conditions, and best-of is closest
-    to the hardware's capability."""
+def interleaved_trial_seconds(loops_and_args, trials, k):
+    """Per-trial seconds/iteration for each device loop, measured
+    INTERLEAVED (a,b,c,a,b,c,...) with the first round (compile) discarded.
+    Returns times[i] = list of ``trials`` samples for loop i. Same-trial
+    ratios sample the same chip conditions."""
     n = len(loops_and_args)
     times = [[] for _ in range(n)]
-    for trial in range(trials):
+    for trial in range(trials + 1):
         for i, (fn, args) in enumerate(loops_and_args):
-            dt = _timed_call(fn, args)
-            times[i].append(dt)
+            dt = _timed_call(fn, args, k)
+            if trial > 0:
+                times[i].append(dt)
             print(f"#   loop{i} trial {trial}: {dt*1e3:.3f} ms/iter",
                   file=sys.stderr)
-    return [float(min(t[1:])) for t in times]
+    return times
 
 
-def main() -> int:
+def _med_spread(fracs):
+    return (round(statistics.median(fracs), 4),
+            round(min(fracs), 4), round(max(fracs), 4))
+
+
+def _build_well_matrix(n, rng):
+    """Banded random with holes — the general-sparsity (FEM-like) config
+    from BENCH_NOTES; exercises the WELL windowed-gather kernel."""
+    from spmv_tpu.formats.csr import CSRHost
+
+    rows, cols, vals = [], [], []
+    for off in (-1500, -130, -1, 0, 1, 128, 1400):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.85
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)))
+    return CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                            np.concatenate(vals).astype(np.float32), n, n)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes + Pallas interpreter (CI dry run)")
+    ap.add_argument("--trials", type=int, default=6,
+                    help="measured interleaved trials (after compile round)")
+    args = ap.parse_args(argv)
+
     import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from spmv_tpu.formats.dia import csr_to_dia
+    from spmv_tpu.formats.well import csr_to_well
     from spmv_tpu.gen import create_laplace_2d
     from spmv_tpu.ops.spmv_dia_pallas import (
         dia_pallas_supported,
         dia_to_2d,
         spmv_dia_pallas_2d,
     )
+    from spmv_tpu.ops.spmv_well_pallas import spmv_well_pallas_2d, well_to_2d
 
-    nx = 3200  # 10.24M rows, lane-aligned
+    interpret = args.smoke
+    k = 3 if args.smoke else K
+    trials = min(args.trials, 2) if args.smoke else args.trials
+    nx = 128 if args.smoke else 3200  # 10.24M rows, lane-aligned
+    n_well = 30_000 if args.smoke else 4_000_000
+    n_stream = (1 if args.smoke else 64) * 1024 * 1024
+
     a = create_laplace_2d(nx, nx, dtype=np.float32)
     d = csr_to_dia(a, row_align=1024, dtype=np.float32)
     # headline configuration: the operator is symmetric, so the fastest
@@ -71,20 +122,23 @@ def main() -> int:
     # same optimization the reference offers as its symmetric mode. GFLOP/s
     # counts the operator's true 2*nnz flops (format-independent);
     # vs_baseline rates EFFECTIVE bandwidth — the bytes the full (vanilla)
-    # format would stream, delivered per second — against the same-run
+    # format would stream, delivered per second — against the same-trial
     # measured streaming roofline and the 80% north star (BASELINE.json).
-    # Stored-traffic fractions for both kernels go to stderr.
+    # Stored-traffic fractions for both kernels are reported alongside.
     ds = csr_to_dia(a, row_align=1024, dtype=np.float32, symmetric=True)
     assert dia_pallas_supported(d), "Pallas layout must be supported here"
     assert dia_pallas_supported(ds)
     itemsize = 4
 
+    rng = np.random.default_rng(0)
+    aw = _build_well_matrix(n_well, rng)
+    w = csr_to_well(aw, tile_groups=64, dtype=np.float32)
+
     # roofline: chained big copy with identical loop methodology
-    n = 64 * 1024 * 1024  # 256 MB fp32
     @jax.jit
     def copy_loop(v):
         return jax.lax.fori_loop(
-            0, K, lambda i, u: u * jnp.float32(1.0000001), v
+            0, k, lambda i, u: u * jnp.float32(1.0000001), v
         )
 
     @jax.jit
@@ -96,33 +150,64 @@ def main() -> int:
         # extra HBM pass; values stay finite for K chained Laplacian
         # applies from a 1e-3 start (growth < 8x/apply).
         return jax.lax.fori_loop(
-            0, K, lambda i, u: spmv_dia_pallas_2d(dd, u), v
+            0, k, lambda i, u: spmv_dia_pallas_2d(dd, u, interpret=interpret),
+            v,
         )
 
+    @jax.jit
+    def well_loop(ww, v):
+        def body(i, u):
+            y = spmv_well_pallas_2d(ww, u, interpret=interpret)
+            y = y * jnp.float32(0.125)  # keep K chained applies finite
+            # chain: y (nrows_pad/128, 128) -> next x (ncols_pad/128, 128)
+            if y.shape[0] >= u.shape[0]:
+                return y[: u.shape[0]]
+            return jnp.pad(y, ((0, u.shape[0] - y.shape[0]), (0, 0)))
+
+        return jax.lax.fori_loop(0, k, body, v)
+
     x2 = dia_to_2d(d, jnp.full((d.nrows_pad,), 1e-3, jnp.float32))
-    copy_sec, sec_van, sec_sym = interleaved_loop_seconds(
+    xw = well_to_2d(w, jnp.full((w.ncols_pad,), 1e-3, jnp.float32))
+    t_copy, t_van, t_sym, t_well = interleaved_trial_seconds(
         [
-            (copy_loop, (jnp.ones((n // 128, 128), jnp.float32),)),
+            (copy_loop, (jnp.ones((n_stream // 128, 128), jnp.float32),)),
             (spmv_loop, (d, x2)),
             (spmv_loop, (ds, x2)),
-        ]
+            (well_loop, (w, xw)),
+        ],
+        trials, k,
     )
-    roofline_gbs = 2 * n * itemsize / copy_sec / 1e9
 
     vec_bytes = 2 * d.nrows_pad * itemsize
     traffic_van = d.data.size * itemsize + vec_bytes
     traffic_sym = ds.data.size * itemsize + vec_bytes
-    frac_van = traffic_van / sec_van / 1e9 / roofline_gbs
-    frac_sym_stored = traffic_sym / sec_sym / 1e9 / roofline_gbs
-    frac_sym_eff = traffic_van / sec_sym / 1e9 / roofline_gbs
+    traffic_well = (w.values.size * itemsize
+                    + w.pos.size * w.pos.dtype.itemsize
+                    + (w.ncols_pad + w.nrows_pad) * itemsize)
+    # per-trial roofline-relative fractions (same-trial copy as denominator)
+    roof_bytes_per_sec = [2 * n_stream * itemsize / c for c in t_copy]
+
+    def fracs(traffic, ts):
+        return [(traffic / t) / r for t, r in zip(ts, roof_bytes_per_sec)]
+
+    f_van = _med_spread(fracs(traffic_van, t_van))
+    f_sym = _med_spread(fracs(traffic_sym, t_sym))
+    f_sym_eff = _med_spread(fracs(traffic_van, t_sym))
+    f_well = _med_spread(fracs(traffic_well, t_well))
+    sec_sym = statistics.median(t_sym)
+    roof_med = statistics.median(roof_bytes_per_sec) / 1e9
     gflops = 2.0 * a.nnz / sec_sym / 1e9
+    gflops_well = 2.0 * aw.nnz / statistics.median(t_well) / 1e9
 
     print(
-        f"# n={a.nrows} nnz={a.nnz} roofline {roofline_gbs:.0f} GB/s | "
-        f"vanilla {sec_van*1e3:.3f} ms/apply ({100*frac_van:.1f}% stored) | "
-        f"symmetric {sec_sym*1e3:.3f} ms/apply "
-        f"({100*frac_sym_stored:.1f}% stored, "
-        f"{100*frac_sym_eff:.1f}% effective)",
+        f"# n={a.nrows} nnz={a.nnz} roofline {roof_med:.0f} GB/s | "
+        f"vanilla {f_van[0]*100:.1f}% stored "
+        f"[{f_van[1]*100:.1f},{f_van[2]*100:.1f}] | "
+        f"symmetric {f_sym[0]*100:.1f}% stored, {f_sym_eff[0]*100:.1f}% eff "
+        f"[{f_sym_eff[1]*100:.1f},{f_sym_eff[2]*100:.1f}] | "
+        f"WELL n={aw.nrows} nnz={aw.nnz} occ={w.occupancy:.2f} "
+        f"{f_well[0]*100:.1f}% stored [{f_well[1]*100:.1f},{f_well[2]*100:.1f}]"
+        f" {gflops_well:.1f} GFLOP/s",
         file=sys.stderr,
     )
     print(
@@ -131,10 +216,17 @@ def main() -> int:
                 "metric": "spmv_lap2d_10M_fp32_gflops",
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
-                "vs_baseline": round(frac_sym_eff / 0.8, 4),
-                "config": "symmetric-DIA carry kernel",
-                "stored_roofline_frac": round(frac_sym_stored, 4),
-                "vanilla_roofline_frac": round(frac_van, 4),
+                "vs_baseline": round(f_sym_eff[0] / 0.8, 4),
+                "config": "symmetric-DIA carry kernel"
+                          + (" [SMOKE]" if args.smoke else ""),
+                "trials": trials,
+                "stored_roofline_frac": f_sym[0],
+                "stored_roofline_spread": [f_sym[1], f_sym[2]],
+                "vanilla_roofline_frac": f_van[0],
+                "vanilla_roofline_spread": [f_van[1], f_van[2]],
+                "well_gflops": round(gflops_well, 2),
+                "well_stored_roofline_frac": f_well[0],
+                "well_stored_roofline_spread": [f_well[1], f_well[2]],
             }
         )
     )
