@@ -25,12 +25,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spmv_tpu.formats.dia import DiaMatrix
 from spmv_tpu.ops.spmv_dia_pallas import (
     LANES,
+    _mod2,
     _pick_tile_rows,
     _spmv_dia_sym_pallas_2d,
     _x_window_dma,
@@ -67,21 +69,21 @@ def _dia_mrhs_kernel(
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        start((i + 1) % 2, i + 1)
+        start(_mod2(i + 1), i + 1)
 
-    wait(i % 2, i)
+    wait(_mod2(i), i)
 
     @pl.when(i == 0)
     def _():
-        xwin[i % 2, 0:hr, :] = jnp.zeros((hr, lanes_all), xwin.dtype)
+        xwin[_mod2(i), 0:hr, :] = jnp.zeros((hr, lanes_all), xwin.dtype)
 
     @pl.when(i == n_tiles - 1)
     def _():
-        xwin[i % 2, tr + hr : wrows, :] = jnp.zeros(
+        xwin[_mod2(i), tr + hr : wrows, :] = jnp.zeros(
             (hr, lanes_all), xwin.dtype
         )
 
-    xw = xwin[i % 2]
+    xw = xwin[_mod2(i)]
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
 
     def shifted(r, t):
@@ -91,9 +93,9 @@ def _dia_mrhs_kernel(
         q, rr = divmod(t, LANES)
         if rr == 0:
             return xw[q : q + tr, sl].astype(cdt)
-        r0 = pltpu.roll(xw[q : q + tr, sl].astype(cdt), LANES - rr, 1)
+        r0 = pltpu.roll(xw[q : q + tr, sl].astype(cdt), np.int32(LANES - rr), 1)
         r1 = pltpu.roll(
-            xw[q + 1 : q + tr + 1, sl].astype(cdt), LANES - rr, 1
+            xw[q + 1 : q + tr + 1, sl].astype(cdt), np.int32(LANES - rr), 1
         )
         return jnp.where(lane < LANES - rr, r0, r1)
 
@@ -127,12 +129,12 @@ def _spmm_dia_pallas_2d(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (tr, k * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tr, k * LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (tr, nrhs * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tr, nrhs * LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, nrhs * LANES), data.dtype),
         scratch_shapes=[

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from spmv_tpu.ds import ds_add, ds_from_f64, ds_mul_f32, ds_to_f64
 from spmv_tpu.formats.csr import CSRHost
 from spmv_tpu.formats.dia import DiaMatrix, flat_to_interleaved
-from spmv_tpu.ops.spmv_dia_pallas import LANES, _pick_tile_rows, dia_halo_rows
+from spmv_tpu.ops.spmv_dia_pallas import _idx32, _mod2, LANES, _pick_tile_rows, dia_halo_rows
 
 
 @dataclasses.dataclass
@@ -103,6 +103,7 @@ def _dia_ds_kernel(
     hbm = (xh_hbm, xl_hbm)
 
     def leg_copy(slot, leg, tile_kind, tile):
+        slot, leg = _idx32(slot), _idx32(leg)
         if tile_kind == "first":
             rows = min(tr + hr, n_tiles * tr)
             return pltpu.make_async_copy(
@@ -119,8 +120,9 @@ def _dia_ds_kernel(
             xwin.at[slot, leg], xsem.at[slot, leg])
 
     def start(slot, tile):
+        slot = _idx32(slot)
         if n_tiles == 1:
-            for leg in range(2):
+            for leg in map(_idx32, range(2)):
                 pltpu.make_async_copy(
                     hbm[leg].at[pl.ds(0, tr), :],
                     xwin.at[slot, leg, pl.ds(hr, tr), :], xsem.at[slot, leg]
@@ -129,23 +131,24 @@ def _dia_ds_kernel(
 
         @pl.when(tile == 0)
         def _():
-            for leg in range(2):
+            for leg in map(_idx32, range(2)):
                 leg_copy(slot, leg, "first", tile).start()
 
         @pl.when(tile == n_tiles - 1)
         def _():
-            for leg in range(2):
+            for leg in map(_idx32, range(2)):
                 leg_copy(slot, leg, "last", tile).start()
 
         if n_tiles > 2:
             @pl.when((tile > 0) & (tile < n_tiles - 1))
             def _():
-                for leg in range(2):
+                for leg in map(_idx32, range(2)):
                     leg_copy(slot, leg, "mid", tile).start()
 
     def wait(slot, tile):
+        slot = _idx32(slot)
         if n_tiles == 1:
-            for leg in range(2):
+            for leg in map(_idx32, range(2)):
                 pltpu.make_async_copy(
                     hbm[leg].at[pl.ds(0, tr), :],
                     xwin.at[slot, leg, pl.ds(hr, tr), :], xsem.at[slot, leg]
@@ -154,18 +157,18 @@ def _dia_ds_kernel(
 
         @pl.when(tile == 0)
         def _():
-            for leg in range(2):
+            for leg in map(_idx32, range(2)):
                 leg_copy(slot, leg, "first", tile).wait()
 
         @pl.when(tile == n_tiles - 1)
         def _():
-            for leg in range(2):
+            for leg in map(_idx32, range(2)):
                 leg_copy(slot, leg, "last", tile).wait()
 
         if n_tiles > 2:
             @pl.when((tile > 0) & (tile < n_tiles - 1))
             def _():
-                for leg in range(2):
+                for leg in map(_idx32, range(2)):
                     leg_copy(slot, leg, "mid", tile).wait()
 
     @pl.when(i == 0)
@@ -174,20 +177,20 @@ def _dia_ds_kernel(
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        start((i + 1) % 2, i + 1)
+        start(_mod2(i + 1), i + 1)
 
-    wait(i % 2, i)
+    wait(_mod2(i), i)
 
     @pl.when(i == 0)
     def _():
-        xwin[i % 2, :, 0:hr, :] = jnp.zeros((2, hr, LANES), xwin.dtype)
+        xwin[_mod2(i), :, 0:hr, :] = jnp.zeros((2, hr, LANES), xwin.dtype)
 
     @pl.when(i == n_tiles - 1)
     def _():
-        xwin[i % 2, :, tr + hr : wrows, :] = jnp.zeros((2, hr, LANES), xwin.dtype)
+        xwin[_mod2(i), :, tr + hr : wrows, :] = jnp.zeros((2, hr, LANES), xwin.dtype)
 
-    xwh = xwin[i % 2, 0]
-    xwl = xwin[i % 2, 1]
+    xwh = xwin[_mod2(i), 0]
+    xwl = xwin[_mod2(i), 1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
 
@@ -196,8 +199,8 @@ def _dia_ds_kernel(
         q, r = divmod(t, LANES)
         if r == 0:
             return buf[q : q + tr, :]
-        r0 = pltpu.roll(buf[q : q + tr, :], LANES - r, 1)
-        r1 = pltpu.roll(buf[q + 1 : q + tr + 1, :], LANES - r, 1)
+        r0 = pltpu.roll(buf[q : q + tr, :], np.int32(LANES - r), 1)
+        r1 = pltpu.roll(buf[q + 1 : q + tr + 1, :], np.int32(LANES - r), 1)
         return jnp.where(lane < LANES - r, r0, r1)
 
     acc_h = jnp.zeros((tr, LANES), jnp.float32)
@@ -234,14 +237,14 @@ def _spmv_dia_ds_2d(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tr, klanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, klanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, klanes), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, klanes), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),

@@ -35,12 +35,31 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spmv_tpu.formats.dia import DiaMatrix
 
 LANES = 128
+
+
+def _mod2(v):
+    """(v % 2) via the lax primitive. jnp's ``%`` is a composite that
+    materializes the literal 2 as an int64 constant when x64 is enabled,
+    and Mosaic cannot lower the resulting int64->int32 convert (infinite
+    recursion in _convert_helper). All call sites are runtime-guarded to
+    v >= 0, where truncated rem == floor mod."""
+    return jax.lax.rem(v, np.int32(2))
+
+
+def _idx32(v):
+    """Ref-index sanitizer for x64 mode: a plain Python int index is
+    canonicalized to int64 when x64 is enabled, and Mosaic's memref_slice
+    requires 32-bit indices ('operand must be ... 32-bit signless integer,
+    but got i64'). Traced values pass through unchanged."""
+    return np.int32(v) if isinstance(v, int) else v
+
 
 
 def _round_up(x: int, m: int) -> int:
@@ -110,6 +129,7 @@ def _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub):
         )
 
     def start(slot, tile):
+        slot = _idx32(slot)
         if n_tiles == 1:
             # whole domain in one window, centered at offset hr
             pltpu.make_async_copy(
@@ -132,6 +152,7 @@ def _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub):
                 dma_mid(slot, tile).start()
 
     def wait(slot, tile):
+        slot = _idx32(slot)
         if n_tiles == 1:
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(0, tr), :],
@@ -179,21 +200,21 @@ def _dia_kernel(
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        start((i + 1) % 2, i + 1)
+        start(_mod2(i + 1), i + 1)
 
-    wait(i % 2, i)
+    wait(_mod2(i), i)
 
     # zero the out-of-domain frame rows of edge tiles (slot was DMA-filled
     # only over the in-domain span)
     @pl.when(i == 0)
     def _():
-        xwin[i % 2, 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
+        xwin[_mod2(i), 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
 
     @pl.when(i == n_tiles - 1)
     def _():
-        xwin[i % 2, tr + hr : wrows, :] = jnp.zeros((hr, LANES), xwin.dtype)
+        xwin[_mod2(i), tr + hr : wrows, :] = jnp.zeros((hr, LANES), xwin.dtype)
 
-    xw = xwin[i % 2]
+    xw = xwin[_mod2(i)]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
     acc = jnp.zeros((tr, LANES), jnp.float32)
@@ -208,10 +229,10 @@ def _dia_kernel(
             # sublane-shifted slices; rotate only supports 32-bit data, so
             # sub-32-bit windows are upcast before rolling)
             r0 = pltpu.roll(
-                xw[q : q + tr, :].astype(jnp.float32), LANES - r, 1
+                xw[q : q + tr, :].astype(jnp.float32), np.int32(LANES - r), 1
             )
             r1 = pltpu.roll(
-                xw[q + 1 : q + tr + 1, :].astype(jnp.float32), LANES - r, 1
+                xw[q + 1 : q + tr + 1, :].astype(jnp.float32), np.int32(LANES - r), 1
             )
             v = jnp.where(lane < LANES - r, r0, r1)
         dk = data_ref[:, k * LANES : (k + 1) * LANES]  # free lane-slice view
@@ -270,6 +291,8 @@ def _dia_sym_kernel(
     # x window for tile t covers rows [t*tr - hr, t*tr + tr); tile 0 clamps
     # to the domain and zeros the out-of-domain top (zero Dirichlet halo).
     def x_start(slot, t):
+        slot = _idx32(slot)
+        t = _idx32(t)
         @pl.when(t == 0)
         def _():
             pltpu.make_async_copy(
@@ -286,6 +309,8 @@ def _dia_sym_kernel(
                 ).start()
 
     def x_wait(slot, t):
+        slot = _idx32(slot)
+        t = _idx32(t)
         @pl.when(t == 0)
         def _():
             pltpu.make_async_copy(
@@ -302,6 +327,8 @@ def _dia_sym_kernel(
                 ).wait()
 
     def y_dma(slot, t):
+        slot = _idx32(slot)
+        t = _idx32(t)
         return pltpu.make_async_copy(
             yscr.at[slot],
             y_hbm.at[pl.ds(t * tr, tr), :],
@@ -314,15 +341,15 @@ def _dia_sym_kernel(
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        x_start((i + 1) % 2, i + 1)
+        x_start(_mod2(i + 1), i + 1)
 
-    x_wait(i % 2, i)
+    x_wait(_mod2(i), i)
 
     @pl.when(i == 0)
     def _():
-        xwin[i % 2, 0:hr, :] = jnp.zeros((hr, wl), xwin.dtype)
+        xwin[_mod2(i), 0:hr, :] = jnp.zeros((hr, wl), xwin.dtype)
 
-    xw = xwin[i % 2]
+    xw = xwin[_mod2(i)]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
 
@@ -334,9 +361,9 @@ def _dia_sym_kernel(
         q, rr = divmod(t, LANES)
         if rr == 0:
             return xw[q : q + tr, sl].astype(cdt)
-        r0 = pltpu.roll(xw[q : q + tr, sl].astype(cdt), LANES - rr, 1)
+        r0 = pltpu.roll(xw[q : q + tr, sl].astype(cdt), np.int32(LANES - rr), 1)
         r1 = pltpu.roll(
-            xw[q + 1 : q + tr + 1, sl].astype(cdt), LANES - rr, 1
+            xw[q + 1 : q + tr + 1, sl].astype(cdt), np.int32(LANES - rr), 1
         )
         return jnp.where(lane < LANES - rr, r0, r1)
 
@@ -361,7 +388,7 @@ def _dia_sym_kernel(
             )
         # extended row q+w: lanes >= rr hold prod row w (rolled), lanes < rr
         # the lane-wrap of prod row w-1
-        r0 = pltpu.roll(prod, rr, 1)
+        r0 = pltpu.roll(prod, np.int32(rr), 1)
         r0a = cat(r0, jnp.zeros((1, LANES), cdt))
         r0b = cat(jnp.zeros((1, LANES), cdt), r0)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (tr + 1, LANES), 1)
@@ -405,11 +432,11 @@ def _dia_sym_kernel(
         if n_tiles > 3:
             @pl.when(i >= 3)
             def _():
-                y_dma((i - 1) % 2, i - 3).wait()
-        yscr[(i - 1) % 2] = jnp.concatenate(
+                y_dma(_mod2(i - 1), i - 3).wait()
+        yscr[_mod2(i - 1)] = jnp.concatenate(
             [prev[0 : tr - hr, :], prev[tr - hr : tr, :] + spill]
         ).astype(yscr.dtype)
-        y_dma((i - 1) % 2, i - 1).start()
+        y_dma(_mod2(i - 1), i - 1).start()
 
     carry[...] = acc
 
@@ -420,15 +447,15 @@ def _dia_sym_kernel(
         if n_tiles > 2:
             @pl.when(i >= 2)
             def _():
-                y_dma(i % 2, i - 2).wait()
-        yscr[i % 2] = acc.astype(yscr.dtype)
-        y_dma(i % 2, i).start()
+                y_dma(_mod2(i), i - 2).wait()
+        yscr[_mod2(i)] = acc.astype(yscr.dtype)
+        y_dma(_mod2(i), i).start()
 
         @pl.when(i > 0)
         def _():
-            y_dma((i - 1) % 2, i - 1).wait()
+            y_dma(_mod2(i - 1), i - 1).wait()
 
-        y_dma(i % 2, i).wait()
+        y_dma(_mod2(i), i).wait()
 
 
 @functools.partial(
@@ -460,7 +487,7 @@ def _spmv_dia_sym_pallas_2d(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (tr, k * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tr, k * LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -515,12 +542,12 @@ def _spmv_dia_pallas_2d(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (tr, k * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tr, k * LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tr, LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
         scratch_shapes=[

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spmv_tpu.ops.spmv_dia_pallas import _idx32, _mod2
+
 from spmv_tpu.formats.well import LANES, WellMatrix
 
 
@@ -55,6 +57,7 @@ def _well_kernel(
     i = pl.program_id(0)
 
     def dma(slot, tile):
+        slot, tile = _idx32(slot), _idx32(tile)
         # w0 entries are multiples of 8 by construction (csr_to_well)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(pl.multiple_of(w0_ref[tile], 8), wseg), :],
@@ -68,10 +71,10 @@ def _well_kernel(
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        dma((i + 1) % 2, i + 1).start()
+        dma(_mod2(i + 1), i + 1).start()
 
-    dma(i % 2, i).wait()
-    xw = xwin[i % 2].astype(compute_dtype)  # (wseg, 128)
+    dma(_mod2(i), i).wait()
+    xw = xwin[_mod2(i)].astype(compute_dtype)  # (wseg, 128)
 
     b = k * tg
     pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
@@ -106,7 +109,12 @@ def _well_kernel(
             seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
         ).astype(compute_dtype)
         rows = jnp.dot(onehot, xw, preferred_element_type=compute_dtype)
-    gathered = jnp.take_along_axis(rows, lane, axis=1)
+    # under x64, take_along_axis picks int64 index dtype (upstream
+    # int_dtype_for_dim receives a shape, not a dim, and falls back to the
+    # default int) and Mosaic has no 64-bit types — scope x64 off for the
+    # trace of this one op
+    with jax.enable_x64(False):
+        gathered = jnp.take_along_axis(rows, lane, axis=1)
     contrib = v_ref[...].reshape(b, LANES).astype(compute_dtype) * gathered
 
     acc = jnp.zeros((tg, LANES), compute_dtype)
@@ -136,16 +144,16 @@ def _spmv_well_2d(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(
-                (k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+                (k, tg, LANES), lambda i, w0_ref: (np.int32(0), i, np.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+                (k, tg, LANES), lambda i, w0_ref: (np.int32(0), i, np.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tg, LANES), lambda i, w0_ref: (i, 0), memory_space=pltpu.VMEM
+            (tg, LANES), lambda i, w0_ref: (i, np.int32(0)), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, wseg, LANES), x2.dtype),
@@ -316,6 +324,7 @@ def _well_ds_kernel(
     hbm = (xh_hbm, xl_hbm)
 
     def dma(slot, leg, tile):
+        slot, leg, tile = _idx32(slot), _idx32(leg), _idx32(tile)
         return pltpu.make_async_copy(
             hbm[leg].at[pl.ds(pl.multiple_of(w0_ref[tile], 8), wseg), :],
             xwin.at[slot, leg],
@@ -324,16 +333,16 @@ def _well_ds_kernel(
 
     @pl.when(i == 0)
     def _():
-        for leg in range(2):
+        for leg in map(_idx32, range(2)):
             dma(0, leg, 0).start()
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        for leg in range(2):
-            dma((i + 1) % 2, leg, i + 1).start()
+        for leg in map(_idx32, range(2)):
+            dma(_mod2(i + 1), leg, i + 1).start()
 
-    for leg in range(2):
-        dma(i % 2, leg, i).wait()
+    for leg in map(_idx32, range(2)):
+        dma(_mod2(i), leg, i).wait()
 
     b = k * tg
     pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
@@ -354,10 +363,11 @@ def _well_ds_kernel(
         rows3 = jnp.dot(onehot, x3, preferred_element_type=jnp.float32)
         rows = (rows3[:, :LANES] + rows3[:, LANES:2 * LANES]
                 + rows3[:, 2 * LANES:])
-        return jnp.take_along_axis(rows, lane, axis=1)
+        with jax.enable_x64(False):  # see f32 kernel note
+            return jnp.take_along_axis(rows, lane, axis=1)
 
-    gh = gather(xwin[i % 2, 0])
-    gl = gather(xwin[i % 2, 1])
+    gh = gather(xwin[_mod2(i), _idx32(0)])
+    gl = gather(xwin[_mod2(i), _idx32(1)])
     vh = vh_ref[...].reshape(b, LANES)
     vl = vl_ref[...].reshape(b, LANES)
     ph, plo = ds_mul_f32(vh, vl, gh, gl)
@@ -385,7 +395,7 @@ def _spmv_well_ds_2d(
     kernel = functools.partial(
         _well_ds_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles
     )
-    bspec = pl.BlockSpec((k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+    bspec = pl.BlockSpec((k, tg, LANES), lambda i, w0_ref: (np.int32(0), i, np.int32(0)),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -394,13 +404,13 @@ def _spmv_well_ds_2d(
             pl.BlockSpec(memory_space=pl.ANY),  # x hi
             pl.BlockSpec(memory_space=pl.ANY),  # x lo
             bspec, bspec,                       # values hi/lo
-            pl.BlockSpec((k, tg, LANES), lambda i, w0_ref: (0, i, 0),
+            pl.BlockSpec((k, tg, LANES), lambda i, w0_ref: (np.int32(0), i, np.int32(0)),
                          memory_space=pltpu.VMEM),  # pos
         ],
         out_specs=(
-            pl.BlockSpec((tg, LANES), lambda i, w0_ref: (i, 0),
+            pl.BlockSpec((tg, LANES), lambda i, w0_ref: (i, np.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, LANES), lambda i, w0_ref: (i, 0),
+            pl.BlockSpec((tg, LANES), lambda i, w0_ref: (i, np.int32(0)),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[

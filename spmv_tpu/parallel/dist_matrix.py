@@ -262,9 +262,19 @@ class DistMatrix:
         mspec = P(self.axis_name, None, None)
 
         if self.local_format in ("dia_ds", "well_ds"):
+            # transparent f64 path (auto-selected DS operators stay drop-in):
+            # split x into an error-free hi/lo f32 pair, run the DS SpMV,
+            # recombine. The split/combine are two elementwise passes —
+            # noise next to the ~7x the XLA-f64 emulation path costs. Power
+            # users chain matvec_ds directly and skip the conversions.
+            if x.dtype == jnp.float64:
+                xh = x.astype(jnp.float32)
+                xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+                yh, yl = self.matvec_ds(xh, xl)
+                return yh.astype(jnp.float64) + yl.astype(jnp.float64)
             raise ValueError("double-single matrices apply via matvec_ds "
-                             "(pair vectors); build a separate fp32 operator "
-                             "for plain matvec / inner CG")
+                             "(pair vectors) or a float64 x; build a "
+                             "separate fp32 operator for plain f32 matvec")
         (args, op_specs, nt, has_diag, has_dia, has_well,
          n_well) = self._mult_operands()
 
@@ -1141,7 +1151,9 @@ def _assemble(
     )
 
 
-def select_local_format(a: CSRHost, symmetric: bool = False) -> str:
+def select_local_format(
+    a: CSRHost, symmetric: bool = False, dtype=None
+) -> str:
     """Automatic local-format choice (the role of the reference's
     compile-time format heuristic, reference spmv/Matrix.cpp:61-71 — which
     always picked CSR; here the choice is real):
@@ -1151,23 +1163,62 @@ def select_local_format(a: CSRHost, symmetric: bool = False) -> str:
       well — general sparsity with window-local columns: the windowed
              gather-ELL Pallas kernel (~100x the XLA gather path on chip);
       ell  — fallback (XLA gather; also the only symmetric general path).
+
+    float64 inputs auto-route to the double-single variants (``dia_ds`` /
+    ``well_ds``): the reference is double-throughout
+    (reference spmv/Matrix.cpp:565-566) and the XLA-f64 emulation path runs
+    at ~13% of roofline, while DS delivers the kappa * 2^-48 accuracy
+    envelope (BENCH_NOTES) at fp32-class speed. Symmetric f64 stays on the
+    XLA path (the DS kernels store the full matrix).
+
+    The WELL gate is format-size-aware: low-occupancy packings whose
+    stored bytes exceed ~4x the ELL footprint fall back to ELL with a
+    warning (the kernel would still win on time, but a 10M-row 2%-occupancy
+    rectangle can exceed HBM).
     """
+    want_ds = dtype is not None and np.dtype(dtype) == np.float64
+    if dtype is None and a.values.dtype == np.float64:
+        want_ds = True
     if a.nnz == 0:
         return "ell"
     rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz())
     offs = a.colind.astype(np.int64) - rows
     ndiags = len(np.unique(offs))
     if a.nrows == a.ncols and ndiags <= 64:
+        if want_ds and not symmetric:
+            return "dia_ds"
         return "dia"
     if symmetric:
         return "ell"
-    from spmv_tpu.formats.well import split_window, well_occupancy
+    from spmv_tpu.formats.well import (
+        _pack,
+        split_window,
+        well_occupancy,
+    )
 
     try:
         near, far = split_window(a, tile_groups=8, wseg_cap=512)
         if (far.nnz <= 0.25 * a.nnz
                 and well_occupancy(near, tile_groups=8) >= 0.02):
-            return "well"
+            # size gate: predicted WELL bytes vs the ELL fallback's bytes
+            g_, k_, _, _, _, _ = _pack(near, 8, dry_run=True)
+            itemsize = 8 if want_ds else np.dtype(dtype or np.float32).itemsize
+            well_bytes = g_ * k_ * 128 * (itemsize + 2)  # values + int16 pos
+            kmax = int(a.row_nnz().max())
+            ell_bytes = a.nrows * kmax * (itemsize + 4)  # values + int32 ind
+            # the kernel is ~100x the XLA gather, so trade memory for speed
+            # generously — but never past 8x ELL or an HBM-scale absolute
+            if well_bytes <= 8 * ell_bytes and well_bytes <= 4e9:
+                return "well_ds" if want_ds else "well"
+            import warnings
+
+            warnings.warn(
+                f"WELL packing would store {well_bytes/1e6:.0f} MB vs "
+                f"{ell_bytes/1e6:.0f} MB for ELL (occupancy "
+                f"{well_occupancy(near, tile_groups=8):.3f}); falling back "
+                "to ELL — consider RCM reordering (spmv_tpu.reorder) to "
+                "raise occupancy", stacklevel=2,
+            )
     except ValueError:
         pass
     return "ell"
@@ -1221,7 +1272,8 @@ def build_dist_matrix(
     if local_format not in ("ell", "dia", "dia_ds", "well", "well_ds", "auto"):
         raise ValueError(f"unknown local_format {local_format!r}")
     if local_format == "auto":
-        local_format = select_local_format(a, symmetric=symmetric)
+        local_format = select_local_format(a, symmetric=symmetric,
+                                           dtype=dtype)
     if local_format in ("dia", "dia_ds") and a.nrows != a.ncols:
         raise ValueError(f"local_format={local_format!r} requires a square matrix")
     if local_format == "dia_ds" and symmetric:

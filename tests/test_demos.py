@@ -75,9 +75,10 @@ def test_bench_json_shape():
     import bench
 
     assert callable(bench.main)
-    # the JSON contract is exercised on TPU by the driver; here we check the
-    # helper used to produce timings exists and the module imports cleanly
-    assert hasattr(bench, "interleaved_loop_seconds")
+    # the JSON contract is exercised on TPU by the driver (and by
+    # `bench.py --smoke` in CI); here we check the timing helper exists and
+    # the module imports cleanly
+    assert hasattr(bench, "interleaved_trial_seconds")
 
 
 def test_demo_cg_mtx_file(tmp_path):

@@ -330,19 +330,70 @@ def test_local_format_auto_selection():
     from spmv_tpu.gen import random_csr
     from spmv_tpu.parallel.dist_matrix import select_local_format
 
-    assert select_local_format(create_laplace_2d(16, 16)) == "dia"
-    assert select_local_format(random_csr(700, 700, 6, seed=1)) == "well"
+    # f64 inputs auto-route to the double-single formats (the reference is
+    # double-throughout, reference spmv/Matrix.cpp:565-566; the XLA-f64
+    # emulation path is ~7x slower than DS on chip)
+    assert select_local_format(create_laplace_2d(16, 16)) == "dia_ds"
+    assert select_local_format(random_csr(700, 700, 6, seed=1)) == "well_ds"
+    assert select_local_format(
+        create_laplace_2d(16, 16, dtype=np.float32)) == "dia"
+    assert select_local_format(
+        random_csr(700, 700, 6, seed=1, dtype=np.float32)) == "well"
+    # an f32 dtype override on f64 values picks the f32 formats
+    assert select_local_format(
+        create_laplace_2d(16, 16), dtype=np.float32) == "dia"
+    # symmetric stays on the XLA/ELL path (DS stores the full matrix)
     assert select_local_format(
         random_csr(100, 100, 4, seed=2, symmetric=True), symmetric=True
     ) == "ell"
-    # auto end-to-end
-    a = random_csr(260, 260, 5, seed=93)
-    A = build_dist_matrix(a, n_devices=2, local_format="auto")
+    # auto end-to-end, f32
+    a = random_csr(260, 260, 5, seed=93, dtype=np.float32)
+    A = build_dist_matrix(a, n_devices=2, local_format="auto",
+                          dtype=np.float32)
     assert A.local_format in ("well", "dia", "ell")
-    x_host = np.random.default_rng(94).standard_normal(260)
+    x_host = np.random.default_rng(94).standard_normal(260).astype(np.float32)
     got = A.from_dist(jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x_host)))
     want = a.matvec(x_host)
-    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
+def test_local_format_auto_f64_ds_end_to_end():
+    """f64 matrix + auto -> DS operator whose plain matvec transparently
+    splits/recombines f64 vectors (drop-in for the f64 user)."""
+    a = create_laplace_2d(24, 24)  # f64
+    A = build_dist_matrix(a, n_devices=2, local_format="auto")
+    assert A.local_format == "dia_ds"
+    x_host = np.random.default_rng(95).standard_normal(a.nrows)
+    got = A.from_dist(
+        jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x_host))
+    )
+    want = a.matvec(x_host)
+    # DS envelope ~2^-48, far beyond f32's 2^-24
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+
+
+def test_well_gate_falls_back_on_memory_blowup():
+    """Occupancy above the floor but stored bytes >> ELL: the size-aware
+    gate must warn and fall back to ELL (VERDICT r2 weak item 3). Rows with
+    ~4 nnz scattered over 40 distinct 128-wide segments give per-group slot
+    counts K ~ 10x the ELL row width at occupancy ~0.07."""
+    import warnings
+
+    from spmv_tpu.formats.csr import CSRHost
+    from spmv_tpu.parallel.dist_matrix import select_local_format
+
+    nr, nc = 1280, 5120
+    rng = np.random.default_rng(7)
+    rows = np.repeat(np.arange(nr), 4)
+    cols = rng.integers(0, nc, size=4 * nr)
+    a = CSRHost.from_coo(rows, cols,
+                         rng.standard_normal(len(rows)).astype(np.float32),
+                         nr, nc)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fmt = select_local_format(a, dtype=np.float32)
+    assert fmt == "ell"
+    assert any("WELL packing" in str(x.message) for x in w)
 
 
 def test_dist_well_symmetric_rejected():
