@@ -295,3 +295,99 @@ def csr_to_well(
         nseg=nseg_x,
         _nnz=a.nnz,
     )
+
+
+@dataclasses.dataclass
+class SymWellMatrix:
+    """Symmetric general-sparsity device format: A = L + D + L^T with the
+    strict lower triangle L stored as a WELL operator AND its transpose
+    L^T PRE-BUILT as a second WELL operator at conversion time — the
+    symmetric apply is two gather kernels plus a diagonal axpy, with ZERO
+    scatters on the hot path. This is the TPU answer to the reference's
+    symmetric mode (conflict-map two-phase on CPU,
+    reference spmv/openmp/csr_kernels.openmp.cpp:89-168; global-memory
+    atomics on GPU, reference spmv/cuda/csr_kernels.cuda.cu:20-47): TPU has
+    no atomics, and the XLA scatter-add formulation measured ~1 GB/s — so
+    don't scatter at all; trade 2x index storage for gather-speed.
+
+    Each triangle carries its own compact-COO far remainder (entries
+    outside its window split), applied as two tiny scatter-adds — empty
+    after RCM reordering for most matrices.
+    """
+
+    lower: WellMatrix          # WELL of strict-lower near entries
+    upper: WellMatrix          # WELL of (strict lower)^T near entries
+    diag: jax.Array            # (nrows_pad,) dense diagonal
+    farl: tuple | None         # (rows i32, cols i32, vals) of lower far
+    faru: tuple | None         # same for the transposed part
+    nrows: int
+
+    @property
+    def nrows_pad(self) -> int:
+        return self.lower.nrows_pad
+
+    @property
+    def nnz_stored(self) -> int:
+        nl = self.lower.nnz_stored + self.upper.nnz_stored
+        nf = (0 if self.farl is None else self.farl[0].shape[0]) + (
+            0 if self.faru is None else self.faru[0].shape[0])
+        return nl + nf + int(jnp.size(self.diag))
+
+    def format_size_bytes(self) -> int:
+        total = self.lower.format_size_bytes() + self.upper.format_size_bytes()
+        total += self.diag.size * self.diag.dtype.itemsize
+        for far in (self.farl, self.faru):
+            if far is not None:
+                total += sum(a.size * a.dtype.itemsize for a in far)
+        return total
+
+
+jax.tree_util.register_dataclass(
+    SymWellMatrix,
+    data_fields=["lower", "upper", "diag", "farl", "faru"],
+    meta_fields=["nrows"],
+)
+
+
+def _far_coo(far: CSRHost, dtype):
+    """Compact COO triple for a far remainder (None when empty)."""
+    if far.nnz == 0:
+        return None
+    rows = np.repeat(np.arange(far.nrows, dtype=np.int32), far.row_nnz())
+    return (
+        jnp.asarray(rows),
+        jnp.asarray(far.colind.astype(np.int32)),
+        jnp.asarray(far.values.astype(dtype or far.dtype)),
+    )
+
+
+def csr_to_well_sym(
+    a: CSRHost,
+    tile_groups: int = 16,
+    max_k: int = 64,
+    dtype=None,
+    wseg_cap: int = 512,
+) -> SymWellMatrix:
+    """Convert a (full) symmetric host CSR to the dual-WELL symmetric
+    format. Only the lower triangle of ``a`` is read (entries above the
+    diagonal are assumed to mirror it, like the reference's symmetric
+    reader, reference spmv/read_petsc.cpp:177-188)."""
+    if a.nrows != a.ncols:
+        raise ValueError("symmetric storage requires a square matrix")
+    lower, diag = a.split_lower_diag()
+    upper_full = lower.transpose()
+    near_l, far_l = split_window(lower, tile_groups, wseg_cap)
+    near_u, far_u = split_window(upper_full, tile_groups, wseg_cap)
+    wl = csr_to_well(near_l, tile_groups, max_k, dtype)
+    wu = csr_to_well(near_u, tile_groups, max_k, dtype)
+    np_pad = max(wl.nrows_pad, wu.nrows_pad)
+    dpad = np.zeros(np_pad, dtype=dtype or a.dtype)
+    dpad[: len(diag)] = diag
+    return SymWellMatrix(
+        lower=wl,
+        upper=wu,
+        diag=jnp.asarray(dpad),
+        farl=_far_coo(far_l, dtype),
+        faru=_far_coo(far_u, dtype),
+        nrows=a.nrows,
+    )

@@ -456,3 +456,38 @@ def spmv_well_ds(a: WellDsMatrix, x, interpret: bool = False) -> np.ndarray:
         interpret=interpret,
     )
     return ds_to_f64(np.asarray(yh).reshape(-1), np.asarray(yl).reshape(-1))
+
+
+def spmv_well_sym(
+    a, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Symmetric general-sparsity SpMV: y = (L + D + L^T) x with BOTH
+    triangles as WELL gather kernels (formats/well.SymWellMatrix) — no
+    scatter on the hot path; the far remainders (usually empty after RCM)
+    are two compact scatter-adds touching far_nnz elements each.
+
+    ``x`` is flat (>= nrows); returns flat y of length nrows_pad. Replaces
+    the reference's conflict-map/atomics symmetric kernels
+    (reference spmv/openmp/csr_kernels.openmp.cpp:89-168,
+    reference spmv/cuda/csr_kernels.cuda.cu:20-47) with a formulation TPU
+    executes at gather speed."""
+    yl = spmv_well_pallas(a.lower, x, interpret=interpret)
+    yu = spmv_well_pallas(a.upper, x, interpret=interpret)
+    npad = a.lower.nrows_pad
+    xp = jnp.zeros((npad,), x.dtype).at[: min(x.shape[0], npad)].set(
+        x[:npad]
+    ) if x.shape[0] != npad else x
+    y = yl + yu + a.diag * xp
+    for far in (a.farl, a.faru):
+        if far is not None:
+            fr, fc, fv = far
+            y = y.at[fr].add(fv * jnp.take(x, fc, axis=0),
+                             mode="promise_in_bounds")
+    return y
+
+
+def spmv_well_sym_2d(a, x2: jax.Array, interpret: bool = False) -> jax.Array:
+    """Lane-layout wrapper for solver chaining: x2 (nrows_pad/128, 128) ->
+    y2 same shape (square operator; both triangles share nrows_pad)."""
+    y = spmv_well_sym(a, x2.reshape(-1), interpret=interpret)
+    return y.reshape(-1, LANES)

@@ -157,6 +157,19 @@ class DistMatrix:
     far_cols: jax.Array | None = None  # (D, F) int32 local col indices
     far_vals: jax.Array | None = None  # (D, F)
     well_far_nnz: int = 0              # static: max per-shard far nnz
+    # symmetric general-sparsity (local_format == "well" + symmetric): the
+    # local block's transpose L^T PRE-BUILT as a second WELL stack, so the
+    # symmetric apply is two gather kernels + diag axpy — no O(nnz)
+    # scatter-add (the dual-WELL formulation; the reference's symmetric
+    # kernels use conflict maps/atomics, which TPU does not have)
+    local_wellT_values: jax.Array | None = None  # (D, KwT, G, 128)
+    local_wellT_pos: jax.Array | None = None     # (D, KwT, G, 128) int32
+    local_wellT_w0: jax.Array | None = None      # (D, n_tiles) int32
+    wellT_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups)
+    farT_rows: jax.Array | None = None  # transpose far remainder (COO)
+    farT_cols: jax.Array | None = None
+    farT_vals: jax.Array | None = None
+    well_farT_nnz: int = 0             # static: max per-shard farT nnz
 
     # ----- static geometry -----
     @property
@@ -276,7 +289,7 @@ class DistMatrix:
                              "(pair vectors) or a float64 x; build a "
                              "separate fp32 operator for plain f32 matvec")
         (args, op_specs, nt, has_diag, has_dia, has_well,
-         n_well) = self._mult_operands()
+         n_well, n_wellT) = self._mult_operands()
 
         def per_shard(x_s, lci, lv, rci, rv, *rest):
             rest = list(rest)
@@ -287,11 +300,16 @@ class DistMatrix:
                 tuple(rest.pop(0)[0] for _ in range(n_well))
                 if has_well else None
             )
+            wellT = (
+                tuple(rest.pop(0)[0] for _ in range(n_wellT))
+                if n_wellT else None
+            )
             y = _shard_mult(
                 x_s, lci[0], lv[0], rci[0], rv[0], diag,
                 tabs, self.plan, self.row_pad,
                 self.symmetric, self.comm_axes, self.local_format, dia_data,
                 self.dia_offsets, self.on_tpu, well, self.well_meta,
+                wellT=wellT, wellT_meta=self.wellT_meta,
             )
             return y
 
@@ -333,8 +351,21 @@ class DistMatrix:
                 args += [self.far_rows, self.far_cols, self.far_vals]
                 in_specs += [P(self.axis_name, None)] * 3
         n_well = (6 if has_far else 3) if has_well else 0
+        # symmetric dual-WELL: L^T stack (+ its far COO) rides along
+        n_wellT = 0
+        if has_well and self.symmetric:
+            args += [self.local_wellT_values, self.local_wellT_pos,
+                     self.local_wellT_w0]
+            in_specs += [P(self.axis_name, None, None, None),
+                         P(self.axis_name, None, None, None),
+                         P(self.axis_name, None)]
+            n_wellT = 3
+            if self.well_farT_nnz > 0:
+                args += [self.farT_rows, self.farT_cols, self.farT_vals]
+                in_specs += [P(self.axis_name, None)] * 3
+                n_wellT = 6
         return (args, in_specs, len(tables), has_diag, has_dia, has_well,
-                n_well)
+                n_well, n_wellT)
 
     # ----- distributed multi-RHS (block) apply -----
     def to_dist_block(self, x_global: np.ndarray, side: str = "col") -> jax.Array:
@@ -401,7 +432,7 @@ class DistMatrix:
                 )
 
         (args, op_specs, nt, has_diag, has_dia, has_well,
-         n_well) = self._mult_operands()
+         n_well, n_wellT) = self._mult_operands()
 
         def per_shard(x_s2, lci, lv, rci, rv, *rest):
             rest = list(rest)
@@ -410,6 +441,8 @@ class DistMatrix:
             dia_data = rest.pop(0)[0] if has_dia else None
             well = (tuple(rest.pop(0)[0] for _ in range(n_well))
                     if has_well else None)
+            wellT = (tuple(rest.pop(0)[0] for _ in range(n_wellT))
+                     if n_wellT else None)
             cols = [x_s2[:, r * 128:(r + 1) * 128] for r in range(nrhs)]
             if mrhs_tr > 0:
                 y2 = _spmm_dia_pallas_2d(
@@ -443,6 +476,7 @@ class DistMatrix:
                     tabs, self.plan, rp, self.symmetric, self.comm_axes,
                     self.local_format, dia_data, self.dia_offsets,
                     on_tpu, well, self.well_meta,
+                    wellT=wellT, wellT_meta=self.wellT_meta,
                 )
                 for r in range(nrhs)
             ]
@@ -738,11 +772,13 @@ DIST_DATA_FIELDS = (
     "local_well_values", "local_well_pos", "local_well_w0",
     "local_well_values_lo", "local_values_lo",
     "far_rows", "far_cols", "far_vals",
+    "local_wellT_values", "local_wellT_pos", "local_wellT_w0",
+    "farT_rows", "farT_cols", "farT_vals",
 )
 DIST_META_FIELDS = (
     "nrows_global", "ncols_global", "row_pad", "symmetric", "nnz_global",
     "mesh", "axis_name", "local_format", "dia_offsets", "well_meta",
-    "well_far_nnz",
+    "well_far_nnz", "wellT_meta", "well_farT_nnz",
 )
 jax.tree_util.register_dataclass(
     DistMatrix,
@@ -756,6 +792,7 @@ def _shard_mult(
     plan, row_pad: int, symmetric: bool, comm_axes: tuple[str, ...],
     local_format: str = "ell", dia_data=None, dia_offsets: tuple = (),
     on_tpu: bool | None = None, well=None, well_meta: tuple = (),
+    wellT=None, wellT_meta: tuple = (),
 ):
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
@@ -824,7 +861,31 @@ def _shard_mult(
         else:
             y = y + gy
     if symmetric:
-        if local_format != "dia":
+        if local_format == "well":
+            # dual-WELL: the local transpose term L^T x is a SECOND gather
+            # kernel over the pre-built transpose stack — no O(nnz) scatter
+            # (VERDICT r2 item 1; the ELL formulation below scatter-adds
+            # through the ~1 GB/s XLA path)
+            from spmv_tpu.formats.well import WellMatrix
+            from spmv_tpu.ops.spmv_well_pallas import spmv_well_pallas_2d
+
+            k_t, wseg_t, tg_t = wellT_meta
+            wmT = WellMatrix(
+                values=wellT[0], pos=wellT[1], w0=wellT[2],
+                nrows=row_pad, ncols=plan.nlocal_pad,
+                wseg=wseg_t, tile_groups=tg_t,
+                nseg=plan.nlocal_pad // 128,
+            )
+            y2 = y2 + spmv_well_pallas_2d(wmT, x2, interpret=not on_tpu)
+            y2 = y2 + (diag * x).reshape(y2.shape)
+            if len(wellT) > 3:
+                frT, fcT, fvT = wellT[3:6]
+                farT = jnp.zeros((row_pad,), x.dtype).at[frT].add(
+                    fvT * jnp.take(x, fcT, axis=0),
+                    mode="promise_in_bounds",
+                )
+                y2 = y2 + farT.reshape(y2.shape)
+        elif local_format != "dia":
             y = y + diag * x
             # transpose contributions to owned cols (deterministic scatter-add)
             contrib = lv * x[:, None]
@@ -871,12 +932,16 @@ def _assemble(
     far_rows = far_cols = far_vals = None
     far_max = 0
     well_meta: tuple[int, ...] = ()
+    wellT_stack = None
+    farT_rows = farT_cols = farT_vals = None
+    farT_max = 0
+    wellT_meta: tuple[int, ...] = ()
     if local_format in ("well", "well_ds"):
-        if symmetric:
+        if symmetric and local_format == "well_ds":
             raise ValueError(
-                f"local_format={local_format!r} does not support symmetric "
-                "storage; use 'ell' (general) or 'dia' (banded) for "
-                "symmetric matrices"
+                "local_format='well_ds' does not support symmetric storage "
+                "yet; use 'well' (fp32) or 'ell' for symmetric general "
+                "matrices"
             )
         from spmv_tpu.formats.well import _build_arrays, split_window
 
@@ -888,7 +953,13 @@ def _assemble(
         # (multi-pass general sparsity; far is small after RCM reordering).
         # Arrays stay NUMPY until upload — a jnp round-trip silently
         # downcasts f64 values when x64 is off (the DS lo-plane bug class).
+        # Symmetric: the shard's local block is the strict lower triangle L;
+        # ALSO pre-build L^T as a second WELL stack so the symmetric apply
+        # is two gather kernels + diag axpy with no O(nnz) scatter (the
+        # dual-WELL formulation; reference symmetric kernels use conflict
+        # maps/atomics instead, spmv/openmp/csr_kernels.openmp.cpp:89-168).
         wells, far_blocks = [], []
+        wellsT, farT_blocks = [], []
         for s in shards:
             near, far = split_window(s.local, tile_groups=tg,
                                      wseg_cap=well_wseg_cap)
@@ -897,33 +968,71 @@ def _assemble(
                 np.float64 if local_format == "well_ds" else dtype,
             ))
             far_blocks.append(far)
+            if symmetric:
+                lt = s.local.transpose()
+                nearT, farT = split_window(lt, tile_groups=tg,
+                                           wseg_cap=well_wseg_cap)
+                wellsT.append(_build_arrays(nearT, tg, 64, dtype))
+                farT_blocks.append(farT)
         k_w = max(v.shape[0] for v, _, _, _, _ in wells)
         wseg_w = max(wseg for _, _, _, wseg, _ in wells)
         # one padded geometry for every shard: groups cover rows AND every
         # window (w0 + wseg) AND the owned column span (x and y share the
-        # per-shard padded length on square operators)
+        # per-shard padded length on square operators) — and, symmetric,
+        # the transpose stack's rows/windows too
         need = max(
             max(v.shape[1] for v, _, _, _, _ in wells),
             max((int(w0.max()) if len(w0) else 0) for _, _, w0, _, _ in wells)
             + wseg_w,
             max(-(-(s.col_range[1] - s.col_range[0]) // 128) for s in shards),
         )
+        if symmetric:
+            k_wT = max(v.shape[0] for v, _, _, _, _ in wellsT)
+            wseg_wT = max(wseg for _, _, _, wseg, _ in wellsT)
+            need = max(
+                need,
+                max(v.shape[1] for v, _, _, _, _ in wellsT),
+                max((int(w0.max()) if len(w0) else 0)
+                    for _, _, w0, _, _ in wellsT) + wseg_wT,
+            )
         gt = _round_up(need, tg)
-        wv = np.zeros((nd, k_w, gt, 128),
-                      dtype=np.float64 if local_format == "well_ds"
-                      else wells[0][0].dtype)
-        wp = np.zeros((nd, k_w, gt, 128), dtype=np.int32)
-        ww0 = np.zeros((nd, gt // tg), dtype=np.int32)
-        for s, (v, p, w0, _, _) in enumerate(wells):
-            wv[s, : v.shape[0], : v.shape[1]] = v
-            wp[s, : p.shape[0], : p.shape[1]] = p
-            ww0[s, : len(w0)] = w0
+
+        def stack_wells(ws, kk):
+            sv = np.zeros((nd, kk, gt, 128),
+                          dtype=np.float64 if local_format == "well_ds"
+                          else ws[0][0].dtype)
+            sp = np.zeros((nd, kk, gt, 128), dtype=np.int32)
+            s0 = np.zeros((nd, gt // tg), dtype=np.int32)
+            for s, (v, p, w0, _, _) in enumerate(ws):
+                sv[s, : v.shape[0], : v.shape[1]] = v
+                sp[s, : p.shape[0], : p.shape[1]] = p
+                s0[s, : len(w0)] = w0
+            return sv, sp, s0
+
+        wv, wp, ww0 = stack_wells(wells, k_w)
         if local_format == "well_ds":
             from spmv_tpu.ds import ds_from_f64
 
             wv, well_lo = ds_from_f64(wv)
         well_stack = (wv, wp, ww0)
         well_meta = (k_w, wseg_w, tg)
+        if symmetric:
+            wellT_stack = stack_wells(wellsT, k_wT)
+            wellT_meta = (k_wT, wseg_wT, tg)
+            farT_max = max((b.nnz for b in farT_blocks), default=0)
+            if farT_max > 0:
+                farT_rows = np.zeros((nd, farT_max), dtype=np.int32)
+                farT_cols = np.zeros((nd, farT_max), dtype=np.int32)
+                farT_vals = np.zeros((nd, farT_max),
+                                     dtype=dtype or shards[0].local.dtype)
+                for s, bf in enumerate(farT_blocks):
+                    if bf.nnz == 0:
+                        continue
+                    farT_rows[s, : bf.nnz] = np.repeat(
+                        np.arange(bf.nrows, dtype=np.int32), bf.row_nnz()
+                    )
+                    farT_cols[s, : bf.nnz] = bf.colind
+                    farT_vals[s, : bf.nnz] = bf.values
         # force the shared per-shard pad to exactly gt*128 on both sides
         row_align = gt * 128
 
@@ -1148,6 +1257,22 @@ def _assemble(
         far_vals=(None if far_vals is None
                   else put(far_vals, P(axis_names, None))),
         well_far_nnz=int(far_max),
+        local_wellT_values=(None if wellT_stack is None
+                            else put(wellT_stack[0],
+                                     P(axis_names, None, None, None))),
+        local_wellT_pos=(None if wellT_stack is None
+                         else put(wellT_stack[1],
+                                  P(axis_names, None, None, None))),
+        local_wellT_w0=(None if wellT_stack is None
+                        else put(wellT_stack[2], P(axis_names, None))),
+        wellT_meta=wellT_meta,
+        farT_rows=(None if farT_rows is None
+                   else put(farT_rows, P(axis_names, None))),
+        farT_cols=(None if farT_cols is None
+                   else put(farT_cols, P(axis_names, None))),
+        farT_vals=(None if farT_vals is None
+                   else put(farT_vals, P(axis_names, None))),
+        well_farT_nnz=int(farT_max),
     )
 
 
@@ -1162,7 +1287,9 @@ def select_local_format(
              zero-index-traffic Pallas DIA kernel;
       well — general sparsity with window-local columns: the windowed
              gather-ELL Pallas kernel (~100x the XLA gather path on chip);
-      ell  — fallback (XLA gather; also the only symmetric general path).
+             symmetric matrices use the dual-WELL form (L and a pre-built
+             L^T as two gather stacks — no scatters);
+      ell  — fallback (XLA gather; also the symmetric-f64 path).
 
     float64 inputs auto-route to the double-single variants (``dia_ds`` /
     ``well_ds``): the reference is double-throughout
@@ -1188,8 +1315,8 @@ def select_local_format(
         if want_ds and not symmetric:
             return "dia_ds"
         return "dia"
-    if symmetric:
-        return "ell"
+    if symmetric and want_ds:
+        return "ell"  # DS symmetric storage not supported; XLA-f64 path
     from spmv_tpu.formats.well import (
         _pack,
         split_window,
