@@ -74,6 +74,28 @@ def distributed_cycle(n: int, n_devices: int) -> int:
     print(f"|R f|    = {np.linalg.norm(coarse):.12e}")
     print(f"|R^T R f|= {np.linalg.norm(back):.12e}")
     print("distributed restrict/prolongate verified against dense oracle")
+
+    # hot-loop form: R^T as a PRE-BUILT operator (one relayout total, not
+    # one per iteration — matvec_transpose re-derives the layout each call)
+    Rt = A.transposed()
+    assert A.transposed() is Rt  # cached
+    assert Rt.col_pad == A.row_pad, "layouts must compose without copies"
+
+    @jax.jit
+    def smooth_cycle(A_, Rt_, v, iters=8):
+        def body(_, v):
+            qq = A_.matvec(v)          # restrict
+            return 0.5 * v + 0.5 * Rt_.matvec(qq)  # prolongate + damp
+        return jax.lax.fori_loop(0, iters, body, v)
+
+    v8 = A.from_dist(smooth_cycle(A, Rt, A.to_dist(fine)), side="col")
+    # host oracle of the same 8-step cycle
+    vv = fine.copy()
+    for _ in range(8):
+        vv = 0.5 * vv + 0.5 * (dense.T @ (dense @ vv))
+    np.testing.assert_allclose(v8, vv, atol=1e-10)
+    print("8-iteration prolongation loop via pre-built transposed() "
+          "verified (single relayout, reference restrictmain semantics)")
     return 0
 
 

@@ -617,6 +617,48 @@ class DistMatrix:
         )(xh, xl, self.remote_colind, self.remote_values,
           self.remote_values_lo, *extra, *tables)
 
+    def transposed(self) -> "DistMatrix":
+        """A PRE-BUILT transposed operator, cached on first call.
+
+        ``matvec_transpose`` re-derives the transpose layout on EVERY apply
+        (the DIA path de/re-interleaves the whole matrix; WELL/ELL scatter
+        through XLA) — fine for a one-off, wasteful in a loop.
+        ``A.transposed()`` pays one host rebuild (partition + plan compile +
+        upload of A^T) and returns a first-class DistMatrix whose
+        ``matvec`` IS the transpose product at full kernel speed; repeated
+        calls (and ``At.transposed()``) return the cached object.
+
+        The reference declares ``transpmult`` and throws
+        (reference spmv/Matrix.cpp:144-148); its restriction demo needed
+        exactly this pre-built form (reference demos/restrictmain.cpp:60-91).
+
+        Only available on operators returned by ``build_dist_matrix`` (the
+        host matrix rides along as a plain attribute and does not survive
+        jit/pytree round-trips — call this OUTSIDE jit, before the loop).
+        """
+        if self.symmetric:
+            return self  # A^T = A
+        cached = getattr(self, "_transposed_cache", None)
+        if cached is not None:
+            return cached
+        host = getattr(self, "_host_csr", None)
+        if host is None:
+            raise ValueError(
+                "transposed() needs the assembly-time host matrix, which is "
+                "only attached by build_dist_matrix and does not survive "
+                "jit/pytree transforms; rebuild the operator or use "
+                "matvec_transpose for one-off applies"
+            )
+        kw = dict(getattr(self, "_rebuild_kwargs", {}))
+        at = host.transpose()
+        fmt = kw.get("local_format", self.local_format)
+        if fmt in ("dia", "dia_ds") and at.nrows != at.ncols:
+            kw["local_format"] = "ell"
+        At = build_dist_matrix(at, **kw)
+        At._transposed_cache = self  # (A^T)^T = A, same cache discipline
+        self._transposed_cache = At
+        return At
+
     def matvec_transpose(self, x: jax.Array) -> jax.Array:
         """y = A^T @ x: x in the row-side lane layout, y in the col-side
         layout.
@@ -1412,10 +1454,19 @@ def build_dist_matrix(
 
     shards = partition_csr(a, nd, symmetric=symmetric)
     col_ranges = owner_ranges(a.ncols, nd) if a.nrows != a.ncols else owner_ranges(a.nrows, nd)
-    return _assemble(
+    A = _assemble(
         shards, col_ranges, a.nrows, a.ncols, a.nnz, mesh, axis_name,
         symmetric, dtype, row_align, local_format, well_wseg_cap,
     )
+    # side data for transposed(): the assembly-time host matrix + rebuild
+    # args. Plain attributes, NOT pytree fields — they vanish across
+    # jit/tree transforms (transposed() is a host-side pre-loop helper).
+    A._host_csr = a
+    A._rebuild_kwargs = dict(
+        mesh=mesh, axis_name=axis_name, dtype=dtype,
+        local_format=local_format, well_wseg_cap=well_wseg_cap,
+    )
+    return A
 
 
 def build_dist_matrix_from_shards(

@@ -161,3 +161,53 @@ def test_from_shards_validates_indices():
              (np.array([0]), np.array([0]), np.array([1.0]))],
             nrows_global=4,
         )
+
+
+def test_transposed_prebuilt_operator():
+    """A.transposed() returns a cached first-class DistMatrix whose matvec
+    equals matvec_transpose — the pre-built form for hot loops (VERDICT r2
+    item 7; reference transpmult was never implemented,
+    reference spmv/Matrix.cpp:144-148)."""
+    import jax
+
+    from spmv_tpu.formats.csr import CSRHost
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = random_csr(300, 220, 4, seed=41)
+    A = build_dist_matrix(a, n_devices=2)
+    At = A.transposed()
+    assert A.transposed() is At          # cached
+    assert At.transposed() is A          # involution shares the cache
+    assert (At.nrows_global, At.ncols_global) == (220, 300)
+    x = np.random.default_rng(42).standard_normal(300)
+    got = At.from_dist(
+        jax.jit(lambda M, v: M.matvec(v))(At, At.to_dist(x))
+    )
+    want = a.to_dense().T @ x
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_transposed_symmetric_is_self():
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = random_csr(128, 128, 4, seed=43, symmetric=True, spd_shift=1.0)
+    A = build_dist_matrix(a, n_devices=2, symmetric=True)
+    assert A.transposed() is A
+
+
+def test_transposed_dia_square():
+    import jax
+
+    from spmv_tpu.gen import create_laplace_1d
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_1d(4096, gamma=0.3)  # non-symmetric: gamma couples
+    A = build_dist_matrix(a, n_devices=2, local_format="dia")
+    At = A.transposed()
+    assert At.local_format == "dia"
+    x = np.random.default_rng(44).standard_normal(4096)
+    got = At.from_dist(jax.jit(lambda M, v: M.matvec(v))(At, At.to_dist(x)))
+    want = a.to_dense().T @ x
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
