@@ -1260,7 +1260,7 @@ def _assemble(
             nlocal=put(plan.nlocal, P(axis_names)),
             nghosts=put(plan.nghosts, P(axis_names)),
         )
-    return DistMatrix(
+    A = DistMatrix(
         local_colind=put(lci, mspec),
         local_values=put(lv, mspec),
         remote_colind=put(rci, mspec),
@@ -1316,6 +1316,13 @@ def _assemble(
                    else put(farT_vals, P(axis_names, None))),
         well_farT_nnz=int(farT_max),
     )
+    # plan-rederivation side data for checkpointing (io/checkpoint): the
+    # per-shard ghost lists + column ranges let a checkpoint recompile the
+    # halo plan for ANY mesh factorization of the same device count. Plain
+    # attributes — not pytree fields (host-side save path only).
+    A._ghost_lists = [np.asarray(s.ghosts, dtype=np.int64) for s in shards]
+    A._col_ranges = np.asarray(col_ranges, dtype=np.int64)
+    return A
 
 
 def select_local_format(

@@ -131,20 +131,67 @@ def test_checkpoint_well_operator_roundtrip(tmp_path):
     assert np.linalg.norm(yb - want) / np.linalg.norm(want) < 1e-12
 
 
-def test_checkpoint_two_tier_rejected():
-    """Two-tier (CommPlan2) operators raise a clear error instead of
-    silently saving a broken plan."""
-    import pytest
+def _two_tier_mesh(n_dcn, n_ici):
     from jax.sharding import Mesh
-    import jax
 
-    from spmv_tpu.gen import create_laplace_2d
-    from spmv_tpu.io.checkpoint import save_dist_matrix
-    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    devs = np.array(jax.devices()[: n_dcn * n_ici]).reshape(n_dcn, n_ici)
+    return Mesh(devs, ("dcn", "ici"))
 
-    devs = np.array(jax.devices()[:4]).reshape(2, 2)
-    mesh = Mesh(devs, ("dcn", "ici"))
-    a = create_laplace_2d(16, 16)
+
+def test_checkpoint_two_tier_roundtrip(tmp_path):
+    """Two-tier (CommPlan2) operators checkpoint and reload BITWISE on the
+    same (2,4) mesh shape (VERDICT r2 item 4 — the pod-scale plans where
+    preemption recovery matters most)."""
+    from spmv_tpu.parallel.comm_plan import CommPlan2
+
+    mesh = _two_tier_mesh(2, 4)
+    a = create_laplace_2d(24, 24)
     A = build_dist_matrix(a, mesh=mesh)
-    with pytest.raises(NotImplementedError, match="two-tier"):
-        save_dist_matrix("/tmp/should_not_exist", A)
+    assert isinstance(A.plan, CommPlan2)
+    path = str(tmp_path / "A2t.npz")
+    save_dist_matrix(path, A)
+    B = load_dist_matrix(path, mesh=_two_tier_mesh(2, 4))
+    assert isinstance(B.plan, CommPlan2)
+    x_host = gaussian_bump(a.nrows)
+    ya = A.from_dist(jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x_host)))
+    yb = B.from_dist(jax.jit(lambda M, v: M.matvec(v))(B, B.to_dist(x_host)))
+    np.testing.assert_array_equal(ya, yb)  # bitwise
+
+
+def test_checkpoint_two_tier_refactor_to_1d(tmp_path):
+    """A (2,4) two-tier save loads onto an 8-device 1-D mesh by re-deriving
+    the plan from the saved ghost lists — matvec bitwise-equal (two-tier is
+    bitwise-equal to one-tier by construction)."""
+    from spmv_tpu.parallel.comm_plan import CommPlan, CommPlan2
+
+    mesh = _two_tier_mesh(2, 4)
+    a = create_laplace_2d(32, 32)
+    A = build_dist_matrix(a, mesh=mesh)
+    path = str(tmp_path / "A2t.npz")
+    save_dist_matrix(path, A)
+    from jax.sharding import Mesh
+
+    mesh1d = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    B = load_dist_matrix(path, mesh=mesh1d)
+    assert isinstance(B.plan, CommPlan) and not isinstance(B.plan, CommPlan2)
+    x_host = gaussian_bump(a.nrows)
+    ya = A.from_dist(jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x_host)))
+    yb = B.from_dist(jax.jit(lambda M, v: M.matvec(v))(B, B.to_dist(x_host)))
+    np.testing.assert_array_equal(ya, yb)
+
+
+def test_checkpoint_1d_refactor_to_two_tier(tmp_path):
+    """The reverse refactor: an 8-shard 1-D save loads onto a (4,2)
+    two-tier mesh (plan re-derived), bitwise-equal matvec."""
+    from spmv_tpu.parallel.comm_plan import CommPlan2
+
+    a = create_laplace_2d(32, 32)
+    A = build_dist_matrix(a, n_devices=8)
+    path = str(tmp_path / "A1d.npz")
+    save_dist_matrix(path, A)
+    B = load_dist_matrix(path, mesh=_two_tier_mesh(4, 2))
+    assert isinstance(B.plan, CommPlan2)
+    x_host = gaussian_bump(a.nrows)
+    ya = A.from_dist(jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x_host)))
+    yb = B.from_dist(jax.jit(lambda M, v: M.matvec(v))(B, B.to_dist(x_host)))
+    np.testing.assert_array_equal(ya, yb)
