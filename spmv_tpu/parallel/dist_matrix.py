@@ -469,17 +469,37 @@ class DistMatrix:
                     ]
                     y2 = jnp.concatenate(outs, axis=1)
                 return y2
-            # generic: per-column through the single-RHS shard machinery
-            ys = [
-                _shard_mult(
+            # generic: per-column local math, but the halo moves as ONE
+            # block — a single ppermute set forward (and, symmetric, one
+            # reverse set) regardless of nrhs, for EVERY local format
+            # (VERDICT r2 item 8; halo rounds are latency-bound, so the
+            # batched payload costs what one column's round does)
+            have_ghosts = (self.plan.nghost_pad > 0
+                           and len(self.plan.rounds) > 0)
+            gblk = None
+            if have_ghosts:
+                xblk = jnp.stack([c.reshape(-1) for c in cols], axis=1)
+                gblk = _plan_gather(self.plan, xblk, tabs, self.comm_axes)
+            ys, gzs = [], []
+            for r in range(nrhs):
+                out = _shard_mult(
                     cols[r], lci[0], lv[0], rci[0], rv[0], diag,
                     tabs, self.plan, rp, self.symmetric, self.comm_axes,
                     self.local_format, dia_data, self.dia_offsets,
                     on_tpu, well, self.well_meta,
                     wellT=wellT, wellT_meta=self.wellT_meta,
+                    ghosts_pre=None if gblk is None else gblk[:, r],
+                    defer_reverse=True,
                 )
-                for r in range(nrhs)
-            ]
+                y_r, gz_r = out
+                ys.append(y_r)
+                gzs.append(gz_r)
+            if self.symmetric and have_ghosts and gzs[0] is not None:
+                yblk = jnp.stack([y.reshape(-1) for y in ys], axis=1)
+                gzblk = jnp.stack(gzs, axis=1)
+                yblk = _plan_scatter_add(self.plan, gzblk, yblk, tabs,
+                                         self.comm_axes)
+                ys = [yblk[:, r].reshape(-1, 128) for r in range(nrhs)]
             return jnp.concatenate(ys, axis=1)
 
         return jax.shard_map(
@@ -835,6 +855,7 @@ def _shard_mult(
     local_format: str = "ell", dia_data=None, dia_offsets: tuple = (),
     on_tpu: bool | None = None, well=None, well_meta: tuple = (),
     wellT=None, wellT_meta: tuple = (),
+    ghosts_pre=None, defer_reverse: bool = False,
 ):
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
@@ -844,11 +865,18 @@ def _shard_mult(
     fast path consumes them directly (zero reshapes on the hot loop); the
     ELL/general machinery works on a flat row-major view, whose reshape XLA
     fuses into the consuming gathers. Output: (row_pad/128, 128).
+
+    ``ghosts_pre``/``defer_reverse`` serve matmat's BATCHED halo: the
+    caller gathers the whole nrhs block in one ppermute set and hands each
+    column its slice; symmetric reverse contributions are returned (not
+    scattered) so the caller can push the whole block back in one reverse
+    set. With defer_reverse the return is (y2, gz_or_None).
     """
     x = x2.reshape(-1)
     have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
     if have_ghosts:
-        ghosts = _plan_gather(plan, x, tables, comm_axes)
+        ghosts = (ghosts_pre if ghosts_pre is not None
+                  else _plan_gather(plan, x, tables, comm_axes))
     # interior SpMV — independent of the halo, overlappable by XLA
     if local_format == "dia":
         from spmv_tpu.formats.dia import DiaMatrix
@@ -941,13 +969,17 @@ def _shard_mult(
             gz = gz.at[rci.reshape(-1)].add(
                 gcontrib.reshape(-1), mode="promise_in_bounds"
             )
+            if defer_reverse:
+                out = y2 if y2 is not None else y.reshape(row_pad // 128, 128)
+                return out, gz
             if y is None:
                 y = y2.reshape(-1)
                 y2 = None
             y = _plan_scatter_add(plan, gz, y, tables, comm_axes)
-    if y2 is not None:
-        return y2
-    return y.reshape(row_pad // 128, 128)
+    out = y2 if y2 is not None else y.reshape(row_pad // 128, 128)
+    if defer_reverse:
+        return out, None
+    return out
 
 
 def _assemble(

@@ -169,3 +169,56 @@ def test_dist_matmat_mrhs_fast_path_with_ghosts(n_dev):
         want = a.matvec(X[:, r].astype(np.float64))
         err = np.linalg.norm(Y[:, r] - want) / np.linalg.norm(want)
         assert err < 1e-5, (n_dev, r, err)
+
+
+@pytest.mark.parametrize("fmt", ["ell", "well", "dia"])
+def test_matmat_collective_count_independent_of_nrhs(fmt):
+    """Batched halo for the GENERIC matmat path (VERDICT r2 item 8): the
+    lowered HLO's ppermute (collective-permute) count must not grow with
+    nrhs for ANY local format."""
+    from spmv_tpu.gen import create_laplace_2d, random_csr
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    if fmt == "dia":
+        a = create_laplace_2d(32, 32, dtype=np.float32)
+    else:
+        a = random_csr(1024, 1024, 5, seed=7, dtype=np.float32)
+    A = build_dist_matrix(a, n_devices=4, local_format=fmt,
+                          dtype=np.float32)
+    counts = {}
+    for nrhs in (1, 4):
+        X = np.random.default_rng(8).standard_normal(
+            (a.nrows, nrhs)).astype(np.float32)
+        xb = A.to_dist_block(X)
+        hlo = jax.jit(lambda M, v: M.matmat(v)).lower(A, xb).compile()
+        txt = hlo.as_text()
+        counts[nrhs] = txt.count("collective-permute-start(") + txt.count(
+            "collective-permute(")
+    assert counts[4] == counts[1], counts
+
+
+def test_matmat_symmetric_batched_reverse():
+    """Symmetric matmat: forward AND reverse halo move as one block —
+    collective count independent of nrhs, result matches per-column."""
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.formats.csr import CSRHost
+
+    a0 = random_csr(600, 600, 4, seed=9, symmetric=True, spd_shift=1.0)
+    a = CSRHost(a0.rowptr, a0.colind, a0.values.astype(np.float32), a0.ncols)
+    A = build_dist_matrix(a, n_devices=4, local_format="ell",
+                          symmetric=True, dtype=np.float32)
+    X = np.random.default_rng(10).standard_normal((600, 3)).astype(np.float32)
+    got = A.from_dist_block(
+        jax.jit(lambda M, v: M.matmat(v))(A, A.to_dist_block(X)))
+    want = a.to_dense() @ X
+    np.testing.assert_allclose(got[:600], want, rtol=2e-4, atol=2e-4)
+    counts = {}
+    for nrhs in (1, 3):
+        Xn = X[:, :nrhs]
+        xb = A.to_dist_block(Xn)
+        txt = jax.jit(
+            lambda M, v: M.matmat(v)).lower(A, xb).compile().as_text()
+        counts[nrhs] = txt.count("collective-permute-start(") + txt.count(
+            "collective-permute(")
+    assert counts[3] == counts[1], counts
