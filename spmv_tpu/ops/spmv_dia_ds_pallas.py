@@ -82,25 +82,12 @@ def csr_to_dia_ds(a: CSRHost, row_align: int = 128, max_diags: int = 64) -> DiaD
     )
 
 
-def _dia_ds_kernel(
-    dh_ref,     # (TR, K*128) VMEM — hi data tile (pipelined)
-    dl_ref,     # (TR, K*128) VMEM — lo data tile (pipelined)
-    xh_hbm,     # (R, 128) ANY — x hi, windows DMA'd manually
-    xl_hbm,     # (R, 128) ANY — x lo
-    yh_ref,     # (TR, 128) VMEM — output hi tile
-    yl_ref,     # (TR, 128) VMEM — output lo tile
-    xwin,       # (2, 2, TR + 2*HR, 128) VMEM scratch (slot, hi/lo)
-    xsem,       # (2, 2) DMA semaphores
-    *,
-    offsets: tuple[int, ...],
-    tr: int,
-    hr: int,
-    n_tiles: int,
-    sub: int,
-):
-    i = pl.program_id(0)
+def _ds_x_window_dma(hbm, xwin, xsem, tr, hr, n_tiles, sub):
+    """(start, wait) closures for the double-buffered TWO-LEG (hi/lo)
+    x-window DMA — the DS analogue of spmv_dia_pallas._x_window_dma. Width
+    is whatever the hbm legs carry (128 lanes single-RHS, nrhs*128 for the
+    multi-RHS kernel)."""
     wrows = tr + 2 * hr
-    hbm = (xh_hbm, xl_hbm)
 
     def leg_copy(slot, leg, tile_kind, tile):
         slot, leg = _idx32(slot), _idx32(leg)
@@ -170,6 +157,30 @@ def _dia_ds_kernel(
             def _():
                 for leg in map(_idx32, range(2)):
                     leg_copy(slot, leg, "mid", tile).wait()
+
+    return start, wait
+
+
+def _dia_ds_kernel(
+    dh_ref,     # (TR, K*128) VMEM — hi data tile (pipelined)
+    dl_ref,     # (TR, K*128) VMEM — lo data tile (pipelined)
+    xh_hbm,     # (R, 128) ANY — x hi, windows DMA'd manually
+    xl_hbm,     # (R, 128) ANY — x lo
+    yh_ref,     # (TR, 128) VMEM — output hi tile
+    yl_ref,     # (TR, 128) VMEM — output lo tile
+    xwin,       # (2, 2, TR + 2*HR, 128) VMEM scratch (slot, hi/lo)
+    xsem,       # (2, 2) DMA semaphores
+    *,
+    offsets: tuple[int, ...],
+    tr: int,
+    hr: int,
+    n_tiles: int,
+    sub: int,
+):
+    i = pl.program_id(0)
+    wrows = tr + 2 * hr
+    hbm = (xh_hbm, xl_hbm)
+    start, wait = _ds_x_window_dma(hbm, xwin, xsem, tr, hr, n_tiles, sub)
 
     @pl.when(i == 0)
     def _():
@@ -356,3 +367,186 @@ def spmv_dia_ds(a: DiaDsMatrix, x: np.ndarray | jax.Array,
         interpret=interpret,
     )
     return ds_to_f64(np.asarray(yh).reshape(-1), np.asarray(yl).reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# multi-RHS double-single SpMM: Y = A X with BOTH planes streamed once
+# ---------------------------------------------------------------------------
+
+
+def _dia_ds_mrhs_kernel(
+    dh_ref,     # (TR, K*128) VMEM — hi data tile (pipelined)
+    dl_ref,     # (TR, K*128) VMEM — lo data tile
+    xh_hbm,     # (R, NRHS*128) ANY — x hi block, windows DMA'd manually
+    xl_hbm,     # (R, NRHS*128) ANY — x lo block
+    yh_ref,     # (TR, NRHS*128) VMEM
+    yl_ref,     # (TR, NRHS*128) VMEM
+    xwin,       # (2, 2, TR + 2*HR, NRHS*128) VMEM scratch (slot, hi/lo)
+    xsem,       # (2, 2) DMA semaphores
+    *,
+    offsets: tuple[int, ...],
+    tr: int,
+    hr: int,
+    n_tiles: int,
+    sub: int,
+    nrhs: int,
+):
+    """The DS SpMM: error-free hi/lo arithmetic (spmv_tpu.ds) per RHS slice
+    of the shared x window — the matrix's two planes are read ONCE for the
+    whole block (the f64-class answer to ops/spmm_dia_pallas; the refined
+    block solver's residual pass uses it to stream A once for 8 columns
+    instead of 8 times)."""
+    i = pl.program_id(0)
+    wrows = tr + 2 * hr
+    lanes_all = nrhs * LANES
+    hbm = (xh_hbm, xl_hbm)
+    start, wait = _ds_x_window_dma(hbm, xwin, xsem, tr, hr, n_tiles, sub)
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        start(_mod2(i + 1), i + 1)
+
+    wait(_mod2(i), i)
+
+    @pl.when(i == 0)
+    def _():
+        xwin[_mod2(i), :, 0:hr, :] = jnp.zeros((2, hr, lanes_all),
+                                               xwin.dtype)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        xwin[_mod2(i), :, tr + hr : wrows, :] = jnp.zeros(
+            (2, hr, lanes_all), xwin.dtype
+        )
+
+    xwh = xwin[_mod2(i), _idx32(0)]
+    xwl = xwin[_mod2(i), _idx32(1)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, LANES), 1)
+
+    def shifted(buf, r, off):
+        sl = slice(r * LANES, (r + 1) * LANES)
+        t = hr * LANES + off
+        q, rr = divmod(t, LANES)
+        if rr == 0:
+            return buf[q : q + tr, sl]
+        r0 = pltpu.roll(buf[q : q + tr, sl], np.int32(LANES - rr), 1)
+        r1 = pltpu.roll(buf[q + 1 : q + tr + 1, sl], np.int32(LANES - rr), 1)
+        return jnp.where(lane < LANES - rr, r0, r1)
+
+    accs_h = [jnp.zeros((tr, LANES), jnp.float32) for _ in range(nrhs)]
+    accs_l = [jnp.zeros((tr, LANES), jnp.float32) for _ in range(nrhs)]
+    for k, off in enumerate(offsets):
+        dh = dh_ref[:, k * LANES : (k + 1) * LANES]
+        dl = dl_ref[:, k * LANES : (k + 1) * LANES]
+        for r in range(nrhs):
+            ph, plo = ds_mul_f32(dh, dl, shifted(xwh, r, off),
+                                 shifted(xwl, r, off))
+            accs_h[r], accs_l[r] = ds_add(accs_h[r], accs_l[r], ph, plo)
+    yh_ref[:, :] = jnp.concatenate(accs_h, axis=1)
+    yl_ref[:, :] = jnp.concatenate(accs_l, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tile_rows", "hr", "nrhs",
+                              "interpret")
+)
+def _spmm_dia_ds_2d(
+    data_hi, data_lo, xh2, xl2,
+    offsets: tuple[int, ...], tile_rows: int, hr: int, nrhs: int,
+    interpret: bool = False,
+):
+    nrows, klanes = data_hi.shape
+    tr = tile_rows
+    n_tiles = nrows // tr
+    sub = 16 if tr % 16 == 0 else 8
+    k = klanes // LANES
+    kernel = functools.partial(
+        _dia_ds_mrhs_kernel, offsets=offsets, tr=tr, hr=hr,
+        n_tiles=n_tiles, sub=sub, nrhs=nrhs,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tr, klanes), lambda i: (i, np.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, klanes), lambda i: (i, np.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, nrhs * LANES), lambda i: (i, np.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, nrhs * LANES), lambda i: (i, np.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nrows, nrhs * LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, nrhs * LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, tr + 2 * hr, nrhs * LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * k * nrows * LANES * nrhs,
+            bytes_accessed=(2 * k + 4 * nrhs) * nrows * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(data_hi, data_lo, xh2, xl2)
+
+
+def _ds_pick_tile_mrhs(a: DiaDsMatrix, nrhs: int) -> int:
+    # two data planes + two x/y legs per RHS: 2x the single-plane cost with
+    # the nrhs lane factor on the vector terms
+    return _pick_tile_rows(
+        a.nrows_pad // LANES, 2 * a.ndiags, _ds_halo_rows(a), 4,
+        sym=False, nrhs=2 * nrhs,
+    )
+
+
+def spmm_dia_ds_supported(a: DiaDsMatrix, nrhs: int) -> bool:
+    if a.nrows_pad % (8 * LANES) != 0 or nrhs < 1:
+        return False
+    if _ds_halo_rows(a) > 512:
+        return False
+    return _ds_pick_tile_mrhs(a, nrhs) > 0
+
+
+def spmm_dia_ds_pallas_2d(
+    a: DiaDsMatrix, xh2: jax.Array, xl2: jax.Array, nrhs: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Double-single SpMM in the (rows, nrhs*128) SpMM lane layout
+    (spmm_dia_pallas.spmm_to_layout): (hi, lo) x block -> (hi, lo) y block,
+    matrix planes streamed once for the whole block."""
+    tr = _ds_pick_tile_mrhs(a, nrhs)
+    if tr == 0:
+        raise ValueError("no valid tile; check spmm_dia_ds_supported first")
+    return _spmm_dia_ds_2d(
+        a.data_hi, a.data_lo, xh2, xl2, a.offsets, tr, _ds_halo_rows(a),
+        nrhs, interpret=interpret,
+    )
+
+
+def spmm_dia_ds_xla(
+    a: DiaDsMatrix, xh2: jax.Array, xl2: jax.Array, nrhs: int
+) -> tuple[jax.Array, jax.Array]:
+    """XLA fallback/oracle for the DS SpMM (per-RHS single applies over the
+    lane-layout slices — correct anywhere, slower than the kernel)."""
+    outs_h, outs_l = [], []
+    for r in range(nrhs):
+        sl = slice(r * LANES, (r + 1) * LANES)
+        yh, yl = spmv_dia_ds_xla(a, xh2[:, sl], xl2[:, sl])
+        outs_h.append(yh)
+        outs_l.append(yl)
+    return jnp.concatenate(outs_h, axis=1), jnp.concatenate(outs_l, axis=1)

@@ -637,6 +637,85 @@ class DistMatrix:
         )(xh, xl, self.remote_colind, self.remote_values,
           self.remote_values_lo, *extra, *tables)
 
+    def matmat_ds(self, xh: jax.Array, xl: jax.Array):
+        """Double-single distributed SpMM: (xh, xl) f32 pairs in the sharded
+        SpMM lane layout (D*col_pad/128, nrhs*128) -> (yh, yl) pairs.
+
+        The f64-class block apply: the local DS DIA kernel streams BOTH
+        matrix planes once for the whole block
+        (ops/spmv_dia_ds_pallas._dia_ds_mrhs_kernel); the halo moves hi and
+        lo as two block gathers (one ppermute set per round per plane,
+        independent of nrhs); remote terms run error-free f32 arithmetic
+        per column. ``local_format='dia_ds'`` only."""
+        if self.local_format != "dia_ds":
+            raise ValueError("matmat_ds requires local_format 'dia_ds'")
+        from spmv_tpu.ds import ds_add, ds_mul_f32
+
+        nrhs = xh.shape[1] // 128
+        spec = P(self.axis_name, None)
+        mspec = P(self.axis_name, None, None)
+        tables = _plan_tables(self.plan)
+        nt = len(tables)
+        plan = self.plan
+        rp = self.row_pad
+        on_tpu = self.on_tpu
+
+        def per_shard(xh2, xl2, rci, rvh, rvl, dh, dl, *tabs_in):
+            tabs = tuple(t[0] for t in tabs_in)
+            rci_, rvh_, rvl_ = rci[0], rvh[0], rvl[0]
+            dh_, dl_ = dh[0], dl[0]
+            from spmv_tpu.ops.spmv_dia_ds_pallas import (
+                DiaDsMatrix,
+                spmm_dia_ds_pallas_2d,
+                spmm_dia_ds_supported,
+                spmm_dia_ds_xla,
+            )
+
+            dm = DiaDsMatrix(
+                data_hi=dh_, data_lo=dl_, offsets=self.dia_offsets,
+                nrows=plan.nlocal_pad, ncols=plan.nlocal_pad,
+            )
+            if on_tpu and spmm_dia_ds_supported(dm, nrhs):
+                yh, yl = spmm_dia_ds_pallas_2d(dm, xh2, xl2, nrhs)
+            else:
+                yh, yl = spmm_dia_ds_xla(dm, xh2, xl2, nrhs)
+            have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
+            if have_ghosts:
+                # block halo per plane: (nlocal_pad, nrhs) moved in one
+                # ppermute set per round
+                def as_cols(v2):
+                    return jnp.stack(
+                        [v2[:, r * 128:(r + 1) * 128].reshape(-1)
+                         for r in range(nrhs)], axis=1)
+
+                gh = _plan_gather(plan, as_cols(xh2), tabs, self.comm_axes)
+                gl = _plan_gather(plan, as_cols(xl2), tabs, self.comm_axes)
+                for r in range(nrhs):
+                    acc_h = jnp.zeros((rp,), jnp.float32)
+                    acc_l = jnp.zeros((rp,), jnp.float32)
+                    ghg = jnp.take(gh[:, r], rci_, axis=0)
+                    glg = jnp.take(gl[:, r], rci_, axis=0)
+                    for kk in range(rci_.shape[1]):
+                        ph, plo = ds_mul_f32(rvh_[:, kk], rvl_[:, kk],
+                                             ghg[:, kk], glg[:, kk])
+                        acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
+                    sl = slice(r * 128, (r + 1) * 128)
+                    nh, nl = ds_add(yh[:, sl], yl[:, sl],
+                                    acc_h.reshape(-1, 128),
+                                    acc_l.reshape(-1, 128))
+                    yh = yh.at[:, sl].set(nh)
+                    yl = yl.at[:, sl].set(nl)
+            return yh, yl
+
+        return jax.shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(spec, spec, mspec, mspec, mspec, mspec, mspec)
+            + (mspec,) * nt,
+            out_specs=(spec, spec), check_vma=False,
+        )(xh, xl, self.remote_colind, self.remote_values,
+          self.remote_values_lo, self.local_dia_data,
+          self.local_dia_data_lo, *tables)
+
     def transposed(self) -> "DistMatrix":
         """A PRE-BUILT transposed operator, cached on first call.
 

@@ -56,16 +56,30 @@ def block_cg(
     x0: jax.Array | None = None,
     kmax: int = 100,
     rtol: float = 1e-10,
+    independent: bool = False,
 ) -> BlockCGResult:
     """Solve SPD A X = B. ``b`` is (rows, nrhs*128) in the SpMM lane layout
     (zero padding entries); ``matmat`` maps that layout to itself (e.g. a
     closure over ``_spmm_dia_pallas_2d``). Stops when EVERY column's
-    relative residual is below ``rtol``."""
+    relative residual is below ``rtol``.
+
+    ``independent=True`` runs nrhs SIMULTANEOUS single-vector CGs (diagonal
+    alpha/beta instead of the coupled (nrhs, nrhs) block solves) that still
+    share ONE SpMM per iteration. The coupled block recurrences share
+    Krylov information (fewer iterations) but lose conjugacy in fp32 after
+    a few hundred iterations on ill-conditioned systems (observed claimed
+    contraction > 1 on a kappa~1e5 operator at iteration ~600); the
+    independent mode has single-vector CG's stability with the same
+    matrix-streamed-once traffic — the refinement solvers use it for their
+    inner passes."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     rdtype = jnp.finfo(b.dtype).dtype
     eps = jnp.asarray(jnp.finfo(b.dtype).eps, rdtype)
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, rdtype)
+    if independent:
+        return _simultaneous_cg(matmat, b, nrhs, x0, kmax, rtol, rdtype,
+                                tiny)
 
     def gram(u, v):
         """(nrhs, nrhs) block dot in the lane layout."""
@@ -117,6 +131,56 @@ def block_cg(
         cond, body, (jnp.int32(0), x0, r0, r0, gamma0)
     )
     rnorm = jnp.sqrt(jnp.maximum(jnp.diag(gamma), 0))
+    return BlockCGResult(
+        x=x,
+        iterations=k,
+        rnorm=rnorm,
+        rnorm0=rnorm0,
+        converged=jnp.all(rnorm / jnp.maximum(rnorm0, tiny) < rtol),
+    )
+
+
+def _simultaneous_cg(matmat, b, nrhs, x0, kmax, rtol, rdtype, tiny):
+    """nrhs independent CG recurrences over one shared SpMM per iteration
+    (see block_cg(independent=True))."""
+
+    def dots(u, v):
+        return jnp.einsum("rac,rac->a", _as3(u, nrhs), _as3(v, nrhs),
+                          preferred_element_type=rdtype)
+
+    def colscale(u, s):
+        return (_as3(u, nrhs) * s[None, :, None].astype(b.dtype)).reshape(
+            u.shape)
+
+    r0 = b - matmat(x0)
+    gamma0 = dots(r0, r0)
+    rnorm0 = jnp.sqrt(jnp.maximum(gamma0, 0))
+
+    def cond(state):
+        k, _x, _r, _p, gamma = state
+        rn = jnp.sqrt(jnp.maximum(gamma, 0))
+        return (k < kmax) & jnp.any(rn / jnp.maximum(rnorm0, tiny) >= rtol)
+
+    def body(state):
+        k, x, r, p, gamma = state
+        q = matmat(p)
+        delta = dots(p, q)
+        alpha = gamma / jnp.maximum(delta, tiny)
+        # freeze converged columns (their alpha would be noise-over-noise)
+        live = (jnp.sqrt(jnp.maximum(gamma, 0))
+                / jnp.maximum(rnorm0, tiny)) >= rtol
+        alpha = jnp.where(live, alpha, 0)
+        x = x + colscale(p, alpha)
+        r = r - colscale(q, alpha)
+        gamma_new = dots(r, r)
+        beta = jnp.where(live, gamma_new / jnp.maximum(gamma, tiny), 0)
+        p = r + colscale(p, beta)
+        return (k + 1, x, r, p, gamma_new)
+
+    k, x, _r, _p, gamma = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, r0, gamma0)
+    )
+    rnorm = jnp.sqrt(jnp.maximum(gamma, 0))
     return BlockCGResult(
         x=x,
         iterations=k,
@@ -244,7 +308,8 @@ def block_cg_refined(
             return _spmm_dia_pallas_2d(d32_.data, x2, d32_.offsets, tr, hr,
                                        nrhs, interpret=interpret)
 
-        return block_cg(matmat, r2, nrhs, kmax=inner_kmax, rtol=inner_rtol)
+        return block_cg(matmat, r2, nrhs, kmax=inner_kmax,
+                        rtol=inner_rtol, independent=True)
 
     xh = jnp.zeros((npad // LANES, LANES, nrhs), jnp.float32)
     xl = jnp.zeros_like(xh)
@@ -298,4 +363,98 @@ def block_cg_refined(
         [ds_to_f64(np.asarray(xh[..., r]).reshape(-1),
                    np.asarray(xl[..., r]).reshape(-1))[:n]
          for r in range(nrhs)], axis=1)
+    return X, len(history), inner_total, history[-1]
+
+
+def block_cg_refined_dist(
+    a,
+    B,
+    n_devices: int | None = None,
+    mesh=None,
+    rtol: float = 1e-12,
+    max_outer: int = 10,
+    inner_kmax: int = 400,
+    inner_rtol: float = 1e-4,
+):
+    """Distributed f64-class multi-RHS solves at fp32 block speed.
+
+    The distributed completion of ``block_cg_refined`` (VERDICT r2 item 6):
+    inner iterations run the fp32 DIA SpMM over the mesh
+    (``DistMatrix.matmat`` — matrix streamed once per block iteration, halo
+    one ppermute set per round), and TRUE residuals run the double-single
+    block apply (``DistMatrix.matmat_ds`` — both planes streamed once for
+    ALL columns, DS halo in two block gathers). Every column converges to
+    the kappa * 2^-48 envelope.
+
+    ``a``: global host CSRHost (banded/DIA-convertible, SPD); ``B``:
+    (n, nrhs) float64. Returns (X (n, nrhs) float64, outer_passes,
+    inner_iterations, final per-column TRUE residual norms).
+    """
+    import numpy as np
+
+    from spmv_tpu.ds import ds_add, ds_from_f64, ds_to_f64
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    n, nrhs = B.shape
+    A32 = build_dist_matrix(a, n_devices=n_devices, mesh=mesh,
+                            local_format="dia", dtype=np.float32)
+    Ads = build_dist_matrix(a, mesh=A32.mesh, local_format="dia_ds")
+    assert A32.col_pad == Ads.col_pad, "fp32/DS layouts must coincide"
+
+    bh, bl = ds_from_f64(np.asarray(B, np.float64))
+    bh_d = Ads.to_dist_block(bh)
+    bl_d = Ads.to_dist_block(bl)
+    bnorm = np.linalg.norm(B, axis=0)
+
+    def col3(v):
+        return v.reshape(v.shape[0], nrhs, LANES)
+
+    @jax.jit
+    def residual_blk(Ads_, bh_, bl_, xh_, xl_):
+        yh, yl = Ads_.matmat_ds(xh_, xl_)
+        rh, rl = ds_add(bh_, bl_, -yh, -yl)
+        v3 = col3(rh)
+        norms = jnp.sqrt(jnp.einsum("rnc,rnc->n", v3, v3,
+                                    preferred_element_type=jnp.float32))
+        return rh, rl, norms
+
+    @jax.jit
+    def inner_block(A32_, rh_, scale):
+        r2 = (col3(rh_) * scale[None, :, None]).reshape(rh_.shape)
+        return block_cg(A32_.matmat, r2, nrhs, kmax=inner_kmax,
+                        rtol=inner_rtol, independent=True)
+
+    @jax.jit
+    def apply_correction(xh_, xl_, d2, rnorms_dev):
+        dh = (col3(d2) * rnorms_dev[None, :, None]).reshape(d2.shape)
+        return ds_add(xh_, xl_, dh, jnp.zeros_like(dh))
+
+    xh = jnp.zeros_like(bh_d)
+    xl = jnp.zeros_like(bl_d)
+    inner_total = 0
+    history = []
+    corrected = False
+    for _ in range(max_outer):
+        rh, rl, norms = residual_blk(Ads, bh_d, bl_d, xh, xl)
+        rnorms = np.asarray(norms, np.float64)
+        corrected = False
+        history.append(rnorms.copy())
+        if np.all(rnorms <= rtol * bnorm):
+            break
+        if len(history) > 1 and np.all(rnorms > 0.5 * history[-2]):
+            break  # stalled at the kappa * eps_ds floor
+        scale = jnp.asarray(1.0 / np.maximum(rnorms, 1e-300), jnp.float32)
+        res = inner_block(A32, rh, scale)
+        inner_total += int(res.iterations)
+        xh, xl = apply_correction(
+            xh, xl, res.x, jnp.asarray(rnorms, jnp.float32))
+        corrected = True
+
+    if corrected:
+        _, _, norms = residual_blk(Ads, bh_d, bl_d, xh, xl)
+        history.append(np.asarray(norms, np.float64).copy())
+
+    Xh = Ads.from_dist_block(xh)[:n]
+    Xl = Ads.from_dist_block(xl)[:n]
+    X = Xh.astype(np.float64) + Xl.astype(np.float64)
     return X, len(history), inner_total, history[-1]

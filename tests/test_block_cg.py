@@ -1,5 +1,6 @@
 """Block CG over the multi-RHS SpMM kernel (see solvers/block_cg.py)."""
 import jax.numpy as jnp
+import jax
 import numpy as np
 import pytest
 
@@ -83,3 +84,50 @@ def test_block_cg_refined_f64_class():
         rel = np.linalg.norm(a.matvec(X[:, r]) - B[:, r]) \
             / np.linalg.norm(B[:, r])
         assert rel < 1e-10, (r, rel)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_dist_matmat_ds_matches_per_column(n_dev):
+    """The DS block apply (matrix planes streamed once for all columns)
+    matches per-column matvec_ds exactly."""
+    from spmv_tpu.ds import ds_from_f64
+    from spmv_tpu.gen import create_laplace_2d
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_2d(40, 40)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="dia_ds")
+    nrhs = 3
+    X = np.random.default_rng(21).standard_normal((a.nrows, nrhs))
+    xh, xl = ds_from_f64(X)
+    xh_d, xl_d = A.to_dist_block(xh), A.to_dist_block(xl)
+    yh, yl = jax.jit(lambda M, h, l: M.matmat_ds(h, l))(A, xh_d, xl_d)
+    Yh, Yl = A.from_dist_block(yh), A.from_dist_block(yl)
+    for r in range(nrhs):
+        ch = A.to_dist(xh[:, r].copy())
+        cl = A.to_dist(xl[:, r].copy())
+        vh, vl = jax.jit(lambda M, h, l: M.matvec_ds(h, l))(A, ch, cl)
+        np.testing.assert_array_equal(Yh[:, r], A.from_dist(vh))
+        np.testing.assert_array_equal(Yl[:, r], A.from_dist(vl))
+    want = np.stack([a.matvec(X[:, r]) for r in range(nrhs)], axis=1)
+    got = Yh.astype(np.float64) + Yl.astype(np.float64)
+    rel = np.linalg.norm(got[:a.nrows] - want) / np.linalg.norm(want)
+    assert rel < 1e-13
+
+
+def test_block_cg_refined_dist_f64_class():
+    """Distributed refined block CG: EVERY column of a multi-RHS solve
+    reaches f64-class residuals (VERDICT r2 item 6)."""
+    from spmv_tpu.gen import create_laplace_2d
+    from spmv_tpu.solvers.block_cg import block_cg_refined_dist
+
+    a = create_laplace_2d(48, 48)  # kappa ~ 1e3
+    nrhs = 4
+    B = np.random.default_rng(22).standard_normal((a.nrows, nrhs))
+    X, outers, inners, rnorms = block_cg_refined_dist(
+        a, B, n_devices=4, rtol=1e-11, inner_rtol=1e-5, inner_kmax=800)
+    bnorm = np.linalg.norm(B, axis=0)
+    # true residual certified in f64 on host
+    R = np.stack([a.matvec(X[:, r]) for r in range(nrhs)], axis=1) - B
+    rel = np.linalg.norm(R, axis=0) / bnorm
+    assert np.all(rel < 1e-9), (rel, outers, inners)
+    assert np.all(rnorms / bnorm < 1e-9)
