@@ -26,16 +26,20 @@ def bandwidth(a: CSRHost) -> int:
     return int(np.abs(a.colind.astype(np.int64) - rows).max())
 
 
-def _neighbors_of(a: CSRHost, frontier: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _neighbors_of(
+    rowptr: np.ndarray, colind: np.ndarray, frontier: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
     """Concatenated adjacency of all frontier nodes (vectorized multi-slice):
-    returns (neighbor cols, index of the frontier parent per neighbor)."""
-    starts = a.rowptr[frontier].astype(np.int64)
-    cnt = (a.rowptr[frontier + 1] - a.rowptr[frontier]).astype(np.int64)
+    returns (neighbor cols, index of the frontier parent per neighbor).
+    ``rowptr``/``colind`` must be int64 (hoisted conversions: per-level
+    astype was ~20% of a 10M-row RCM)."""
+    starts = rowptr[frontier]
+    cnt = rowptr[frontier + 1] - starts
     total = int(cnt.sum())
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     shift = np.repeat(starts - np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
-    nbr = a.colind[np.arange(total, dtype=np.int64) + shift].astype(np.int64)
+    nbr = colind[np.arange(total, dtype=np.int64) + shift]
     parent = np.repeat(np.arange(len(frontier), dtype=np.int64), cnt)
     return nbr, parent
 
@@ -50,6 +54,8 @@ def reverse_cuthill_mckee(a: CSRHost) -> np.ndarray:
     if a.nrows != a.ncols:
         raise ValueError("RCM needs a square matrix")
     n = a.nrows
+    rowptr64 = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+    colind64 = np.ascontiguousarray(a.colind, dtype=np.int64)
     deg = a.row_nnz().astype(np.int64)
     visited = np.zeros(n, dtype=bool)
     order = np.empty(n, dtype=np.int64)
@@ -65,7 +71,7 @@ def reverse_cuthill_mckee(a: CSRHost) -> np.ndarray:
         pos += 1
         frontier = np.array([start], dtype=np.int64)
         while True:
-            nbr, parent = _neighbors_of(a, frontier)
+            nbr, parent = _neighbors_of(rowptr64, colind64, frontier)
             mask = ~visited[nbr] if len(nbr) else np.empty(0, bool)
             nbr, parent = nbr[mask], parent[mask]
             if len(nbr) == 0:
@@ -85,14 +91,21 @@ def reverse_cuthill_mckee(a: CSRHost) -> np.ndarray:
 
 def permute_symmetric(a: CSRHost, order: np.ndarray) -> CSRHost:
     """B[i, j] = A[order[i], order[j]] — simultaneous row+col permutation
-    (preserves symmetry/SPD-ness, so CG on B solves the permuted system)."""
+    (preserves symmetry/SPD-ness, so CG on B solves the permuted system).
+
+    Single-key sort (row*ncols + col as one int64) instead of from_coo's
+    two-pass lexsort — measured 66 s -> ~20 s at 10M rows / 56M nnz."""
     inv = np.empty(len(order), dtype=np.int64)
     inv[order] = np.arange(len(order), dtype=np.int64)
     rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz())
-    return CSRHost.from_coo(
-        inv[rows], inv[a.colind.astype(np.int64)], a.values,
-        a.nrows, a.ncols, sum_duplicates=False,
-    )
+    key = inv[rows] * np.int64(a.ncols) + inv[a.colind.astype(np.int64)]
+    k = np.argsort(key)  # keys are unique -> stability irrelevant
+    ks = key[k]
+    new_rows = (ks // a.ncols).astype(np.int64)
+    rowptr = np.zeros(a.nrows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(new_rows, minlength=a.nrows), out=rowptr[1:])
+    return CSRHost(rowptr, (ks % a.ncols).astype(np.int32), a.values[k],
+                   a.ncols)
 
 
 def rcm_reorder(a: CSRHost) -> tuple[CSRHost, np.ndarray]:
@@ -103,11 +116,22 @@ def rcm_reorder(a: CSRHost) -> tuple[CSRHost, np.ndarray]:
         raise ValueError("rcm_reorder needs a square matrix")
     rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz())
     cols = a.colind.astype(np.int64)
-    sym = CSRHost.from_coo(
-        np.concatenate([rows, cols]),
-        np.concatenate([cols, rows]),
-        np.ones(2 * a.nnz, dtype=np.float32),
-        a.nrows, a.ncols, sum_duplicates=True,
-    )
+    # pattern-only symmetrization via ONE sorted-unique pass over packed
+    # (row*ncols + col) keys — from_coo's lexsort + duplicate-sum was the
+    # 10M-row bottleneck (measured 121 s -> ~25 s; values are irrelevant
+    # for the BFS, int8 ones keep the footprint small)
+    n64 = np.int64(a.ncols)
+    keys = np.concatenate([rows * n64 + cols, cols * n64 + rows])
+    keys.sort()  # in-place + boolean dedup ~ 2x np.unique (no extra copy)
+    if len(keys):
+        keep = np.empty(len(keys), dtype=bool)
+        keep[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=keep[1:])
+        keys = keys[keep]
+    sym_rows = (keys // n64).astype(np.int64)
+    rowptr = np.zeros(a.nrows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(sym_rows, minlength=a.nrows), out=rowptr[1:])
+    sym = CSRHost(rowptr, (keys % n64).astype(np.int32),
+                  np.ones(len(keys), dtype=np.int8), a.ncols)
     order = reverse_cuthill_mckee(sym)
     return permute_symmetric(a, order), order
