@@ -5,20 +5,25 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": GFLOP/s, "unit": "GFLOP/s", "vs_baseline": r, ...}
-where r = (median achieved effective bandwidth / same-trial measured
-streaming roofline) / 0.8 — r >= 1.0 means the north-star (>=80% of
-roofline, BASELINE.json) is met. All roofline fractions are reported as the
-MEDIAN over N interleaved trials with min/max spread (the chip's absolute
-throughput drifts +-8 points run to run — BENCH_NOTES; a same-trial ratio
-cancels the drift, a median over trials kills the tail).
+where r = (median effective bandwidth of the headline kernel / the chip's
+HBM SPEC roofline) / 0.8 — r >= 1.0 means the north-star (>=80% of HBM
+roofline, BASELINE.json) is met. All fractions are MEDIANS over N
+interleaved trials with min/max spread.
 
-Measurement methodology (see .claude/skills/verify/SKILL.md): on this TPU
-tunnel, block_until_ready does not truly synchronize and per-dispatch
-wall-clock includes ~23 ms of tunnel round-trip. So each measurement runs K
-chained iterations inside ONE jitted lax.fori_loop (device-side loop, the
-kernel output feeding the next input so nothing is loop-invariant), uses
-fresh input values per call (defeats tunnel caching), and syncs by pulling
-one scalar to the host.
+Measurement methodology (round-3 revision; see BENCH_NOTES "Sustained
+measurement"): each sample runs K=300 chained kernel applies inside ONE
+jitted lax.fori_loop. SHORT loops (K=30, rounds 1-2) under-measured the
+chip ~3x: per-sample wall carries ~23 ms of tunnel round-trip, and the
+first ~50 ms of a burst run well below the sustained rate (power-state
+ramp) — both effects deflate short-loop bandwidth and DISTORT ratios
+toward the longer loop. Sustained loops measure the hardware: the same
+vanilla kernel that scored "79% of the copy roofline" at K=30 measures
+759-775 GB/s stored traffic at K=300 — 93-95% of the v5e HBM spec
+(819 GB/s) — because a 6-read:1-write stream also exceeds what a 1:1
+read/write copy can do. The copy rate is still measured and reported
+(``copy_gbs``) as a same-run sanity line; the roofline denominator is the
+chip's spec bandwidth (falling back to the measured copy when the device
+kind is unknown).
 
 ``--smoke`` runs the same code on tiny shapes with the Pallas interpreter
 (CPU) — the CI configuration (.github/workflows/test.yml), a functional
@@ -32,7 +37,18 @@ import time
 
 import numpy as np
 
-K = 30  # iterations inside the device-side loop
+K = 300  # sustained device-side loop length (see module docstring)
+
+# HBM spec bandwidth by device kind (GB/s); roofline denominator
+HBM_SPEC_GBS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,   # v5e
+    "TPU v5e": 819.0,
+    "TPU v5": 2765.0,       # v5p
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,  # v6e / Trillium
+    "TPU v6e": 1640.0,
+}
 
 
 def _timed_call(fn_loop, args, k) -> float:
@@ -116,6 +132,11 @@ def main(argv=None) -> int:
     n_stream = (1 if args.smoke else 64) * 1024 * 1024
 
     a = create_laplace_2d(nx, nx, dtype=np.float32)
+    # scale so ||A||_inf < 1: K=300 chained applies stay bounded WITHOUT a
+    # per-iteration rescale epilogue (which would add two extra HBM vector
+    # passes per apply); decayed values flush to zero on TPU (FTZ), which
+    # runs at full rate. Scaling changes no traffic/flops accounting.
+    a.values *= np.float32(1.0 / 9.0)
     d = csr_to_dia(a, row_align=1024, dtype=np.float32)
     # headline configuration: the operator is symmetric, so the fastest
     # correct kernel is the symmetric (lower-triangle + carry) one — the
@@ -132,6 +153,10 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(0)
     aw = _build_well_matrix(n_well, rng)
+    row_sums = np.zeros(aw.nrows)
+    np.add.at(row_sums, np.repeat(np.arange(aw.nrows), aw.row_nnz()),
+              np.abs(aw.values))
+    aw.values *= np.float32(0.9 / max(row_sums.max(), 1e-30))
     w = csr_to_well(aw, tile_groups=64, dtype=np.float32)
 
     # roofline: chained big copy with identical loop methodology
@@ -146,9 +171,9 @@ def main(argv=None) -> int:
         # dd passed as an ARGUMENT: closing over the matrix would embed its
         # arrays as literal constants in the lowered program (2 GB at 100M
         # rows) and ship them through the remote compile service. No
-        # per-iteration scaling: an elementwise epilogue would add a full
-        # extra HBM pass; values stay finite for K chained Laplacian
-        # applies from a 1e-3 start (growth < 8x/apply).
+        # per-iteration scaling epilogue (it would add two extra HBM vector
+        # passes); the host-side ||A||_inf < 1 scaling keeps K=300 chained
+        # applies bounded.
         return jax.lax.fori_loop(
             0, k, lambda i, u: spmv_dia_pallas_2d(dd, u, interpret=interpret),
             v,
@@ -158,8 +183,8 @@ def main(argv=None) -> int:
     def well_loop(ww, v):
         def body(i, u):
             y = spmv_well_pallas_2d(ww, u, interpret=interpret)
-            y = y * jnp.float32(0.125)  # keep K chained applies finite
-            # chain: y (nrows_pad/128, 128) -> next x (ncols_pad/128, 128)
+            # chain: y (nrows_pad/128, 128) -> next x (ncols_pad/128, 128);
+            # values bounded by the host-side ||A||_inf < 1 scaling
             if y.shape[0] >= u.shape[0]:
                 return y[: u.shape[0]]
             return jnp.pad(y, ((0, u.shape[0] - y.shape[0]), (0, 0)))
@@ -184,26 +209,32 @@ def main(argv=None) -> int:
     traffic_well = (w.values.size * itemsize
                     + w.pos.size * w.pos.dtype.itemsize
                     + (w.ncols_pad + w.nrows_pad) * itemsize)
-    # per-trial roofline-relative fractions (same-trial copy as denominator)
-    roof_bytes_per_sec = [2 * n_stream * itemsize / c for c in t_copy]
+    copy_gbs = [2 * n_stream * itemsize / c / 1e9 for c in t_copy]
+    kind = jax.devices()[0].device_kind
+    spec_gbs = HBM_SPEC_GBS.get(kind)
+    if spec_gbs is None:
+        # unknown device (or CPU smoke): fall back to the measured copy
+        spec_gbs = statistics.median(copy_gbs)
+    roof = spec_gbs * 1e9
 
     def fracs(traffic, ts):
-        return [(traffic / t) / r for t, r in zip(ts, roof_bytes_per_sec)]
+        return [(traffic / t) / roof for t in ts]
 
     f_van = _med_spread(fracs(traffic_van, t_van))
     f_sym = _med_spread(fracs(traffic_sym, t_sym))
     f_sym_eff = _med_spread(fracs(traffic_van, t_sym))
     f_well = _med_spread(fracs(traffic_well, t_well))
     sec_sym = statistics.median(t_sym)
-    roof_med = statistics.median(roof_bytes_per_sec) / 1e9
     gflops = 2.0 * a.nnz / sec_sym / 1e9
     gflops_well = 2.0 * aw.nnz / statistics.median(t_well) / 1e9
 
     print(
-        f"# n={a.nrows} nnz={a.nnz} roofline {roof_med:.0f} GB/s | "
+        f"# {kind}: spec roofline {spec_gbs:.0f} GB/s, measured copy "
+        f"{statistics.median(copy_gbs):.0f} GB/s | n={a.nrows} nnz={a.nnz} | "
         f"vanilla {f_van[0]*100:.1f}% stored "
         f"[{f_van[1]*100:.1f},{f_van[2]*100:.1f}] | "
-        f"symmetric {f_sym[0]*100:.1f}% stored, {f_sym_eff[0]*100:.1f}% eff "
+        f"symmetric {statistics.median(t_sym)*1e3:.3f} ms "
+        f"{f_sym[0]*100:.1f}% stored, {f_sym_eff[0]*100:.1f}% eff "
         f"[{f_sym_eff[1]*100:.1f},{f_sym_eff[2]*100:.1f}] | "
         f"WELL n={aw.nrows} nnz={aw.nnz} occ={w.occupancy:.2f} "
         f"{f_well[0]*100:.1f}% stored [{f_well[1]*100:.1f},{f_well[2]*100:.1f}]"
@@ -217,9 +248,12 @@ def main(argv=None) -> int:
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(f_sym_eff[0] / 0.8, 4),
-                "config": "symmetric-DIA carry kernel"
+                "config": "symmetric-DIA carry kernel, sustained K=300"
                           + (" [SMOKE]" if args.smoke else ""),
                 "trials": trials,
+                "device_kind": kind,
+                "hbm_spec_gbs": spec_gbs,
+                "copy_gbs": round(statistics.median(copy_gbs), 1),
                 "stored_roofline_frac": f_sym[0],
                 "stored_roofline_spread": [f_sym[1], f_sym[2]],
                 "vanilla_roofline_frac": f_van[0],
