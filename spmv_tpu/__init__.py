@@ -33,6 +33,8 @@ from spmv_tpu.gen import (
     gaussian_bump,
 )
 from spmv_tpu.formats.well import (
+    SymWellMatrix,
+    csr_to_well_sym,
     WellMatrix,
     csr_to_well,
     split_window,
@@ -48,6 +50,8 @@ from spmv_tpu.ops.spmv_dia_ds_pallas import (
     spmv_dia_ds_pallas_2d,
 )
 from spmv_tpu.ops.spmv_well_pallas import (
+    spmv_well_sym,
+    spmv_well_sym_2d,
     WellDsMatrix,
     csr_to_well_ds,
     spmv_well,
@@ -73,8 +77,19 @@ from spmv_tpu.ops.spmv_dia_pallas import (
 from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.gmres import GMRESResult, gmres
 from spmv_tpu.ops.spmm_dia_pallas import spmm_dia, spmm_dia_supported
-from spmv_tpu.solvers.block_cg import BlockCGResult, block_cg, block_cg_dia
-from spmv_tpu.solvers.lanczos import condition_estimate, lanczos_extreme
+from spmv_tpu.solvers.block_cg import (
+    BlockCGResult,
+    block_cg,
+    block_cg_dia,
+    block_cg_refined,
+    block_cg_refined_dist,
+)
+from spmv_tpu.solvers.lanczos import (
+    condition_estimate,
+    condition_interval,
+    lanczos_extreme,
+    lanczos_extreme_with_bounds,
+)
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
@@ -128,10 +143,14 @@ __all__ = [
     "block_jacobi_preconditioner",
     "lanczos_extreme",
     "condition_estimate",
+    "condition_interval",
+    "lanczos_extreme_with_bounds",
     "spmm_dia",
     "spmm_dia_supported",
     "block_cg",
     "block_cg_dia",
+    "block_cg_refined",
+    "block_cg_refined_dist",
     "BlockCGResult",
     "CGResult",
     "cg_refined",
@@ -155,6 +174,10 @@ __all__ = [
     "partition_csr",
     "WellMatrix",
     "csr_to_well",
+    "csr_to_well_sym",
+    "SymWellMatrix",
+    "spmv_well_sym",
+    "spmv_well_sym_2d",
     "split_window",
     "well_occupancy",
     "DiaDsMatrix",

@@ -71,3 +71,28 @@ def test_small_norm_operator_no_false_breakdown():
     lmin, lmax = lanczos_extreme(lambda x: jnp.asarray(dense) @ x, v0, m=144)
     np.testing.assert_allclose(float(lmax), want[-1], rtol=1e-6)
     np.testing.assert_allclose(float(lmin), want[0], rtol=1e-3)
+
+
+def test_condition_interval_brackets_true_kappa():
+    """The interval brackets kappa when m is large enough to converge the
+    extremes, and reports an INFINITE upper end when it is not."""
+    from spmv_tpu.solvers.lanczos import condition_interval
+
+    n = 300
+    rng = np.random.default_rng(61)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    evals = np.linspace(1.0, 50.0, n)
+    dense = (q * evals) @ q.T
+    mv = lambda x: jnp.asarray(dense) @ x
+    v0 = jnp.asarray(rng.standard_normal(n))
+    lo, hi = condition_interval(mv, v0, m=120)
+    kappa = 50.0
+    assert float(lo) <= kappa * 1.01
+    assert float(hi) >= kappa * 0.99
+    assert float(hi) < 10 * kappa  # converged: interval is tight-ish
+    # short run on a clustered spectrum: upper end must signal distrust
+    evals2 = np.concatenate([[1e-4], np.linspace(1.0, 2.0, n - 1)])
+    dense2 = (q * evals2) @ q.T
+    mv2 = lambda x: jnp.asarray(dense2) @ x
+    lo2, hi2 = condition_interval(mv2, v0, m=6)
+    assert not np.isfinite(float(hi2)) or float(hi2) > 1e3
