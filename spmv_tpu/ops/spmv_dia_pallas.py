@@ -42,6 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 from spmv_tpu.formats.dia import DiaMatrix
 
 LANES = 128
+# max grid steps per pallas_call for the vanilla kernel — longer grids
+# degrade sustained HBM throughput (BENCH_NOTES "Grid-length cliff":
+# 512-step call 62% of spec, 64-step calls 96%)
+_CHUNK_TILES = 64
 
 
 def _mod2(v):
@@ -92,86 +96,93 @@ def dia_to_2d(a: DiaMatrix, x: jax.Array) -> jax.Array:
     return flat.reshape(nrows, LANES)
 
 
-def _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub):
+def _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub,
+                  row0: int = 0, lo_clamp: bool = True,
+                  hi_clamp: bool = True, nrows_tot: int | None = None):
     """(start, wait) closures for the double-buffered FULL-halo x-window
-    DMA — the window for tile t covers x rows [t*tr - hr, t*tr + tr + hr);
-    the first/last tiles clamp to the domain (callers zero the out-of-
-    domain frame rows in VMEM — zero Dirichlet halo). Start/wait pairs
-    branch identically so each wait matches its start. Requires tr >= hr
-    (enforced by _pick_tile_rows). Shared by the vanilla single-RHS kernel
-    and the multi-RHS SpMM kernel (spmm_dia_pallas) — the lane width is
-    whatever xwin/x_hbm carry."""
+    DMA — the window for (call-local) tile t covers x rows
+    [row0 + t*tr - hr, row0 + t*tr + tr + hr); domain-edge tiles clamp and
+    callers zero the out-of-domain frame rows in VMEM (zero Dirichlet
+    halo). Start/wait pairs branch identically so each wait matches its
+    start. Requires tr >= hr (enforced by _pick_tile_rows). Shared by the
+    vanilla single-RHS kernel and the multi-RHS SpMM kernel
+    (spmm_dia_pallas) — the lane width is whatever xwin/x_hbm carry.
+
+    ``row0``/``lo_clamp``/``hi_clamp``/``nrows_tot`` support CHUNKED
+    applies (several pallas_calls over one big matrix — long single-call
+    grids measured 62% of HBM spec vs 96% for <=64-tile calls,
+    BENCH_NOTES "Grid-length cliff"): a non-edge chunk reads its halo from
+    the neighboring chunk's rows of the SAME full x array instead of
+    clamping. row0 must be a multiple of ``sub`` (chunk boundaries are
+    tile-aligned)."""
     wrows = tr + 2 * hr
+    if nrows_tot is None:
+        nrows_tot = row0 + n_tiles * tr
 
     def dma_mid(slot, tile):
         # tr is a multiple of the dtype's sublane tile ``sub`` and hr of 16,
         # so this offset is provably a multiple of ``sub`` — promising more
         # (e.g. a blanket 16 with fp32's tr % 8 tiles) would be UB Mosaic is
         # free to exploit
-        start_row = pl.multiple_of(tile * tr - hr, sub)
+        start_row = pl.multiple_of(row0 + tile * tr - hr, sub)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start_row, wrows), :],
             xwin.at[slot], xsem.at[slot],
         )
 
     def dma_first(slot):
-        rows = min(tr + hr, n_tiles * tr)
+        rows = min(tr + hr, nrows_tot)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(0, rows), :],
             xwin.at[slot, pl.ds(hr, rows), :], xsem.at[slot],
         )
 
     def dma_last(slot):
-        rows = min(tr + hr, n_tiles * tr)
+        rows = min(tr + hr, nrows_tot)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(n_tiles * tr - rows, rows), :],
+            x_hbm.at[pl.ds(nrows_tot - rows, rows), :],
             xwin.at[slot, pl.ds(0, rows), :], xsem.at[slot],
         )
 
-    def start(slot, tile):
+    def issue(slot, tile, op):
         slot = _idx32(slot)
-        if n_tiles == 1:
+        if n_tiles == 1 and lo_clamp and hi_clamp:
             # whole domain in one window, centered at offset hr
-            pltpu.make_async_copy(
+            getattr(pltpu.make_async_copy(
                 x_hbm.at[pl.ds(0, tr), :],
                 xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
-            ).start()
+            ), op)()
             return
-
-        @pl.when(tile == 0)
-        def _():
-            dma_first(slot).start()
-
-        @pl.when(tile == n_tiles - 1)
-        def _():
-            dma_last(slot).start()
-
-        if n_tiles > 2:  # mid tiles exist; static guard keeps small cases
-            @pl.when((tile > 0) & (tile < n_tiles - 1))
+        if not lo_clamp and not hi_clamp:
+            getattr(dma_mid(slot, tile), op)()  # every tile is interior
+            return
+        if lo_clamp:
+            @pl.when(tile == 0)
             def _():
-                dma_mid(slot, tile).start()
+                getattr(dma_first(slot), op)()
+        if hi_clamp:
+            @pl.when(tile == n_tiles - 1)
+            def _():
+                getattr(dma_last(slot), op)()
+        conds = []
+        if lo_clamp:
+            conds.append(lambda t: t > 0)
+        if hi_clamp:
+            conds.append(lambda t: t < n_tiles - 1)
+        if not (lo_clamp and hi_clamp and n_tiles <= 2):
+            c = conds[0](tile)
+            for cc in conds[1:]:
+                c = c & cc(tile)
+
+            @pl.when(c)
+            def _():
+                getattr(dma_mid(slot, tile), op)()
+
+    def start(slot, tile):
+        issue(slot, tile, "start")
 
     def wait(slot, tile):
-        slot = _idx32(slot)
-        if n_tiles == 1:
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, tr), :],
-                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
-            ).wait()
-            return
-
-        @pl.when(tile == 0)
-        def _():
-            dma_first(slot).wait()
-
-        @pl.when(tile == n_tiles - 1)
-        def _():
-            dma_last(slot).wait()
-
-        if n_tiles > 2:
-            @pl.when((tile > 0) & (tile < n_tiles - 1))
-            def _():
-                dma_mid(slot, tile).wait()
+        issue(slot, tile, "wait")
 
     return start, wait
 
@@ -189,10 +200,16 @@ def _dia_kernel(
     hr: int,
     n_tiles: int,
     sub: int,
+    row0: int = 0,
+    lo_clamp: bool = True,
+    hi_clamp: bool = True,
+    nrows_tot: int | None = None,
 ):
     i = pl.program_id(0)
     wrows = tr + 2 * hr
-    start, wait = _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub)
+    start, wait = _x_window_dma(x_hbm, xwin, xsem, tr, hr, n_tiles, sub,
+                                row0=row0, lo_clamp=lo_clamp,
+                                hi_clamp=hi_clamp, nrows_tot=nrows_tot)
 
     @pl.when(i == 0)
     def _():
@@ -204,15 +221,19 @@ def _dia_kernel(
 
     wait(_mod2(i), i)
 
-    # zero the out-of-domain frame rows of edge tiles (slot was DMA-filled
-    # only over the in-domain span)
-    @pl.when(i == 0)
-    def _():
-        xwin[_mod2(i), 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
+    # zero the out-of-DOMAIN frame rows of domain-edge tiles (slot was
+    # DMA-filled only over the in-domain span); interior chunk boundaries
+    # read real neighbor rows instead
+    if lo_clamp:
+        @pl.when(i == 0)
+        def _():
+            xwin[_mod2(i), 0:hr, :] = jnp.zeros((hr, LANES), xwin.dtype)
 
-    @pl.when(i == n_tiles - 1)
-    def _():
-        xwin[_mod2(i), tr + hr : wrows, :] = jnp.zeros((hr, LANES), xwin.dtype)
+    if hi_clamp:
+        @pl.when(i == n_tiles - 1)
+        def _():
+            xwin[_mod2(i), tr + hr : wrows, :] = jnp.zeros(
+                (hr, LANES), xwin.dtype)
 
     xw = xwin[_mod2(i)]
 
@@ -525,45 +546,71 @@ def _spmv_dia_pallas_2d(
 ):
     """data: (npad/128, K*128) — ALREADY row-interleaved (a relayout here
     would materialize a copy of the whole matrix per call inside solver
-    loops); x2 (npad/128, 128) -> y (npad/128, 128)."""
+    loops); x2 (npad/128, 128) -> y (npad/128, 128).
+
+    Long grids are CHUNKED into <= _CHUNK_TILES-step pallas_calls: one
+    sustained call with 512 grid steps measured ~62% of HBM spec while the
+    same per-apply work in 64-step calls over small matrices measured 96%
+    (BENCH_NOTES "Grid-length cliff"); chunking a single big operator
+    recovers part of that (62% -> 68% at 67M rows — the remainder tracks
+    the vector/working-set size, still unattributed). Chunks are
+    data-zero-copy — each call indexes the full data array via block-index
+    offsets and reads its x halo from the full x (interior chunks take
+    REAL neighbor rows, no clamping); per-chunk y blocks are concatenated
+    (one extra y pass, already netted in the measured gain)."""
     nrows, klanes = data.shape
     k = klanes // LANES
     npad = nrows * LANES
     tr = tile_rows
     n_tiles = nrows // tr
-    d3 = data
-
     sub = 16 if tr % 16 == 0 else (8 if data.dtype.itemsize >= 4 else 16)
-    kernel = functools.partial(
-        _dia_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles, sub=sub
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (tr, k * LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
+
+    def call(t0, ct, lo, hi):
+        kernel = functools.partial(
+            _dia_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=ct, sub=sub,
+            row0=t0 * tr, lo_clamp=lo, hi_clamp=hi, nrows_tot=nrows,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(ct,),
+            in_specs=[
+                pl.BlockSpec((tr, k * LANES),
+                             lambda i, t0=t0: (i + t0, np.int32(0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (tr, LANES), lambda i: (i, np.int32(0)),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (tr, LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nrows, LANES), data.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, tr + 2 * hr, LANES), x2.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * k * npad,
-            bytes_accessed=(k + 2) * npad * data.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(d3, x2)
+            out_shape=jax.ShapeDtypeStruct((ct * tr, LANES), data.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, tr + 2 * hr, LANES), x2.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * k * tr * ct * LANES,
+                bytes_accessed=(k + 2) * tr * ct * LANES
+                * data.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(data, x2)
+
+    if n_tiles <= _CHUNK_TILES * 3 // 2:
+        return call(0, n_tiles, True, True)
+    n_chunks = -(-n_tiles // _CHUNK_TILES)
+    base, extra = divmod(n_tiles, n_chunks)
+    outs = []
+    t0 = 0
+    for c in range(n_chunks):
+        ct = base + (1 if c < extra else 0)
+        outs.append(call(t0, ct, c == 0, c == n_chunks - 1))
+        t0 += ct
+    return jnp.concatenate(outs, axis=0)
 
 
 def dia_pallas_supported(a: DiaMatrix, x: jax.Array | None = None) -> bool:

@@ -6,6 +6,7 @@ elementwise comparison, fp32 coverage, and the transpose product the
 reference never tests (SURVEY.md section 4 "what is NOT tested").
 Includes the reference's hard-coded 5x5/15-nnz fixture.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -285,3 +286,31 @@ def test_dia_sym_pallas_bf16_interpret():
     ).astype(np.float64).reshape(-1)
     want = a.matvec(x.astype(np.float64))
     assert rel_err(got[: a.nrows], want) < 3e-2
+
+
+def test_dia_pallas_chunked_bitwise_equal(monkeypatch):
+    """Long grids split into multiple pallas_calls (BENCH_NOTES
+    "Grid-length cliff") must be bitwise-equal to the single-call result,
+    including interior chunk halos read from neighbor rows."""
+    import spmv_tpu.ops.spmv_dia_pallas as dp
+    from spmv_tpu.formats.dia import csr_to_dia
+    from spmv_tpu.gen import create_laplace_2d
+
+    a = create_laplace_2d(128, 128, dtype=np.float32)
+    d = csr_to_dia(a, row_align=1024, dtype=np.float32)
+    x = np.random.default_rng(5).standard_normal(d.nrows_pad).astype(
+        np.float32)
+    x2 = jnp.asarray(x.reshape(-1, 128))
+    hr = dp.dia_halo_rows(d)
+    fn = dp._spmv_dia_pallas_2d.__wrapped__  # bypass the jit cache
+    y1 = np.asarray(fn(d.data, x2, d.offsets, 16, hr, interpret=True))
+    monkeypatch.setattr(dp, "_CHUNK_TILES", 2)
+    jaxpr = jax.make_jaxpr(
+        lambda dd, xx: fn(dd, xx, d.offsets, 16, hr, interpret=True)
+    )(d.data, x2)
+    assert str(jaxpr).count("pallas_call") >= 4  # chunking actually fired
+    y2 = np.asarray(fn(d.data, x2, d.offsets, 16, hr, interpret=True))
+    np.testing.assert_array_equal(y1, y2)
+    want = a.matvec(x[: a.nrows])
+    got = y2.reshape(-1)[: a.nrows]
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
