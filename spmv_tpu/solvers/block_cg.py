@@ -271,9 +271,9 @@ def block_cg_refined(
     )
     from spmv_tpu.ops.spmv_dia_ds_pallas import (
         csr_to_dia_ds,
-        dia_ds_pallas_supported,
-        spmv_dia_ds_pallas_2d,
-        spmv_dia_ds_xla,
+        spmm_dia_ds_pallas_2d,
+        spmm_dia_ds_supported,
+        spmm_dia_ds_xla,
     )
     from spmv_tpu.ops.spmv_dia_pallas import dia_halo_rows
 
@@ -290,20 +290,32 @@ def block_cg_refined(
     bh, bl = ds_from_f64(
         np.pad(np.asarray(B, np.float64), ((0, npad - n), (0, 0)))
     )
-    bh2 = jnp.asarray(bh.reshape(-1, LANES, nrhs))
-    bl2 = jnp.asarray(bl.reshape(-1, LANES, nrhs))
+    bh2 = spmm_to_layout(d32, jnp.asarray(bh))  # (rows, nrhs*128)
+    bl2 = spmm_to_layout(d32, jnp.asarray(bl))
     bnorm = np.linalg.norm(B, axis=0)
 
-    @jax.jit
-    def residual_col(dds_, bh_c, bl_c, xh_c, xl_c):
-        if on_tpu and dia_ds_pallas_supported(dds_):
-            yh, yl = spmv_dia_ds_pallas_2d(dds_, xh_c, xl_c)
-        else:
-            yh, yl = spmv_dia_ds_xla(dds_, xh_c, xl_c)
-        return ds_add(bh_c, bl_c, -yh, -yl)
+    def col3(v):
+        return v.reshape(v.shape[0], nrhs, LANES)
 
     @jax.jit
-    def inner_block(d32_, r2):
+    def residual_blk(dds_, bh_, bl_, xh_, xl_):
+        # BLOCK DS residual: both matrix planes streamed ONCE for all
+        # columns (the per-column loop this replaces streamed them nrhs
+        # times per outer pass)
+        if on_tpu and spmm_dia_ds_supported(dds_, nrhs):
+            yh, yl = spmm_dia_ds_pallas_2d(dds_, xh_, xl_, nrhs)
+        else:
+            yh, yl = spmm_dia_ds_xla(dds_, xh_, xl_, nrhs)
+        rh, rl = ds_add(bh_, bl_, -yh, -yl)
+        v3 = col3(rh)
+        norms = jnp.sqrt(jnp.einsum("rnc,rnc->n", v3, v3,
+                                    preferred_element_type=jnp.float32))
+        return rh, rl, norms
+
+    @jax.jit
+    def inner_block(d32_, rh_, scale):
+        r2 = (col3(rh_) * scale[None, :, None]).reshape(rh_.shape)
+
         def matmat(x2):
             return _spmm_dia_pallas_2d(d32_.data, x2, d32_.offsets, tr, hr,
                                        nrhs, interpret=interpret)
@@ -311,58 +323,42 @@ def block_cg_refined(
         return block_cg(matmat, r2, nrhs, kmax=inner_kmax,
                         rtol=inner_rtol, independent=True)
 
-    xh = jnp.zeros((npad // LANES, LANES, nrhs), jnp.float32)
-    xl = jnp.zeros_like(xh)
+    @jax.jit
+    def apply_correction(xh_, xl_, d2, rnorms_dev):
+        dh = (col3(d2) * rnorms_dev[None, :, None]).reshape(d2.shape)
+        return ds_add(xh_, xl_, dh, jnp.zeros_like(dh))
+
+    xh = jnp.zeros_like(bh2)
+    xl = jnp.zeros_like(bl2)
     inner_total = 0
     history = []
-
-    def true_residuals():
-        rh_cols, rl_cols = [], []
-        rnorms = np.zeros(nrhs)
-        for r in range(nrhs):
-            rh, rl = residual_col(dds, bh2[..., r], bl2[..., r],
-                                  xh[..., r], xl[..., r])
-            rh_cols.append(rh)
-            rl_cols.append(rl)
-            rnorms[r] = float(jnp.linalg.norm(rh.reshape(-1)[:n]))
-        return rh_cols, rl_cols, rnorms
-
     corrected = False  # True while the last inner update is unmeasured
     for outer in range(max_outer):
-        rh_cols, rl_cols, rnorms = true_residuals()
+        rh, rl, norms = residual_blk(dds, bh2, bl2, xh, xl)
+        rnorms = np.asarray(norms, np.float64)
         corrected = False
         history.append(rnorms.copy())
         if np.all(rnorms <= rtol * bnorm):
             break
         if len(history) > 1 and np.all(rnorms > 0.5 * history[-2]):
             break  # stalled at the kappa * eps_ds floor
-        scale = 1.0 / np.maximum(rnorms, 1e-300)
-        r_flat = jnp.stack(
-            [rh_cols[r].reshape(-1) * jnp.float32(scale[r])
-             for r in range(nrhs)], axis=1)
-        r2 = spmm_to_layout(d32, r_flat)
-        res = inner_block(d32, r2)
+        scale = jnp.asarray(1.0 / np.maximum(rnorms, 1e-300), jnp.float32)
+        res = inner_block(d32, rh, scale)
         inner_total += int(res.iterations)
-        d_cols = spmm_from_layout(res.x, nrhs)  # (npad, nrhs)
-        for r in range(nrhs):
-            dh = (d_cols[:, r] * jnp.float32(rnorms[r])).reshape(
-                -1, LANES)
-            nh, nl = ds_add(xh[..., r], xl[..., r], dh, jnp.zeros_like(dh))
-            xh = xh.at[..., r].set(nh)
-            xl = xl.at[..., r].set(nl)
+        xh, xl = apply_correction(
+            xh, xl, res.x, jnp.asarray(rnorms, jnp.float32))
         corrected = True
 
     if corrected:
         # loop exhausted max_outer with a correction applied AFTER the last
         # residual measurement — measure once more so history[-1] describes
         # the returned X, not the previous pass (advisor r2)
-        _, _, rnorms = true_residuals()
-        history.append(rnorms.copy())
+        _, _, norms = residual_blk(dds, bh2, bl2, xh, xl)
+        history.append(np.asarray(norms, np.float64).copy())
 
-    X = np.stack(
-        [ds_to_f64(np.asarray(xh[..., r]).reshape(-1),
-                   np.asarray(xl[..., r]).reshape(-1))[:n]
-         for r in range(nrhs)], axis=1)
+    Xh = np.asarray(spmm_from_layout(xh, nrhs))[:n]
+    Xl = np.asarray(spmm_from_layout(xl, nrhs))[:n]
+    X = Xh.astype(np.float64) + Xl.astype(np.float64)
     return X, len(history), inner_total, history[-1]
 
 
