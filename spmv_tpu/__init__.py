@@ -92,6 +92,12 @@ from spmv_tpu.solvers.lanczos import (
 )
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
+from spmv_tpu.solvers.chebyshev import (
+    chebyshev,
+    chebyshev_bounds,
+    chebyshev_iterations_for,
+    ChebyshevResult,
+)
 from spmv_tpu.solvers.refine import RefineResult, cg_refined, cg_refined_dist
 from spmv_tpu.io.petsc import (
     read_petsc_binary_matrix_host,
@@ -136,6 +142,9 @@ __all__ = [
     "dia_pallas_supported",
     "cg",
     "cg_pipelined",
+    "chebyshev",
+    "chebyshev_bounds",
+    "chebyshev_iterations_for",
     "bicgstab",
     "BiCGStabResult",
     "gmres",

@@ -242,6 +242,7 @@ def block_cg_refined(
     inner_kmax: int = 400,
     inner_rtol: float = 1e-4,
     interpret: bool = False,
+    inner_solver: str = "cg",
 ):
     """f64-class multi-RHS solves at fp32 block speed.
 
@@ -312,6 +313,31 @@ def block_cg_refined(
                                     preferred_element_type=jnp.float32))
         return rh, rl, norms
 
+    cheb = None
+    if inner_solver == "chebyshev":
+        # reduction-free inner sweeps (solvers/chebyshev.py): fixed
+        # iteration count from Lanczos spectrum bounds, zero dots
+        from spmv_tpu.ops.spmv_dia_pallas import spmv_dia_pallas_2d
+
+        from spmv_tpu.solvers.chebyshev import (
+            chebyshev,
+            chebyshev_bounds,
+            chebyshev_iterations_for,
+        )
+
+        v0h = np.zeros(npad, np.float32)
+        v0h[:n] = np.random.default_rng(0).standard_normal(n)
+        lo, hi = jax.jit(
+            lambda d_, v: chebyshev_bounds(
+                lambda u: spmv_dia_pallas_2d(d_, u, interpret=interpret),
+                v, m=48)
+        )(d32, jnp.asarray(v0h.reshape(-1, LANES)))
+        lo_f, hi_f = float(lo), float(hi)
+        cheb = (lo_f, hi_f, min(
+            inner_kmax, chebyshev_iterations_for(hi_f / lo_f, inner_rtol)))
+    elif inner_solver != "cg":
+        raise ValueError(f"unknown inner_solver {inner_solver!r}")
+
     @jax.jit
     def inner_block(d32_, rh_, scale):
         r2 = (col3(rh_) * scale[None, :, None]).reshape(rh_.shape)
@@ -320,6 +346,8 @@ def block_cg_refined(
             return _spmm_dia_pallas_2d(d32_.data, x2, d32_.offsets, tr, hr,
                                        nrhs, interpret=interpret)
 
+        if cheb is not None:
+            return chebyshev(matmat, r2, cheb[0], cheb[1], cheb[2])
         return block_cg(matmat, r2, nrhs, kmax=inner_kmax,
                         rtol=inner_rtol, independent=True)
 
@@ -371,6 +399,7 @@ def block_cg_refined_dist(
     max_outer: int = 10,
     inner_kmax: int = 400,
     inner_rtol: float = 1e-4,
+    inner_solver: str = "cg",
 ):
     """Distributed f64-class multi-RHS solves at fp32 block speed.
 
@@ -414,9 +443,34 @@ def block_cg_refined_dist(
                                     preferred_element_type=jnp.float32))
         return rh, rl, norms
 
+    cheb = None
+    if inner_solver == "chebyshev":
+        # reduction-free distributed inner sweeps: after the one-time
+        # Lanczos bound (whose dots DO psum), the inner iterations carry
+        # NO collectives beyond the halo exchange — the pod-scale latency
+        # win (the reference pays 3 MPI_Allreduce per CG iteration,
+        # reference spmv/cg.cpp:49,65,75)
+        from spmv_tpu.solvers.chebyshev import (
+            chebyshev,
+            chebyshev_bounds,
+            chebyshev_iterations_for,
+        )
+
+        v0h = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+        lo, hi = jax.jit(
+            lambda A_, v: chebyshev_bounds(A_.as_linear_operator(), v, m=48)
+        )(A32, A32.to_dist(v0h))
+        lo_f, hi_f = float(lo), float(hi)
+        cheb = (lo_f, hi_f, min(
+            inner_kmax, chebyshev_iterations_for(hi_f / lo_f, inner_rtol)))
+    elif inner_solver != "cg":
+        raise ValueError(f"unknown inner_solver {inner_solver!r}")
+
     @jax.jit
     def inner_block(A32_, rh_, scale):
         r2 = (col3(rh_) * scale[None, :, None]).reshape(rh_.shape)
+        if cheb is not None:
+            return chebyshev(A32_.matmat, r2, cheb[0], cheb[1], cheb[2])
         return block_cg(A32_.matmat, r2, nrhs, kmax=inner_kmax,
                         rtol=inner_rtol, independent=True)
 
