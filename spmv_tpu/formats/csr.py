@@ -92,7 +92,13 @@ class CSRHost:
         rowptr = np.zeros(nrows + 1, dtype=np.int64)
         np.add.at(rowptr, rows + 1, 1)
         rowptr = np.cumsum(rowptr)
-        return cls(rowptr=rowptr, colind=cols.astype(np.int32), values=vals, ncols=ncols)
+        out = cls(rowptr=rowptr, colind=cols.astype(np.int32), values=vals,
+                  ncols=ncols)
+        # lexsorted (+ summed) triplets are strictly column-increasing per
+        # row — downstream conversions skip their canonicality scan
+        # (a full-nnz pass that costs ~10 s at 100M rows on this host)
+        out._sorted_unique = bool(sum_duplicates)
+        return out
 
     @classmethod
     def from_dense(cls, dense: np.ndarray) -> "CSRHost":

@@ -179,8 +179,10 @@ def _csr_to_dia_host(a, row_align, max_diags, dtype, symmetric):
         # usable tile divisor; the padding overhead is <= 0.14%
         row_align = max(row_align, 1024 * 128)
     lens = a.row_nnz()
-    rows = np.repeat(np.arange(a.nrows), lens)
-    offs = a.colind.astype(np.int64) - rows
+    # int32 row/offset math (nrows/ncols < 2^31 always holds here): half
+    # the memory traffic of the int64 default on these 100M+-element passes
+    rows = np.repeat(np.arange(a.nrows, dtype=np.int32), lens)
+    offs = a.colind - rows
     vals_all = a.values
     if symmetric:
         keep = offs <= 0
@@ -196,20 +198,40 @@ def _csr_to_dia_host(a, row_align, max_diags, dtype, symmetric):
     data = np.zeros((ndiags, nrows_pad), dtype=dtype or a.dtype)
     if len(rows):
         dsel = np.searchsorted(uniq, offs)
-        # accumulate (duplicate CSR entries sum, matching CSR semantics) via
-        # bincount — np.add.at is orders of magnitude slower at 10M+ rows.
-        # bincount weights must be real: complex values (reference mpi_type
-        # traits parity, mpi_utils.h:55-77) split into two passes.
-        flat = dsel * np.int64(nrows_pad) + rows
-        if np.iscomplexobj(vals_all):
+        # index math in int32 when the flat range fits (ndiags <= 64 keeps
+        # even 100M-row matrices well under 2^31 only for small ndiags —
+        # check explicitly): halves the traffic of the dominant passes on
+        # the single host core
+        if ndiags * nrows_pad < 2**31 - 1:
+            flat = dsel.astype(np.int32) * np.int32(nrows_pad) + rows
+        else:
+            flat = dsel * np.int64(nrows_pad) + rows.astype(np.int64)
+        # canonical CSR (columns strictly increasing within each row — what
+        # from_coo/from_dense/the generators produce, tracked by the
+        # `_sorted_unique` construction flag) has no duplicate
+        # (row, offset) pairs, so a direct fancy-index ASSIGN into the
+        # target dtype suffices and the full-nnz canonicality scan is
+        # skipped. Non-canonical inputs take the bincount-accumulate path
+        # so duplicate entries still SUM, matching CSR semantics.
+        canonical = getattr(a, "_sorted_unique", False)
+        if not canonical:
+            cols_f = rows + offs
+            same_row = rows[1:] == rows[:-1]
+            canonical = not bool(np.any((np.diff(cols_f) <= 0) & same_row))
+        if canonical:
+            data.reshape(-1)[flat] = vals_all.astype(data.dtype, copy=False)
+        elif np.iscomplexobj(vals_all):
+            # bincount weights must be real: complex values (reference
+            # mpi_type traits parity, mpi_utils.h:55-77) split in two.
             acc = np.bincount(
                 flat, weights=vals_all.real, minlength=ndiags * nrows_pad
             ) + 1j * np.bincount(
                 flat, weights=vals_all.imag, minlength=ndiags * nrows_pad
             )
+            data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
         else:
             acc = np.bincount(
                 flat, weights=vals_all, minlength=ndiags * nrows_pad
             )
-        data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
+            data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
     return data, tuple(int(o) for o in uniq) or (0,), int(len(rows))

@@ -45,11 +45,13 @@ def create_laplace_2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSRHo
     """
     ny = ny if ny is not None else nx
     n = nx * ny
-    idx = np.arange(n, dtype=np.int64)
-    ix = idx % nx
-    iy = idx // nx
+    # int32 index math: n < 2^31 always holds, and the (n, 5) candidate
+    # table is the dominant allocation at 100M rows (2 GB vs 4 GB)
+    idx = np.arange(n, dtype=np.int32)
+    ix = idx % np.int32(nx)
+    iy = idx // np.int32(nx)
     # candidate columns per row, already in ascending offset order
-    offsets = np.array([-nx, -1, 0, 1, nx], dtype=np.int64)
+    offsets = np.array([-nx, -1, 0, 1, nx], dtype=np.int32)
     cand = idx[:, None] + offsets[None, :]  # (n, 5)
     valid = np.stack(
         [iy > 0, ix > 0, np.ones(n, dtype=bool), ix < nx - 1, iy < ny - 1],
@@ -61,8 +63,10 @@ def create_laplace_2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSRHo
     valmat = np.full((n, 5), -1.0, dtype=dtype)
     valmat[:, 2] = 4.0
     values = valmat[valid]
-    return CSRHost(rowptr=rowptr, colind=colind.astype(np.int32),
-                   values=values, ncols=n)
+    out = CSRHost(rowptr=rowptr, colind=colind.astype(np.int32),
+                  values=values, ncols=n)
+    out._sorted_unique = True  # ascending-offset construction
+    return out
 
 
 def create_laplace_3d(nx: int, ny: int | None = None, nz: int | None = None,
@@ -73,11 +77,11 @@ def create_laplace_3d(nx: int, ny: int | None = None, nz: int | None = None,
     ny = ny if ny is not None else nx
     nz = nz if nz is not None else nx
     n = nx * ny * nz
-    idx = np.arange(n, dtype=np.int64)
-    ix = idx % nx
-    iy = (idx // nx) % ny
-    iz = idx // (nx * ny)
-    offsets = np.array([-nx * ny, -nx, -1, 0, 1, nx, nx * ny], dtype=np.int64)
+    idx = np.arange(n, dtype=np.int32)
+    ix = idx % np.int32(nx)
+    iy = (idx // np.int32(nx)) % np.int32(ny)
+    iz = idx // np.int32(nx * ny)
+    offsets = np.array([-nx * ny, -nx, -1, 0, 1, nx, nx * ny], dtype=np.int32)
     cand = idx[:, None] + offsets[None, :]
     valid = np.stack(
         [iz > 0, iy > 0, ix > 0, np.ones(n, dtype=bool),
@@ -90,8 +94,10 @@ def create_laplace_3d(nx: int, ny: int | None = None, nz: int | None = None,
     valmat = np.full((n, 7), -1.0, dtype=dtype)
     valmat[:, 3] = 6.0
     values = valmat[valid]
-    return CSRHost(rowptr=rowptr, colind=colind.astype(np.int32),
-                   values=values, ncols=n)
+    out = CSRHost(rowptr=rowptr, colind=colind.astype(np.int32),
+                  values=values, ncols=n)
+    out._sorted_unique = True  # ascending-offset construction
+    return out
 
 
 def gaussian_bump(n: int, global_offset: int = 0, global_size: int | None = None,
