@@ -491,3 +491,135 @@ def spmv_well_sym_2d(a, x2: jax.Array, interpret: bool = False) -> jax.Array:
     y2 same shape (square operator; both triangles share nrows_pad)."""
     y = spmv_well_sym(a, x2.reshape(-1), interpret=interpret)
     return y.reshape(-1, LANES)
+
+
+# ---------------------------------------------------------------------------
+# symmetric double-single WELL: f64-class symmetric GENERAL sparsity
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SymWellDsMatrix:
+    """Symmetric general sparsity at f64-class accuracy: the dual-WELL
+    formulation (formats/well.SymWellMatrix — L and a pre-built L^T as two
+    gather stacks, zero scatters) with double-single (hi/lo f32) value
+    planes everywhere. Closes the last storage-mode x format hole: every
+    {vanilla, symmetric} x {banded, general} x {f32, f64-class} cell now
+    has a device path.
+
+    Far remainders are stored as small ELL rectangles (not compact COO):
+    the ds accumulation chain must stay error-free per OUTPUT row, which
+    slot-wise ELL gathers give and scatter-adds do not."""
+
+    lower: WellDsMatrix
+    upper: WellDsMatrix
+    diag_hi: jax.Array   # (nrows_pad,)
+    diag_lo: jax.Array
+    farl: tuple | None   # (colind (R,K) i32, vh (R,K), vl (R,K)) or None
+    faru: tuple | None
+    nrows: int
+
+    @property
+    def nrows_pad(self) -> int:
+        return self.lower.nrows_pad
+
+
+jax.tree_util.register_dataclass(
+    SymWellDsMatrix,
+    data_fields=["lower", "upper", "diag_hi", "diag_lo", "farl", "faru"],
+    meta_fields=["nrows"],
+)
+
+
+def _far_ell_ds(far, nrows_pad):
+    """Far-remainder CSR -> (colind, vh, vl) ELL rectangle (None if empty)."""
+    if far.nnz == 0:
+        return None
+    kf = int(far.row_nnz().max())
+    ci = np.zeros((nrows_pad, kf), np.int32)
+    v64 = np.zeros((nrows_pad, kf), np.float64)
+    lens = far.row_nnz()
+    rows = np.repeat(np.arange(far.nrows), lens)
+    slot = np.arange(far.nnz) - np.repeat(far.rowptr[:-1], lens)
+    ci[rows, slot] = far.colind
+    v64[rows, slot] = far.values
+    vh, vl = ds_from_f64(v64)
+    return (jnp.asarray(ci), jnp.asarray(vh), jnp.asarray(vl))
+
+
+def csr_to_well_sym_ds(
+    a,
+    tile_groups: int = 16,
+    max_k: int = 64,
+    wseg_cap: int = 512,
+) -> SymWellDsMatrix:
+    """f64 symmetric host CSR -> dual-WELL double-single format. Only the
+    lower triangle of ``a`` is read (reference symmetric-reader semantics,
+    reference spmv/read_petsc.cpp:177-188)."""
+    from spmv_tpu.formats.well import split_window
+
+    if a.nrows != a.ncols:
+        raise ValueError("symmetric storage requires a square matrix")
+    lower, diag = a.split_lower_diag()
+    upper_full = lower.transpose()
+    near_l, far_l = split_window(lower, tile_groups, wseg_cap)
+    near_u, far_u = split_window(upper_full, tile_groups, wseg_cap)
+    wl = csr_to_well_ds(near_l, tile_groups, max_k)
+    wu = csr_to_well_ds(near_u, tile_groups, max_k)
+    npad = max(wl.nrows_pad, wu.nrows_pad)
+    d64 = np.zeros(npad, np.float64)
+    d64[: len(diag)] = diag
+    dh, dl = ds_from_f64(d64)
+    return SymWellDsMatrix(
+        lower=wl,
+        upper=wu,
+        diag_hi=jnp.asarray(dh),
+        diag_lo=jnp.asarray(dl),
+        farl=_far_ell_ds(far_l, npad),
+        faru=_far_ell_ds(far_u, npad),
+        nrows=a.nrows,
+    )
+
+
+def spmv_well_sym_ds(
+    a: SymWellDsMatrix, xh: jax.Array, xl: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """y = (L + D + L^T) x in double-single arithmetic: two DS gather
+    kernels + DS diagonal product + (small) DS far-ELL chains — no
+    scatters, error-free per output row. ``(xh, xl)`` flat (>= nrows);
+    returns flat (yh, yl) of length nrows_pad."""
+    from spmv_tpu.ds import ds_add, ds_mul_f32
+
+    npad = a.nrows_pad
+
+    def padto(v, m):
+        if v.shape[0] == m:
+            return v
+        return jnp.zeros((m,), v.dtype).at[: min(v.shape[0], m)].set(v[:m])
+
+    def leg(w, h, l):
+        xh2 = padto(h, w.ncols_pad).reshape(-1, LANES)
+        xl2 = padto(l, w.ncols_pad).reshape(-1, LANES)
+        yh2, yl2 = spmv_well_ds_pallas_2d(w, xh2, xl2, interpret=interpret)
+        return yh2.reshape(-1), yl2.reshape(-1)
+
+    yh, yl = leg(a.lower, xh, xl)
+    uh, ul = leg(a.upper, xh, xl)
+    yh, yl = ds_add(yh, yl, uh, ul)
+    xh_p, xl_p = padto(xh, npad), padto(xl, npad)
+    dh, dl = ds_mul_f32(a.diag_hi, a.diag_lo, xh_p, xl_p)
+    yh, yl = ds_add(yh, yl, dh, dl)
+    for far in (a.farl, a.faru):
+        if far is not None:
+            ci, vh, vl = far
+            gh = jnp.take(xh_p, ci, axis=0)  # padto covers far cols <= npad
+            gl = jnp.take(xl_p, ci, axis=0)
+            fh = jnp.zeros((npad,), jnp.float32)
+            fl = jnp.zeros((npad,), jnp.float32)
+            for kk in range(ci.shape[1]):
+                ph, plo = ds_mul_f32(vh[:, kk], vl[:, kk],
+                                     gh[:, kk], gl[:, kk])
+                fh, fl = ds_add(fh, fl, ph, plo)
+            yh, yl = ds_add(yh, yl, fh, fl)
+    return yh, yl

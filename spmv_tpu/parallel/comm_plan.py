@@ -443,3 +443,81 @@ def halo_scatter_add_two_tier(
         buf = jax.lax.ppermute(buf, ici_axis, perm=_perm(n_ici, (-d) % n_ici))
         y = y.at[ici_si[i]].add(buf, mode="promise_in_bounds")
     return y
+
+
+def halo_scatter_add_ds(
+    gzh: jax.Array,        # (nghost_pad,) ghost-slot contributions, hi
+    gzl: jax.Array,        # lo plane
+    acc_h: jax.Array,      # (nlocal_pad,) owned DS accumulator, hi
+    acc_l: jax.Array,
+    send_idx: jax.Array,
+    recv_pos: jax.Array,
+    rounds: tuple[int, ...],
+    n_devices: int,
+    axis_name: str = "shards",
+) -> tuple[jax.Array, jax.Array]:
+    """ERROR-FREE double-single reverse halo: the DS analogue of
+    ``halo_scatter_add``. Exactness argument: within one round each device
+    receives from exactly ONE peer, whose ghost list is duplicate-free, so
+    the round's owned-row indices are unique — the per-round scatter is a
+    placement, not an accumulation (padding slots add literal zeros). The
+    only additions are the per-round dense ``ds_add`` merges, which are
+    error-free transformations (spmv_tpu.ds). This is what lets the
+    symmetric double-single formats keep f64-class accuracy on BOUNDARY
+    rows (a plain hi/lo scatter-add would round the hi sums at f32)."""
+    from spmv_tpu.ds import ds_add
+
+    for i, d in enumerate(rounds):
+        bh = gzh.at[recv_pos[i]].get(mode="fill", fill_value=0)
+        bl = gzl.at[recv_pos[i]].get(mode="fill", fill_value=0)
+        perm = _perm(n_devices, (-d) % n_devices)
+        bh = jax.lax.ppermute(bh, axis_name, perm=perm)
+        bl = jax.lax.ppermute(bl, axis_name, perm=perm)
+        rh = jnp.zeros_like(acc_h).at[send_idx[i]].add(
+            bh, mode="promise_in_bounds")
+        rl = jnp.zeros_like(acc_l).at[send_idx[i]].add(
+            bl, mode="promise_in_bounds")
+        acc_h, acc_l = ds_add(acc_h, acc_l, rh, rl)
+    return acc_h, acc_l
+
+
+def halo_scatter_add_two_tier_ds(
+    gzh: jax.Array, gzl: jax.Array,
+    acc_h: jax.Array, acc_l: jax.Array,
+    ici_si: jax.Array, ici_rp: jax.Array,
+    dcn_si: jax.Array, dcn_rp: jax.Array,
+    rounds_ici: tuple[int, ...],
+    rounds_dcn: tuple[tuple[int, int], ...],
+    n_dcn: int, n_ici: int,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "ici",
+) -> tuple[jax.Array, jax.Array]:
+    """Two-tier ``halo_scatter_add_ds`` — same per-round-unique-indices
+    exactness argument (each round receives from exactly one (dcn, ici)
+    source pair)."""
+    from spmv_tpu.ds import ds_add
+
+    def merge(acc_h, acc_l, si, bh, bl):
+        rh = jnp.zeros_like(acc_h).at[si].add(bh, mode="promise_in_bounds")
+        rl = jnp.zeros_like(acc_l).at[si].add(bl, mode="promise_in_bounds")
+        return ds_add(acc_h, acc_l, rh, rl)
+
+    for i, (dd, di) in enumerate(rounds_dcn):
+        bh = gzh.at[dcn_rp[i]].get(mode="fill", fill_value=0)
+        bl = gzl.at[dcn_rp[i]].get(mode="fill", fill_value=0)
+        if di != 0:
+            p = _perm(n_ici, (-di) % n_ici)
+            bh = jax.lax.ppermute(bh, ici_axis, perm=p)
+            bl = jax.lax.ppermute(bl, ici_axis, perm=p)
+        p = _perm(n_dcn, (-dd) % n_dcn)
+        bh = jax.lax.ppermute(bh, dcn_axis, perm=p)
+        bl = jax.lax.ppermute(bl, dcn_axis, perm=p)
+        acc_h, acc_l = merge(acc_h, acc_l, dcn_si[i], bh, bl)
+    for i, d in enumerate(rounds_ici):
+        bh = gzh.at[ici_rp[i]].get(mode="fill", fill_value=0)
+        bl = gzl.at[ici_rp[i]].get(mode="fill", fill_value=0)
+        p = _perm(n_ici, (-d) % n_ici)
+        bh = jax.lax.ppermute(bh, ici_axis, perm=p)
+        bl = jax.lax.ppermute(bl, ici_axis, perm=p)
+        acc_h, acc_l = merge(acc_h, acc_l, ici_si[i], bh, bl)
+    return acc_h, acc_l

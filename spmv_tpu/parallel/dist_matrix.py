@@ -86,6 +86,25 @@ def _plan_scatter_add(plan, gz, y, tables, axes):
     )
 
 
+def _plan_scatter_add_ds(plan, gzh, gzl, acc_h, acc_l, tables, axes):
+    """Error-free double-single reverse exchange (see
+    comm_plan.halo_scatter_add_ds)."""
+    from spmv_tpu.parallel.comm_plan import (
+        halo_scatter_add_ds,
+        halo_scatter_add_two_tier_ds,
+    )
+
+    if isinstance(plan, CommPlan2):
+        return halo_scatter_add_two_tier_ds(
+            gzh, gzl, acc_h, acc_l, *tables, plan.rounds_ici,
+            plan.rounds_dcn, plan.n_dcn, plan.n_ici, axes[0], axes[1],
+        )
+    return halo_scatter_add_ds(
+        gzh, gzl, acc_h, acc_l, tables[0], tables[1], plan.rounds,
+        plan.n_devices, axes[0],
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -166,10 +185,20 @@ class DistMatrix:
     local_wellT_pos: jax.Array | None = None     # (D, KwT, G, 128) int32
     local_wellT_w0: jax.Array | None = None      # (D, n_tiles) int32
     wellT_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups)
-    farT_rows: jax.Array | None = None  # transpose far remainder (COO)
-    farT_cols: jax.Array | None = None
-    farT_vals: jax.Array | None = None
+    farT_rows: jax.Array | None = None  # transpose far remainder: COO
+    farT_cols: jax.Array | None = None  #   (D, F) for "well"; ELL
+    farT_vals: jax.Array | None = None  #   (D, R, Kf) for "well_ds"
     well_farT_nnz: int = 0             # static: max per-shard farT nnz
+    # symmetric well_ds extras: DS lo planes for the transpose stack, the
+    # farT ELL values, and the diagonal
+    local_wellT_values_lo: jax.Array | None = None
+    farT_vals_lo: jax.Array | None = None
+    diagonal_lo: jax.Array | None = None
+    # transposed-remote ELL over ghost slots (D, nghost_pad, Kg): the
+    # error-free producer side of the symmetric well_ds reverse exchange
+    remoteT_colind: jax.Array | None = None
+    remoteT_vals: jax.Array | None = None
+    remoteT_vals_lo: jax.Array | None = None
 
     # ----- static geometry -----
     @property
@@ -550,6 +579,10 @@ class DistMatrix:
                 acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
             return acc_h, acc_l
 
+        sym_well = is_well and self.symmetric
+        has_farT = sym_well and self.well_farT_nnz > 0
+        has_remT = sym_well and getattr(self, "remoteT_colind", None) is not None
+
         def per_shard(xh2, xl2, rci, rvh, rvl, *rest):
             rest = list(rest)
             if is_well:
@@ -563,6 +596,21 @@ class DistMatrix:
             else:
                 dh = rest.pop(0)[0]
                 dl = rest.pop(0)[0]
+            if sym_well:
+                wtv = rest.pop(0)[0]
+                wtl = rest.pop(0)[0]
+                wtp = rest.pop(0)[0]
+                wtw0 = rest.pop(0)[0]
+                dgh = rest.pop(0)[0]
+                dgl = rest.pop(0)[0]
+                if has_farT:
+                    ftci = rest.pop(0)[0]
+                    ftvh = rest.pop(0)[0]
+                    ftvl = rest.pop(0)[0]
+                if has_remT:
+                    rtci = rest.pop(0)[0]
+                    rtvh = rest.pop(0)[0]
+                    rtvl = rest.pop(0)[0]
             tabs = tuple(r[0] for r in rest)
             rci_, rvh_, rvl_ = rci[0], rvh[0], rvl[0]
             have_ghosts = plan.nghost_pad > 0 and len(plan.rounds) > 0
@@ -593,6 +641,30 @@ class DistMatrix:
                                          fh, fl)
                     yh, yl = ds_add(yh, yl, fh.reshape(yh.shape),
                                     fl.reshape(yh.shape))
+                if sym_well:
+                    # symmetric dual-WELL in DS: the local L^T term is a
+                    # SECOND DS gather kernel (no scatters), plus the DS
+                    # diagonal product and the (ELL, error-free) farT chain
+                    k_t, wseg_t, tg_t = self.wellT_meta
+                    wmT = WellDsMatrix(
+                        values_hi=wtv, values_lo=wtl, pos=wtp, w0=wtw0,
+                        nrows=rp, ncols=plan.nlocal_pad, wseg=wseg_t,
+                        tile_groups=tg_t, nseg=plan.nlocal_pad // 128,
+                    )
+                    th, tl = spmv_well_ds_pallas_2d(wmT, xh2, xl2,
+                                                    interpret=not on_tpu)
+                    yh, yl = ds_add(yh, yl, th, tl)
+                    ph, plo = ds_mul_f32(dgh.reshape(yh.shape),
+                                         dgl.reshape(yh.shape), xh2, xl2)
+                    yh, yl = ds_add(yh, yl, ph, plo)
+                    if has_farT:
+                        fh = jnp.zeros((rp,), jnp.float32)
+                        fl = jnp.zeros((rp,), jnp.float32)
+                        fh, fl = ell_ds_term(
+                            ftci, ftvh, ftvl,
+                            xh2.reshape(-1), xl2.reshape(-1), fh, fl)
+                        yh, yl = ds_add(yh, yl, fh.reshape(yh.shape),
+                                        fl.reshape(yh.shape))
             else:
                 from spmv_tpu.ops.spmv_dia_ds_pallas import (
                     DiaDsMatrix,
@@ -617,6 +689,25 @@ class DistMatrix:
                                            acc_h, acc_l)
                 yh, yl = ds_add(yh, yl, acc_h.reshape(yh.shape),
                                 acc_l.reshape(yh.shape))
+            if sym_well and has_remT and have_ghosts:
+                # transpose contributions to GHOST columns, exactly: the
+                # per-ghost DS chain over the transposed-remote ELL (no
+                # scatter), then the error-free DS reverse exchange
+                # (halo_scatter_add_ds: per-round indices are unique, so
+                # boundary rows keep f64-class accuracy)
+                gzh = jnp.zeros((plan.nghost_pad,), jnp.float32)
+                gzl = jnp.zeros((plan.nghost_pad,), jnp.float32)
+                gzh, gzl = ell_ds_term(rtci, rtvh, rtvl,
+                                       xh2.reshape(-1), xl2.reshape(-1),
+                                       gzh, gzl)
+                rh, rl = _plan_scatter_add_ds(
+                    plan, gzh, gzl,
+                    jnp.zeros((rp,), jnp.float32),
+                    jnp.zeros((rp,), jnp.float32),
+                    tabs, self.comm_axes,
+                )
+                yh, yl = ds_add(yh, yl, rh.reshape(yh.shape),
+                                rl.reshape(yh.shape))
             return yh, yl
 
         if is_well:
@@ -626,6 +717,23 @@ class DistMatrix:
                      self.local_values_lo]
             extra_specs = [m4spec, m4spec, m4spec, P(self.axis_name, None),
                            mspec, mspec, mspec]
+            if sym_well:
+                extra += [self.local_wellT_values,
+                          self.local_wellT_values_lo,
+                          self.local_wellT_pos, self.local_wellT_w0,
+                          self.diagonal, self.diagonal_lo]
+                extra_specs += [m4spec, m4spec, m4spec,
+                                P(self.axis_name, None),
+                                P(self.axis_name, None),
+                                P(self.axis_name, None)]
+                if has_farT:
+                    extra += [self.farT_cols, self.farT_vals,
+                              self.farT_vals_lo]
+                    extra_specs += [mspec, mspec, mspec]
+                if has_remT:
+                    extra += [self.remoteT_colind, self.remoteT_vals,
+                              self.remoteT_vals_lo]
+                    extra_specs += [mspec, mspec, mspec]
         else:
             extra = [self.local_dia_data, self.local_dia_data_lo]
             extra_specs = [mspec, mspec]
@@ -915,6 +1023,8 @@ DIST_DATA_FIELDS = (
     "far_rows", "far_cols", "far_vals",
     "local_wellT_values", "local_wellT_pos", "local_wellT_w0",
     "farT_rows", "farT_cols", "farT_vals",
+    "local_wellT_values_lo", "farT_vals_lo", "diagonal_lo",
+    "remoteT_colind", "remoteT_vals", "remoteT_vals_lo",
 )
 DIST_META_FIELDS = (
     "nrows_global", "ncols_global", "row_pad", "symmetric", "nnz_global",
@@ -1089,13 +1199,10 @@ def _assemble(
     farT_rows = farT_cols = farT_vals = None
     farT_max = 0
     wellT_meta: tuple[int, ...] = ()
+    wellT_lo = None
+    farT_vals_lo = None
+    diag_lo = None
     if local_format in ("well", "well_ds"):
-        if symmetric and local_format == "well_ds":
-            raise ValueError(
-                "local_format='well_ds' does not support symmetric storage "
-                "yet; use 'well' (fp32) or 'ell' for symmetric general "
-                "matrices"
-            )
         from spmv_tpu.formats.well import _build_arrays, split_window
 
         max_groups = max(-(-(s.row_range[1] - s.row_range[0]) // 128)
@@ -1125,7 +1232,10 @@ def _assemble(
                 lt = s.local.transpose()
                 nearT, farT = split_window(lt, tile_groups=tg,
                                            wseg_cap=well_wseg_cap)
-                wellsT.append(_build_arrays(nearT, tg, 64, dtype))
+                wellsT.append(_build_arrays(
+                    nearT, tg, 64,
+                    np.float64 if local_format == "well_ds" else dtype,
+                ))
                 farT_blocks.append(farT)
         k_w = max(v.shape[0] for v, _, _, _, _ in wells)
         wseg_w = max(wseg for _, _, _, wseg, _ in wells)
@@ -1171,9 +1281,26 @@ def _assemble(
         well_meta = (k_w, wseg_w, tg)
         if symmetric:
             wellT_stack = stack_wells(wellsT, k_wT)
+            if local_format == "well_ds":
+                from spmv_tpu.ds import ds_from_f64
+
+                wtv, wellT_lo = ds_from_f64(wellT_stack[0])
+                wellT_stack = (wtv, wellT_stack[1], wellT_stack[2])
             wellT_meta = (k_wT, wseg_wT, tg)
             farT_max = max((b.nnz for b in farT_blocks), default=0)
-            if farT_max > 0:
+            if farT_max > 0 and local_format == "well_ds":
+                # DS far remainder as an ELL rectangle: the ds accumulation
+                # chain must stay error-free per OUTPUT row (slot-wise
+                # gathers do; scatter-adds would round). farT_cols/vals(_lo)
+                # are (D, R, Kf) here, NOT the plain-well COO shape.
+                from spmv_tpu.ds import ds_from_f64
+
+                kfT = max(max((int(b.row_nnz().max()) if b.nnz else 0)
+                              for b in farT_blocks), 1)
+                farT_cols, fT64 = _stack_ell(farT_blocks, gt * 128, kfT,
+                                             dtype=np.float64)
+                farT_vals, farT_vals_lo = ds_from_f64(fT64)
+            elif farT_max > 0:
                 farT_rows = np.zeros((nd, farT_max), dtype=np.int32)
                 farT_cols = np.zeros((nd, farT_max), dtype=np.int32)
                 farT_vals = np.zeros((nd, farT_max),
@@ -1318,20 +1445,39 @@ def _assemble(
                     # padding slots stay (row 0, col 0, val 0): adds 0.0
     else:
         lci, lv = _stack_ell([s.local for s in shards], r, kl, dtype=dtype)
+    remoteT_ci = remoteT_vh = remoteT_vl = None
     if local_format in ("dia_ds", "well_ds"):
         from spmv_tpu.ds import ds_from_f64
 
         rci, rv64 = _stack_ell([s.remote for s in shards], r, kr,
                                dtype=np.float64)
         rv, remote_lo = ds_from_f64(rv64)
+        if symmetric and local_format == "well_ds" and plan.nghost_pad > 0:
+            # transposed-remote ELL over ghost slots: the symmetric DS
+            # reverse computes per-ghost contributions with error-free
+            # slot-wise chains (no scatter), see matvec_ds/_plan_scatter_add_ds
+            remT_blocks = [s.remote.transpose() for s in shards]
+            kgT = max(max((int(b.row_nnz().max()) if b.nnz else 0)
+                          for b in remT_blocks), 1)
+            remoteT_ci, rT64 = _stack_ell(remT_blocks, plan.nghost_pad, kgT,
+                                          dtype=np.float64)
+            remoteT_vh, remoteT_vl = ds_from_f64(rT64)
     else:
         rci, rv = _stack_ell([s.remote for s in shards], r, kr, dtype=dtype)
 
     diag = None
     if symmetric:
-        diag = np.zeros((nd, r), dtype=lv.dtype)
-        for s, sh in enumerate(shards):
-            diag[s, : sh.nlocal] = sh.diagonal
+        if local_format == "well_ds":
+            from spmv_tpu.ds import ds_from_f64
+
+            d64 = np.zeros((nd, r), dtype=np.float64)
+            for s, sh in enumerate(shards):
+                d64[s, : sh.nlocal] = sh.diagonal
+            diag, diag_lo = ds_from_f64(d64)
+        else:
+            diag = np.zeros((nd, r), dtype=lv.dtype)
+            for s, sh in enumerate(shards):
+                diag[s, : sh.nlocal] = sh.diagonal
 
     # dense diagonal for Jacobi preconditioning (vanilla storage keeps the
     # diagonal inside the local block; extract it here once, host-side).
@@ -1422,10 +1568,25 @@ def _assemble(
         farT_rows=(None if farT_rows is None
                    else put(farT_rows, P(axis_names, None))),
         farT_cols=(None if farT_cols is None
-                   else put(farT_cols, P(axis_names, None))),
+                   else put(farT_cols,
+                            P(axis_names, *([None] * (farT_cols.ndim - 1))))),
         farT_vals=(None if farT_vals is None
-                   else put(farT_vals, P(axis_names, None))),
+                   else put(farT_vals,
+                            P(axis_names, *([None] * (farT_vals.ndim - 1))))),
         well_farT_nnz=int(farT_max),
+        local_wellT_values_lo=(None if wellT_lo is None
+                               else put(wellT_lo,
+                                        P(axis_names, None, None, None))),
+        farT_vals_lo=(None if farT_vals_lo is None
+                      else put(farT_vals_lo, P(axis_names, None, None))),
+        diagonal_lo=(None if diag_lo is None
+                     else put(diag_lo, P(axis_names, None))),
+        remoteT_colind=(None if remoteT_ci is None
+                        else put(remoteT_ci, mspec)),
+        remoteT_vals=(None if remoteT_vh is None
+                      else put(remoteT_vh, mspec)),
+        remoteT_vals_lo=(None if remoteT_vl is None
+                         else put(remoteT_vl, mspec)),
     )
     # plan-rederivation side data for checkpointing (io/checkpoint): the
     # per-shard ghost lists + column ranges let a checkpoint recompile the
@@ -1455,8 +1616,10 @@ def select_local_format(
     ``well_ds``): the reference is double-throughout
     (reference spmv/Matrix.cpp:565-566) and the XLA-f64 emulation path runs
     at ~13% of roofline, while DS delivers the kappa * 2^-48 accuracy
-    envelope (BENCH_NOTES) at fp32-class speed. Symmetric f64 stays on the
-    XLA path (the DS kernels store the full matrix).
+    envelope (BENCH_NOTES) at fp32-class speed. Symmetric f64 GENERAL
+    matrices route to the dual-WELL DS form (error-free everywhere incl.
+    the reverse exchange); symmetric f64 BANDED stays on the XLA-f64 DIA
+    path (no symmetric dia_ds variant yet).
 
     The WELL gate is format-size-aware: low-occupancy packings whose
     stored bytes exceed ~4x the ELL footprint fall back to ELL with a
@@ -1475,8 +1638,6 @@ def select_local_format(
         if want_ds and not symmetric:
             return "dia_ds"
         return "dia"
-    if symmetric and want_ds:
-        return "ell"  # DS symmetric storage not supported; XLA-f64 path
     from spmv_tpu.formats.well import (
         _pack,
         split_window,

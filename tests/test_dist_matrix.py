@@ -397,13 +397,70 @@ def test_well_gate_falls_back_on_memory_blowup():
     assert any("WELL packing" in str(x.message) for x in w)
 
 
-def test_dist_well_ds_symmetric_rejected():
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_dist_well_ds_symmetric_f64_class(n_dev):
+    """Symmetric general sparsity at f64-class accuracy: dual-WELL DS
+    stacks + DS diagonal + error-free reverse exchange
+    (comm_plan.halo_scatter_add_ds) — BOUNDARY rows included. Closes the
+    last {storage mode} x {format} x {precision class} cell."""
+    from spmv_tpu.ds import ds_from_f64
     from spmv_tpu.gen import random_csr
 
-    a = random_csr(64, 64, 4, seed=95, symmetric=True)
-    with pytest.raises(ValueError, match="symmetric"):
-        build_dist_matrix(a, n_devices=2, local_format="well_ds",
+    a = random_csr(700, 700, 5, seed=95, symmetric=True, spd_shift=1.0)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="well_ds",
                           symmetric=True)
+    assert A.symmetric and A.local_wellT_values is not None
+    x = np.random.default_rng(96).standard_normal(700)
+    xh_g, xl_g = ds_from_f64(x)
+    xh = A.to_dist(xh_g.astype(np.float32))
+    xl = A.to_dist(xl_g.astype(np.float32))
+    yh, yl = jax.jit(lambda M, h, l: M.matvec_ds(h, l))(A, xh, xl)
+    got = (A.from_dist(yh).astype(np.float64)
+           + A.from_dist(yl).astype(np.float64))
+    want = a.matvec(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+
+
+def test_dist_well_ds_symmetric_transparent_f64_matvec():
+    """auto-selected symmetric f64 general matrix: plain matvec on an f64
+    vector rides the DS path transparently."""
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.parallel.dist_matrix import select_local_format
+
+    a = random_csr(600, 600, 4, seed=97, symmetric=True, spd_shift=1.0)
+    assert select_local_format(a, symmetric=True) == "well_ds"
+    A = build_dist_matrix(a, n_devices=4, local_format="auto",
+                          symmetric=True)
+    assert A.local_format == "well_ds"
+    x = np.random.default_rng(98).standard_normal(600)
+    got = A.from_dist(
+        jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x)))
+    want = a.matvec(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+
+
+def test_dist_well_ds_symmetric_two_tier():
+    """Two-tier (dcn, ici) mesh: the DS reverse runs the two-tier
+    error-free variant (halo_scatter_add_two_tier_ds)."""
+    from jax.sharding import Mesh
+
+    from spmv_tpu.ds import ds_from_f64
+    from spmv_tpu.gen import random_csr
+
+    a = random_csr(640, 640, 4, seed=99, symmetric=True, spd_shift=1.0)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dcn", "ici"))
+    A = build_dist_matrix(a, mesh=mesh, local_format="well_ds",
+                          symmetric=True)
+    x = np.random.default_rng(100).standard_normal(640)
+    xh_g, xl_g = ds_from_f64(x)
+    yh, yl = jax.jit(lambda M, h, l: M.matvec_ds(h, l))(
+        A, A.to_dist(xh_g.astype(np.float32)),
+        A.to_dist(xl_g.astype(np.float32)))
+    got = (A.from_dist(yh).astype(np.float64)
+           + A.from_dist(yl).astype(np.float64))
+    want = a.matvec(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
 
 
 @pytest.mark.parametrize("n_dev", [1, 2, 8])
