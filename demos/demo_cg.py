@@ -36,7 +36,7 @@ def main() -> int:
     ap.add_argument("--kmax", type=int, default=100, help="max iterations (reference: 100)")
     ap.add_argument("--rtol", type=float, default=1e-10, help="relative tolerance")
     ap.add_argument("--devices", type=int, default=0)
-    ap.add_argument("--format", choices=["ell", "dia", "well", "auto"],
+    ap.add_argument("--format", choices=["ell", "dia", "dia_ds", "well", "well_ds", "auto"],
                     default=None,
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")

@@ -40,7 +40,7 @@ def main() -> int:
     ap.add_argument("--slices", type=int, default=1,
                     help="2-D (dcn, ici) mesh: --devices D split into "
                          "--slices slow-axis groups (two-tier halo plans)")
-    ap.add_argument("--format", choices=["ell", "dia", "well", "auto"],
+    ap.add_argument("--format", choices=["ell", "dia", "dia_ds", "well", "well_ds", "auto"],
                     default=None,
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")

@@ -195,3 +195,29 @@ def test_checkpoint_1d_refactor_to_two_tier(tmp_path):
     ya = A.from_dist(jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x_host)))
     yb = B.from_dist(jax.jit(lambda M, v: M.matvec(v))(B, B.to_dist(x_host)))
     np.testing.assert_array_equal(ya, yb)
+
+
+def test_checkpoint_symmetric_well_ds_roundtrip(tmp_path):
+    """The round-3 symmetric well_ds operator (dual DS stacks, DS diag,
+    farT/remoteT arrays) round-trips bitwise through the generic
+    field-by-field checkpoint."""
+    from spmv_tpu.ds import ds_from_f64
+    from spmv_tpu.gen import random_csr
+
+    a = random_csr(500, 500, 4, seed=70, symmetric=True, spd_shift=1.0)
+    A = build_dist_matrix(a, n_devices=4, local_format="well_ds",
+                          symmetric=True)
+    path = str(tmp_path / "Asymds.npz")
+    save_dist_matrix(path, A)
+    B = load_dist_matrix(path)
+    assert B.local_format == "well_ds" and B.symmetric
+    x = np.random.default_rng(71).standard_normal(500)
+    xh_g, xl_g = ds_from_f64(x)
+    outs = []
+    for M in (A, B):
+        yh, yl = jax.jit(lambda M_, h, l: M_.matvec_ds(h, l))(
+            M, M.to_dist(xh_g.astype(np.float32)),
+            M.to_dist(xl_g.astype(np.float32)))
+        outs.append((M.from_dist(yh), M.from_dist(yl)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
