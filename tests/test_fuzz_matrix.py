@@ -186,3 +186,67 @@ def test_complex_dia_distributed():
     assert A.local_format == "dia"
     got = A.from_dist(jax.jit(lambda M, v: M.matvec(v))(A, A.to_dist(x)))
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+
+
+def _random_symmetric(n, offsets, seed, density=0.8):
+    """Symmetric SPD-ish banded random (built sparse — no dense blowup)."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for off in offsets:
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < density
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(-np.abs(rng.standard_normal(len(i))))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    v = np.concatenate(vals)
+    r2 = np.concatenate([r, c])
+    c2 = np.concatenate([c, r])
+    v2 = np.concatenate([v, v])
+    d = np.zeros(n)
+    np.add.at(d, r2, np.abs(v2))
+    r3 = np.concatenate([r2, np.arange(n)])
+    c3 = np.concatenate([c2, np.arange(n)])
+    v3 = np.concatenate([v2, d + 1.0])
+    return CSRHost.from_coo(r3, c3, v3, n, n)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+@pytest.mark.parametrize("mesh_kind,mesh_shape", MESHES)
+def test_symmetric_formats_agree_across_meshes(seed, mesh_kind, mesh_shape):
+    """Symmetric storage sweep: ELL scatter-add, DIA carry, dual-WELL, and
+    the f64-class dual-WELL DS all match the oracle and each other on
+    every mesh shape."""
+    from spmv_tpu.ds import ds_from_f64
+
+    a = _random_symmetric(520, (-41, -7, -1), seed)
+    a32 = CSRHost(a.rowptr, a.colind, a.values.astype(np.float32), a.ncols)
+    x = np.random.default_rng(seed + 1).standard_normal(a.nrows)
+    want = a.matvec(x)
+    mesh = _mesh(mesh_kind, mesh_shape)
+    results = {}
+    for fmt in ("ell", "dia", "well"):
+        src = a32 if fmt == "well" else a
+        A = build_dist_matrix(src, mesh=mesh, local_format=fmt,
+                              symmetric=True,
+                              dtype=np.float32 if fmt == "well" else None)
+        got = A.from_dist(
+            jax.jit(lambda A_, x_: A_.matvec(x_))(
+                A, A.to_dist(x.astype(A.dtype))))
+        tol = 2e-5 if fmt == "well" else 1e-12
+        err = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert err < tol, (fmt, mesh_kind, mesh_shape, err)
+        results[fmt] = got
+    # f64-class symmetric general path
+    A = build_dist_matrix(a, mesh=mesh, local_format="well_ds",
+                          symmetric=True)
+    xh_g, xl_g = ds_from_f64(x)
+    yh, yl = jax.jit(lambda M, h, l: M.matvec_ds(h, l))(
+        A, A.to_dist(xh_g.astype(np.float32)),
+        A.to_dist(xl_g.astype(np.float32)))
+    got = (A.from_dist(yh).astype(np.float64)
+           + A.from_dist(yl).astype(np.float64))
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-13, ("well_ds", mesh_kind, mesh_shape, err)
