@@ -278,6 +278,9 @@ def _dia_sym_kernel(
     n_tiles: int,
     sub: int,
     nrhs: int = 1,
+    row0: int = 0,
+    lo_clamp: bool = True,
+    spill_ref=None,
 ):
     """Symmetric DIA SpMV: A = L + D + L^T with only offsets <= 0 stored.
     Multi-RHS capable (nrhs > 1): x/y/carry/staging are nrhs*128 lanes wide
@@ -311,41 +314,40 @@ def _dia_sym_kernel(
 
     # x window for tile t covers rows [t*tr - hr, t*tr + tr); tile 0 clamps
     # to the domain and zeros the out-of-domain top (zero Dirichlet halo).
-    def x_start(slot, t):
+    def x_issue(slot, t, op):
         slot = _idx32(slot)
         t = _idx32(t)
+        if not lo_clamp:
+            # chunk interior: every tile (incl. local tile 0) reads its full
+            # lower halo from real neighbor rows of the FULL x array
+            getattr(pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(row0 + t * tr - hr, sub),
+                               wrows), :],
+                xwin.at[slot], xsem.at[slot],
+            ), op)()
+            return
+
         @pl.when(t == 0)
         def _():
-            pltpu.make_async_copy(
+            getattr(pltpu.make_async_copy(
                 x_hbm.at[pl.ds(0, tr), :],
                 xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
-            ).start()
+            ), op)()
 
         if n_tiles > 1:
             @pl.when(t > 0)
             def _():
-                pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(pl.multiple_of(t * tr - hr, sub), wrows), :],
+                getattr(pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pl.multiple_of(row0 + t * tr - hr, sub),
+                                   wrows), :],
                     xwin.at[slot], xsem.at[slot],
-                ).start()
+                ), op)()
+
+    def x_start(slot, t):
+        x_issue(slot, t, "start")
 
     def x_wait(slot, t):
-        slot = _idx32(slot)
-        t = _idx32(t)
-        @pl.when(t == 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, tr), :],
-                xwin.at[slot, pl.ds(hr, tr), :], xsem.at[slot],
-            ).wait()
-
-        if n_tiles > 1:
-            @pl.when(t > 0)
-            def _():
-                pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(pl.multiple_of(t * tr - hr, sub), wrows), :],
-                    xwin.at[slot], xsem.at[slot],
-                ).wait()
+        x_issue(slot, t, "wait")
 
     def y_dma(slot, t):
         slot = _idx32(slot)
@@ -366,9 +368,10 @@ def _dia_sym_kernel(
 
     x_wait(_mod2(i), i)
 
-    @pl.when(i == 0)
-    def _():
-        xwin[_mod2(i), 0:hr, :] = jnp.zeros((hr, wl), xwin.dtype)
+    if lo_clamp:
+        @pl.when(i == 0)
+        def _():
+            xwin[_mod2(i), 0:hr, :] = jnp.zeros((hr, wl), xwin.dtype)
 
     xw = xwin[_mod2(i)]
 
@@ -445,6 +448,14 @@ def _dia_sym_kernel(
     spill = spills[0] if nrhs == 1 else jnp.concatenate(spills, axis=1)
     prev = carry[...]
 
+    if spill_ref is not None:
+        # chunked apply: local tile 0's spill targets the PREVIOUS chunk's
+        # last rows — emit it for the caller to stitch (see the chunking
+        # notes on the vanilla kernel)
+        @pl.when(i == 0)
+        def _():
+            spill_ref[:, :] = spill.astype(spill_ref.dtype)
+
     # ship tile i-1 = prev accumulator + this tile's spill (its last hr
     # rows). Each yscr slot's prior DMA (started two regular writes ago, at
     # step i-2) is waited before the slot is rewritten.
@@ -490,7 +501,13 @@ def _spmv_dia_sym_pallas_2d(
     """Symmetric kernel wrapper: data (npad/128, K*128) with offsets<=0.
     n_tiles ascending grid steps with plain affine index maps; y is shipped
     by the kernel's own double-buffered DMAs (delayed one step). nrhs > 1
-    applies the whole block with one matrix stream (SpMM lane layout)."""
+    applies the whole block with one matrix stream (SpMM lane layout).
+
+    Long grids CHUNK like the vanilla kernel (BENCH_NOTES "Grid-length
+    cliff"); the carry/spill chain crossing chunk boundaries is handled by
+    each non-first chunk EMITTING its tile-0 spill as a small extra output,
+    stitched into the previous chunk's last rows with one static-slice add.
+    """
     nrows, klanes = data.shape
     k = klanes // LANES
     tr = tile_rows
@@ -499,42 +516,83 @@ def _spmv_dia_sym_pallas_2d(
     # strongest TRUE promise: hr is 16-aligned (dia_halo_rows), so
     # tile*tr - hr is 16-aligned iff tr is; otherwise the dtype sublane tile
     sub = 16 if tr % 16 == 0 else (8 if data.dtype.itemsize >= 4 else 16)
-    kernel = functools.partial(
-        _dia_sym_kernel, offsets=offsets, tr=tr, hr=hr, n_tiles=n_tiles,
-        sub=sub, nrhs=nrhs,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (tr, k * LANES), lambda i: (i, np.int32(0)), memory_space=pltpu.VMEM
+    cdt = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
+
+    def call(t0, ct, lo):
+        kw = dict(offsets=offsets, tr=tr, hr=hr, n_tiles=ct, sub=sub,
+                  nrhs=nrhs, row0=t0 * tr, lo_clamp=lo)
+        if lo and ct == n_tiles:
+            kernel = functools.partial(_dia_sym_kernel, **kw)
+            out_specs = pl.BlockSpec(memory_space=pl.ANY)
+            out_shape = jax.ShapeDtypeStruct((ct * tr, wl), data.dtype)
+        else:
+            def kernel(d_ref, x_hbm, y_hbm, spill_out, xwin, carry, yscr,
+                       xsem, ysem):
+                _dia_sym_kernel(d_ref, x_hbm, y_hbm, xwin, carry, yscr,
+                                xsem, ysem, spill_ref=spill_out, **kw)
+
+            out_specs = (
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((hr, wl),
+                             lambda i: (np.int32(0), np.int32(0)),
+                             memory_space=pltpu.VMEM),
+            )
+            out_shape = (
+                jax.ShapeDtypeStruct((ct * tr, wl), data.dtype),
+                jax.ShapeDtypeStruct((hr, wl), data.dtype),
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=(ct,),
+            in_specs=[
+                pl.BlockSpec((tr, k * LANES),
+                             lambda i, t0=t0: (i + t0, np.int32(0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, tr + hr, wl), x2.dtype),
+                pltpu.VMEM((tr, wl), cdt),
+                pltpu.VMEM((2, tr, wl), data.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nrows, wl), data.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, tr + hr, wl), x2.dtype),
-            pltpu.VMEM(
-                (tr, wl),
-                jnp.float64 if data.dtype == jnp.float64 else jnp.float32,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * k * tr * ct * LANES * nrhs,
+                bytes_accessed=(k + 2 * nrhs) * tr * ct * LANES
+                * data.dtype.itemsize,
+                transcendentals=0,
             ),
-            pltpu.VMEM((2, tr, wl), data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * k * nrows * LANES * nrhs,
-            bytes_accessed=(k + 2 * nrhs) * nrows * LANES
-            * data.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(data, x2)
+            interpret=interpret,
+        )(data, x2)
+
+    if n_tiles <= _CHUNK_TILES * 3 // 2:
+        return call(0, n_tiles, True)
+    n_chunks = -(-n_tiles // _CHUNK_TILES)
+    base, extra = divmod(n_tiles, n_chunks)
+    outs, spills, bounds = [], [], []
+    t0 = 0
+    for c in range(n_chunks):
+        ct = base + (1 if c < extra else 0)
+        res = call(t0, ct, c == 0)
+        if c == 0 and isinstance(res, tuple):
+            outs.append(res[0])  # first chunk's spill is out-of-domain
+        elif isinstance(res, tuple):
+            outs.append(res[0])
+            spills.append(res[1])
+            bounds.append(t0 * tr)
+        else:
+            outs.append(res)
+        t0 += ct
+    y = jnp.concatenate(outs, axis=0)
+    for spill, b in zip(spills, bounds):
+        y = y.at[b - hr : b, :].add(spill)
+    return y
 
 
 @functools.partial(

@@ -314,3 +314,41 @@ def test_dia_pallas_chunked_bitwise_equal(monkeypatch):
     want = a.matvec(x[: a.nrows])
     got = y2.reshape(-1)[: a.nrows]
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
+def test_dia_sym_pallas_chunked_bitwise_equal(monkeypatch):
+    """Chunked symmetric carry kernel: each non-first chunk emits its
+    tile-0 spill for the caller to stitch — bitwise-equal to the
+    single-call result, single and multi-RHS."""
+    import spmv_tpu.ops.spmv_dia_pallas as dp
+    from spmv_tpu.formats.dia import csr_to_dia
+    from spmv_tpu.gen import create_laplace_2d
+    from spmv_tpu.ops.spmm_dia_pallas import spmm_from_layout, spmm_to_layout
+
+    a = create_laplace_2d(128, 128, dtype=np.float32)
+    ds = csr_to_dia(a, row_align=1024, dtype=np.float32, symmetric=True)
+    x = np.random.default_rng(6).standard_normal(ds.nrows_pad).astype(
+        np.float32)
+    x2 = jnp.asarray(x.reshape(-1, 128))
+    hr = dp.dia_halo_rows(ds)
+    fn = dp._spmv_dia_sym_pallas_2d.__wrapped__
+    y1 = np.asarray(fn(ds.data, x2, ds.offsets, 16, hr, interpret=True))
+    monkeypatch.setattr(dp, "_CHUNK_TILES", 2)
+    jaxpr = jax.make_jaxpr(
+        lambda dd, xx: fn(dd, xx, ds.offsets, 16, hr, interpret=True)
+    )(ds.data, x2)
+    assert str(jaxpr).count("pallas_call") >= 4
+    y2 = np.asarray(fn(ds.data, x2, ds.offsets, 16, hr, interpret=True))
+    np.testing.assert_array_equal(y1, y2)
+    want = a.matvec(x[: a.nrows])
+    got = y2.reshape(-1)[: a.nrows]
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+    # multi-RHS chunked
+    X = np.random.default_rng(7).standard_normal(
+        (ds.nrows_pad, 2)).astype(np.float32)
+    x2m = spmm_to_layout(ds, jnp.asarray(X))
+    y2m = np.asarray(spmm_from_layout(
+        fn(ds.data, x2m, ds.offsets, 16, hr, nrhs=2, interpret=True), 2))
+    wantm = np.stack([a.matvec(X[: a.nrows, r]) for r in range(2)], axis=1)
+    relm = np.linalg.norm(y2m[: a.nrows] - wantm) / np.linalg.norm(wantm)
+    assert relm < 1e-6
