@@ -209,6 +209,83 @@ def _spmm(env):
     return True
 
 
+@check("symmetric dual-WELL (round 3)")
+def _(env):
+    st, np_, jnp, jax = env["st"], np, env["jnp"], env["jax"]
+    from spmv_tpu.gen import random_csr
+    a0 = random_csr(2000, 2000, 4, seed=31, symmetric=True, spd_shift=1.0)
+    from spmv_tpu.formats.csr import CSRHost
+    a = CSRHost(a0.rowptr, a0.colind, a0.values.astype(np_.float32), a0.ncols)
+    sw = st.csr_to_well_sym(a, tile_groups=8, dtype=np_.float32)
+    x = np_.random.default_rng(32).standard_normal(2000).astype(np_.float32)
+    y = np_.asarray(st.spmv_well_sym(sw, jnp.asarray(x)))[:2000]
+    want = a.matvec(x)
+    return np_.linalg.norm(y - want) / np_.linalg.norm(want) < 1e-4
+
+
+@check("symmetric well_ds f64-class (round 3)")
+def _(env):
+    st, np_, jnp, jax = env["st"], np, env["jnp"], env["jax"]
+    from spmv_tpu.ds import ds_from_f64
+    from spmv_tpu.ops.spmv_well_pallas import (
+        csr_to_well_sym_ds, spmv_well_sym_ds)
+    from spmv_tpu.gen import random_csr
+    a = random_csr(2000, 2000, 4, seed=33, symmetric=True, spd_shift=1.0)
+    sw = csr_to_well_sym_ds(a, tile_groups=8)
+    x = np_.random.default_rng(34).standard_normal(2000)
+    xh, xl = ds_from_f64(np_.pad(x, (0, sw.nrows_pad - 2000)))
+    yh, yl = spmv_well_sym_ds(sw, jnp.asarray(xh), jnp.asarray(xl))
+    got = (np_.asarray(yh).astype(np_.float64)
+           + np_.asarray(yl).astype(np_.float64))[:2000]
+    want = a.matvec(x)
+    return np_.linalg.norm(got - want) / np_.linalg.norm(want) < 1e-13
+
+
+@check("DS SpMM block kernel (round 3)")
+def _(env):
+    st, np_, jnp = env["st"], np, env["jnp"]
+    from spmv_tpu.ds import ds_from_f64, ds_to_f64
+    from spmv_tpu.ops.spmm_dia_pallas import spmm_to_layout, spmm_from_layout
+    from spmv_tpu.ops.spmv_dia_ds_pallas import (
+        csr_to_dia_ds, spmm_dia_ds_pallas_2d)
+    a = st.create_laplace_2d(64, 64)
+    dds = csr_to_dia_ds(a, row_align=1024)
+    nrhs = 2
+    X = np_.random.default_rng(35).standard_normal((a.nrows, nrhs))
+    Xp = np_.zeros((dds.nrows_pad, nrhs)); Xp[:a.nrows] = X
+    hi, lo = ds_from_f64(Xp)
+    to2 = lambda v: jnp.asarray(
+        v.reshape(-1, 128, nrhs).transpose(0, 2, 1).reshape(-1, nrhs * 128))
+    yh, yl = spmm_dia_ds_pallas_2d(dds, to2(hi), to2(lo), nrhs)
+    col = lambda v, r: np_.asarray(
+        v[:, r * 128:(r + 1) * 128]).reshape(-1)
+    got = np_.stack([ds_to_f64(col(yh, r), col(yl, r))[:a.nrows]
+                     for r in range(nrhs)], axis=1)
+    want = np_.stack([a.matvec(X[:, r]) for r in range(nrhs)], axis=1)
+    return np_.linalg.norm(got - want) / np_.linalg.norm(want) < 1e-13
+
+
+@check("chunked vanilla kernel bitwise (round 3)")
+def _(env):
+    st, np_, jnp = env["st"], np, env["jnp"]
+    import spmv_tpu.ops.spmv_dia_pallas as dp
+    a = st.create_laplace_2d(128, 128, dtype=np_.float32)
+    d = st.csr_to_dia(a, row_align=1024, dtype=np_.float32)
+    x = np_.random.default_rng(36).standard_normal(d.nrows_pad).astype(
+        np_.float32)
+    x2 = jnp.asarray(x.reshape(-1, 128))
+    hr = dp.dia_halo_rows(d)
+    fn = dp._spmv_dia_pallas_2d.__wrapped__
+    y1 = np_.asarray(fn(d.data, x2, d.offsets, 16, hr))
+    old = dp._CHUNK_TILES
+    try:
+        dp._CHUNK_TILES = 2
+        y2 = np_.asarray(fn(d.data, x2, d.offsets, 16, hr))
+    finally:
+        dp._CHUNK_TILES = old
+    return np_.array_equal(y1, y2)
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
