@@ -159,10 +159,22 @@ def csr_to_dia(
     needs no scatter at all: the transpose of diagonal o is diagonal -o with
     the same data shifted by -o.
     """
-    data, offsets, nnz = _csr_to_dia_host(a, row_align, max_diags, dtype,
-                                          symmetric)
+    row_align_eff = max(_round_up(row_align, 128), 128)
+    if a.nrows > 1_000_000:
+        row_align_eff = max(row_align_eff, 1024 * 128)  # see _csr_to_dia_host
+    nat = _csr_to_dia_native(a, row_align_eff, max_diags, dtype, symmetric,
+                             interleaved=True)
+    if nat is not None:
+        # native pack wrote the device layout directly (no transpose pass)
+        data2d, offsets, nnz = nat
+        k = max(len(offsets), 1)
+        data = jnp.asarray(data2d.reshape(-1, k * 128))
+    else:
+        flat, offsets, nnz = _csr_to_dia_host(a, row_align, max_diags, dtype,
+                                              symmetric)
+        data = jnp.asarray(flat_to_interleaved(flat, flat.shape[0]))
     return DiaMatrix(
-        data=jnp.asarray(flat_to_interleaved(data, data.shape[0])),
+        data=data,
         offsets=offsets,
         nrows=a.nrows,
         ncols=a.ncols,
@@ -178,6 +190,9 @@ def _csr_to_dia_host(a, row_align, max_diags, dtype, symmetric):
         # row counts like 1e8 (781250 lane rows = 2*5^8) otherwise have no
         # usable tile divisor; the padding overhead is <= 0.14%
         row_align = max(row_align, 1024 * 128)
+    out = _csr_to_dia_native(a, row_align, max_diags, dtype, symmetric)
+    if out is not None:
+        return out
     lens = a.row_nnz()
     # int32 row/offset math (nrows/ncols < 2^31 always holds here): half
     # the memory traffic of the int64 default on these 100M+-element passes
@@ -235,3 +250,67 @@ def _csr_to_dia_host(a, row_align, max_diags, dtype, symmetric):
             )
             data[:] = acc.reshape(ndiags, nrows_pad).astype(data.dtype)
     return data, tuple(int(o) for o in uniq) or (0,), int(len(rows))
+
+
+def _csr_to_dia_native(a, row_align, max_diags, dtype, symmetric,
+                       interleaved=False):
+    """Native (C++) CSR->DIA: sort-free offset scan + single-pass LUT pack
+    (spmv_tpu/native/spmv_host.cpp spmv_dia_scan/spmv_dia_pack_*). Used when
+    the value dtypes are real f32/f64 and in==out; returns None to fall back
+    to the numpy path otherwise (complex, cross-dtype, no toolchain).
+    ``interleaved=True`` writes the DiaMatrix device layout
+    (nrows_pad/128, ndiags*128) directly, skipping the transpose pass;
+    ``row_align`` is used as given (callers apply the >1M-row bump)."""
+    import ctypes
+
+    from spmv_tpu.native.lib import get_lib
+
+    out_dtype = np.dtype(dtype or a.dtype)
+    if out_dtype != a.values.dtype or out_dtype not in (
+        np.dtype(np.float32), np.dtype(np.float64)
+    ):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+    colind = np.ascontiguousarray(a.colind, dtype=np.int32)
+    values = np.ascontiguousarray(a.values)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    offsets = np.zeros(max(max_diags, 1), dtype=np.int64)
+    nd = ctypes.c_int64(0)
+    kept = ctypes.c_int64(0)
+    rc = lib.spmv_dia_scan(
+        rowptr.ctypes.data_as(i64p), colind.ctypes.data_as(i32p),
+        a.nrows, 1 if symmetric else 0, max_diags,
+        offsets.ctypes.data_as(i64p), ctypes.byref(nd), ctypes.byref(kept),
+    )
+    if rc == -4:
+        raise ValueError(
+            f"matrix has more than max_diags={max_diags} distinct diagonals; "
+            "use ELL format"
+        )
+    if rc != 0:
+        return None
+    ndiags = max(int(nd.value), 1)
+    nrows_pad = max(_round_up(a.nrows, row_align), row_align)
+    shape = ((nrows_pad // 128, ndiags * 128) if interleaved
+             else (ndiags, nrows_pad))
+    data = np.zeros(shape, dtype=out_dtype)
+    if kept.value:
+        pack = (lib.spmv_dia_pack_f32 if out_dtype == np.float32
+                else lib.spmv_dia_pack_f64)
+        vp = ctypes.POINTER(
+            ctypes.c_float if out_dtype == np.float32 else ctypes.c_double)
+        rc = pack(
+            rowptr.ctypes.data_as(i64p), colind.ctypes.data_as(i32p),
+            values.ctypes.data_as(vp), a.nrows, nrows_pad,
+            1 if symmetric else 0, 1 if interleaved else 0,
+            offsets.ctypes.data_as(i64p), ndiags,
+            data.ctypes.data_as(vp),
+        )
+        if rc != 0:
+            return None
+    offs = tuple(int(o) for o in offsets[:int(nd.value)]) or (0,)
+    return data, offs, int(kept.value)

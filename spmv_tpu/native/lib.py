@@ -54,6 +54,22 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i32p, f64p,
     ]
     lib.spmv_pack_ell.restype = ctypes.c_int
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.spmv_dia_scan.argtypes = [
+        i64p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        i64p, i64p, i64p,
+    ]
+    lib.spmv_dia_scan.restype = ctypes.c_int
+    lib.spmv_dia_pack_f64.argtypes = [
+        i64p, i32p, f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, i64p, ctypes.c_int64, f64p,
+    ]
+    lib.spmv_dia_pack_f64.restype = ctypes.c_int
+    lib.spmv_dia_pack_f32.argtypes = [
+        i64p, i32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, i64p, ctypes.c_int64, f32p,
+    ]
+    lib.spmv_dia_pack_f32.restype = ctypes.c_int
     return lib
 
 

@@ -179,6 +179,128 @@ int spmv_petsc_vector_read(const char* path, int64_t i0, int64_t i1,
   return rc;
 }
 
+// ---------------------------------------------------------------------------
+// CSR -> DIA assembly (the csr_to_dia hot path; replaces the numpy
+// unique/searchsorted/bincount passes, which sort nnz-sized arrays).
+// Two single-pass functions over the CSR arrays:
+//   spmv_dia_scan  — distinct diagonal offsets WITHOUT sorting (small sorted
+//                    insert table, <= max_track entries) + kept-entry count;
+//   spmv_dia_pack  — accumulate values into the (ndiags, nrows_pad) planes
+//                    via an offset->plane lookup table (duplicates sum,
+//                    matching CSR semantics).
+// ---------------------------------------------------------------------------
+
+// Returns 0 on success, -4 if more than max_track distinct offsets exist.
+// lower_only != 0 keeps only offsets <= 0 (symmetric lower-triangle storage,
+// reference spmv/Matrix.cpp:337-349 semantics). offsets_out must have
+// capacity max_track; filled ascending. *nnz_kept = number of kept entries.
+int spmv_dia_scan(const int64_t* rowptr, const int32_t* colind, int64_t nrows,
+                  int32_t lower_only, int64_t max_track, int64_t* offsets_out,
+                  int64_t* ndiags_out, int64_t* nnz_kept) {
+  int64_t nd = 0;
+  int64_t kept = 0;
+  for (int64_t r = 0; r < nrows; ++r) {
+    const int64_t lo = rowptr[r], hi = rowptr[r + 1];
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t off = static_cast<int64_t>(colind[i]) - r;
+      if (lower_only && off > 0) continue;
+      ++kept;
+      // binary search in the (tiny, L1-resident) sorted table
+      int64_t a = 0, b = nd;
+      while (a < b) {
+        const int64_t mid = (a + b) / 2;
+        if (offsets_out[mid] < off) a = mid + 1;
+        else b = mid;
+      }
+      if (a < nd && offsets_out[a] == off) continue;
+      if (nd == max_track) return -4;
+      std::memmove(offsets_out + a + 1, offsets_out + a,
+                   static_cast<size_t>(nd - a) * sizeof(int64_t));
+      offsets_out[a] = off;
+      ++nd;
+    }
+  }
+  *ndiags_out = nd;
+  *nnz_kept = kept;
+  return 0;
+}
+
+}  // extern "C" (template below needs C++ linkage)
+
+namespace {
+
+template <typename T>
+int dia_pack_impl(const int64_t* rowptr, const int32_t* colind,
+                  const T* values, int64_t nrows, int64_t nrows_pad,
+                  int32_t lower_only, int32_t interleaved,
+                  const int64_t* offsets, int64_t ndiags, T* data) {
+  if (ndiags <= 0) return 0;
+  const int64_t omin = offsets[0], omax = offsets[ndiags - 1];
+  const int64_t range = omax - omin + 1;
+  // offset -> plane lookup table when the band is narrow enough; binary
+  // search fallback for extreme spreads (range can reach ~2*nrows)
+  constexpr int64_t kLutCap = int64_t(1) << 24;
+  int16_t* lut = nullptr;
+  if (range <= kLutCap && ndiags <= 32766) {
+    lut = new int16_t[range];
+    std::memset(lut, 0xff, static_cast<size_t>(range) * sizeof(int16_t));
+    for (int64_t d = 0; d < ndiags; ++d)
+      lut[offsets[d] - omin] = static_cast<int16_t>(d);
+  }
+  int rc = 0;
+  for (int64_t r = 0; r < nrows && rc == 0; ++r) {
+    const int64_t lo = rowptr[r], hi = rowptr[r + 1];
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t off = static_cast<int64_t>(colind[i]) - r;
+      if (lower_only && off > 0) continue;
+      int64_t d;
+      if (lut != nullptr) {
+        if (off < omin || off > omax || lut[off - omin] < 0) { rc = -5; break; }
+        d = lut[off - omin];
+      } else {
+        int64_t a = 0, b = ndiags;
+        while (a < b) {
+          const int64_t mid = (a + b) / 2;
+          if (offsets[mid] < off) a = mid + 1;
+          else b = mid;
+        }
+        if (a >= ndiags || offsets[a] != off) { rc = -5; break; }
+        d = a;
+      }
+      // interleaved: the DiaMatrix device layout (nrows_pad/128, ndiags*128)
+      // written directly — skips the flat->interleaved numpy transpose pass
+      const int64_t idx = interleaved
+          ? ((r >> 7) * ndiags + d) * 128 + (r & 127)
+          : d * nrows_pad + r;
+      data[idx] += values[i];
+    }
+  }
+  delete[] lut;
+  return rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// data must be pre-zeroed (ndiags, nrows_pad) in the matching dtype.
+// Returns 0 on success, -5 if an entry's offset is not in offsets[].
+int spmv_dia_pack_f64(const int64_t* rowptr, const int32_t* colind,
+                      const double* values, int64_t nrows, int64_t nrows_pad,
+                      int32_t lower_only, int32_t interleaved,
+                      const int64_t* offsets, int64_t ndiags, double* data) {
+  return dia_pack_impl(rowptr, colind, values, nrows, nrows_pad, lower_only,
+                       interleaved, offsets, ndiags, data);
+}
+
+int spmv_dia_pack_f32(const int64_t* rowptr, const int32_t* colind,
+                      const float* values, int64_t nrows, int64_t nrows_pad,
+                      int32_t lower_only, int32_t interleaved,
+                      const int64_t* offsets, int64_t ndiags, float* data) {
+  return dia_pack_impl(rowptr, colind, values, nrows, nrows_pad, lower_only,
+                       interleaved, offsets, ndiags, data);
+}
+
 // Pack a CSR slice into padded ELL rectangles (row-major (nrows_pad, k)).
 // Padded slots must be pre-zeroed by the caller (calloc'd numpy arrays).
 int spmv_pack_ell(const int64_t* rowptr, const int32_t* colind,
