@@ -94,6 +94,7 @@ from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.chebyshev import (
     chebyshev,
+    chebyshev_adaptive,
     chebyshev_bounds,
     chebyshev_iterations_for,
     ChebyshevResult,
@@ -143,6 +144,7 @@ __all__ = [
     "cg",
     "cg_pipelined",
     "chebyshev",
+    "chebyshev_adaptive",
     "chebyshev_bounds",
     "chebyshev_iterations_for",
     "bicgstab",

@@ -30,6 +30,33 @@ Slot assignment (host, vectorized): nonzeros of a group are keyed by
 consecutive slots. K = max over groups. Storage efficiency = nnz/(G*K*128);
 conversion reports it and callers gate on it (``well_occupancy``) — RCM
 reordering (spmv_tpu.reorder) typically improves it dramatically.
+
+Paired slots (round 3): a 128-row group's band of columns usually straddles
+a 128-aligned segment boundary, so single-segment slots come out
+complementary-half-full (rows j < t hit segment s, rows j >= t hit s+1) —
+measured occupancy ~0.54 on banded-random, i.e. ~2x slot inflation. Since
+the kernel's wall-clock is stream + dependent-compute (tools/
+exp_well_overlap.py ablations), that inflation is paid twice. The fix:
+after rank-based packing, greedily MERGE slot pairs whose 128-lane
+occupancy masks are disjoint (any two segments — no adjacency needed). A
+merged slot's two segments are carried by ``pos`` itself at the ENDPOINT
+lanes: the entry at out-lane 0 always belongs to leg a and the entry at
+out-lane 127 to leg b (padding endpoints are filled accordingly; merges
+where one leg owns both endpoints are rejected — they are rare), so the
+kernel reads sa = pos[:, 0:1] >> 7 and sb = pos[:, 127:128] >> 7 as two
+FREE static lane slices. Cross-lane min/max reductions and side tables
+were both measured out: Mosaic lowers a (B, 128) i32 min reduction at
++0.7 ms on the 4M bench config (2x the whole kernel), and a (G, 2K) side
+table needs a lane-strided concatenate Mosaic rejects. The kernel gathers
+both segment rows (two one-hot MXU legs) and selects per lane by
+comparing each element's own ``pos``-derived segment against sa.
+Measured K: 11 -> 8 on the 4M-row banded-random bench config, 9 -> 7 on
+the RCM'd 129.6k FEM-like operator — 22-27%% less storage/traffic.
+Same-run chip A/B (round 3): WALL-CLOCK NEUTRAL (0.63 vs 0.66 ms — the
+kernel is compute-bound per the exp_well_overlap ablations, and the
+second gather leg's MXU/VPU work offsets the stream saving), so pairing
+defaults OFF; opt in (``pair=True``) when HBM capacity or the occupancy
+gate (0.54 -> 0.74 measured) matters more than the last 4%% of speed.
 """
 from __future__ import annotations
 
@@ -63,6 +90,9 @@ class WellMatrix:
     tile_groups: int    # groups per tile (static; fixed at conversion)
     nseg: int = 0       # x segments incl. window-overrun padding (static)
     _nnz: int = 0
+    # paired slots (module doc): pos endpoint lanes carry the two leg
+    # segments (lane 0 -> leg a, lane 127 -> leg b) as free kernel slices
+    paired: bool = False  # static: any slot actually carries two segments
 
     @property
     def ngroups(self) -> int:
@@ -110,7 +140,8 @@ class WellMatrix:
 jax.tree_util.register_dataclass(
     WellMatrix,
     data_fields=["values", "pos", "w0"],
-    meta_fields=["nrows", "ncols", "wseg", "tile_groups", "nseg", "_nnz"],
+    meta_fields=["nrows", "ncols", "wseg", "tile_groups", "nseg", "_nnz",
+                 "paired"],
 )
 
 
@@ -158,9 +189,61 @@ def split_window(
     return build(near), build(~near)
 
 
-def _pack(a: CSRHost, tile_groups: int, dry_run: bool = False):
-    """Compute the slot packing. Returns (G, K, wseg, w0, scatter) where
-    scatter = (g, slot, lane_out, seg_rel, lane_in, vals, slot_seg_pairs)."""
+def _pair_slots(kg, pre_g, pre_fill, pre_mask, gpad):
+    """Greedy complementary-mask pairing of pre-slots (host).
+
+    Per group, first-fit ascending by fill: each unmerged slot grabs the
+    first remaining slot whose 128-lane occupancy mask is disjoint. A
+    pre-slot owning BOTH endpoint lanes (0 and 127) is excluded — the
+    kernel reads the two leg segments from the endpoint lanes, so a merge
+    must leave each endpoint to a distinct leg (or padding). Returns
+    (new_local, leg, k_new): the merged slot index within its group, which
+    leg (0/1) each pre-slot landed on, and the per-group merged slot count.
+    Pre-slots are ordered group-major (offset = exclusive cumsum of kg)."""
+    n_pre = len(pre_g)
+    new_local = np.zeros(n_pre, dtype=np.int64)
+    leg = np.zeros(n_pre, dtype=np.int8)
+    k_new = np.zeros(gpad, dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(kg)])
+    pairable = ~((pre_mask[:, 0] & np.uint64(1)) != 0) | ~(
+        (pre_mask[:, 1] >> np.uint64(63)) != 0
+    )
+    for gg in np.flatnonzero(kg > 1):
+        lo, hi = base[gg], base[gg + 1]
+        ms = pre_mask[lo:hi]
+        ok = pairable[lo:hi]
+        idx = np.argsort(pre_fill[lo:hi], kind="stable")
+        used = np.zeros(hi - lo, dtype=bool)
+        kk = 0
+        for ii in range(hi - lo):
+            i = idx[ii]
+            if used[i]:
+                continue
+            used[i] = True
+            new_local[lo + i] = kk
+            if ok[i]:
+                cand = (~used) & ok & (
+                    ((ms[:, 0] & ms[i, 0]) | (ms[:, 1] & ms[i, 1])) == 0
+                )
+                j = np.flatnonzero(cand)
+                if len(j):
+                    used[j[0]] = True
+                    new_local[lo + j[0]] = kk
+                    leg[lo + j[0]] = 1
+            kk += 1
+        k_new[gg] = kk
+    one = kg == 1
+    k_new[one] = 1
+    return new_local, leg, k_new
+
+
+def _pack(a: CSRHost, tile_groups: int, dry_run: bool = False,
+          pair: bool = False):
+    """Compute the slot packing. Returns (G, K, wseg, w0, nseg_x, scatter)
+    where scatter = (g, slot, lane_out, seg_rel, lane_in, vals, sa, sb,
+    paired); sa/sb are the (G, K) per-slot leg segments the padding
+    endpoint lanes must carry (kernel invariant: lane 0 reads leg a,
+    lane 127 reads leg b)."""
     gpad = _round_up(max(-(-a.nrows // LANES), 1), tile_groups)
     n_tiles = gpad // tile_groups
 
@@ -228,28 +311,85 @@ def _pack(a: CSRHost, tile_groups: int, dry_run: bool = False):
     # force wider windows for end-of-matrix tiles
     nseg_x = max(nseg_x, int(w0.max()) + wseg if n_tiles else wseg)
 
+    pre_slot = blk_off[blk_id] + m if len(g_s) else np.empty(0, np.int64)
+    seg_rel = seg_s - w0[(g_s // tile_groups).astype(np.int64)] if len(g_s) else g_s
+
+    # ---- paired slots: merge complementary half-full slots (module doc) ----
+    paired = False
+    slot = pre_slot
+    sa = np.zeros((gpad, k), dtype=np.int64)
+    sb = np.zeros((gpad, k), dtype=np.int64)
+    if len(g_s):
+        base = np.concatenate([[0], np.cumsum(kg)])
+        pre_id = base[g_s] + pre_slot              # global pre-slot id
+        n_pre = int(base[-1])
+        pre_g = np.repeat(blk_g, blk_width)
+        pre_seg_rel = np.repeat(
+            blk_seg - w0[(blk_g // tile_groups).astype(np.int64)], blk_width
+        )
+        # per-pre-slot endpoint-lane ownership (the kernel reads the leg
+        # segments from out-lanes 0 and 127)
+        pre_mask = np.zeros((n_pre, 2), dtype=np.uint64)
+        wrd = (lo_s // 64).astype(np.int64)
+        bit = np.uint64(1) << (lo_s % 64).astype(np.uint64)
+        np.bitwise_or.at(pre_mask, (pre_id, wrd), bit)
+        pre_b0 = (pre_mask[:, 0] & np.uint64(1)) != 0
+        pre_b127 = (pre_mask[:, 1] >> np.uint64(63)) != 0
+        # per-pre-slot local index within its group (identity = unmerged);
+        # pre-slots enumerate in global-id order (blocks sorted by (g, seg),
+        # ranks consecutive)
+        new_local = np.arange(n_pre) - base[pre_g]
+        leg = np.zeros(n_pre, dtype=np.int8)
+        if pair:
+            pre_fill = np.zeros(n_pre, dtype=np.int64)
+            np.add.at(pre_fill, pre_id, 1)
+            m_local, m_leg, k_new = _pair_slots(kg, pre_g, pre_fill,
+                                                pre_mask, gpad)
+            k_merged = max(int(k_new.max()), 1)
+            if k_merged < k:
+                paired = True
+                k = k_merged
+                new_local, leg = m_local, m_leg
+                slot = new_local[pre_id]
+        # per-(g, slot) leg segments + endpoint ownership -> sa/sb:
+        # sa is the segment of whichever leg owns lane 0 (either leg when
+        # lane 0 is padding, then forced by lane-127's owner); sb is the
+        # OTHER leg's segment (pairing rejects one-leg-owns-both-endpoints)
+        seg_leg = np.zeros((gpad, k, 2), dtype=np.int64)
+        has_leg1 = np.zeros((gpad, k), dtype=bool)
+        b0 = np.zeros((gpad, k, 2), dtype=bool)
+        b127 = np.zeros((gpad, k, 2), dtype=bool)
+        seg_leg[pre_g, new_local, leg] = pre_seg_rel
+        has_leg1[pre_g[leg == 1], new_local[leg == 1]] = True
+        b0[pre_g, new_local, leg] = pre_b0
+        b127[pre_g, new_local, leg] = pre_b127
+        seg0 = seg_leg[:, :, 0]
+        seg1 = np.where(has_leg1, seg_leg[:, :, 1], seg0)
+        sa = np.where(
+            b0[:, :, 0], seg0,
+            np.where(b0[:, :, 1], seg1,
+                     np.where(b127[:, :, 0], seg1, seg0)),
+        )
+        sb = seg0 + seg1 - sa
+
     if dry_run:
         return gpad, k, wseg, w0, nseg_x, None
-
-    slot = blk_off[blk_id] + m if len(g_s) else np.empty(0, np.int64)
-    seg_rel = seg_s - w0[(g_s // tile_groups).astype(np.int64)] if len(g_s) else g_s
     return gpad, k, wseg, w0, nseg_x, (
-        g_s, slot, lo_s, seg_rel, li_s, vals_s,
-        (blk_g, blk_seg, blk_off, blk_width, blk_id),
+        g_s, slot, lo_s, seg_rel, li_s, vals_s, sa, sb, paired,
     )
 
 
-def _build_arrays(a: CSRHost, tile_groups: int, max_k: int, dtype):
+def _build_arrays(a: CSRHost, tile_groups: int, max_k: int, dtype,
+                  pair: bool = False):
     """Shared WELL array builder (host numpy): returns
-    (values, pos, w0, wseg, nseg_x)."""
-    gpad, k, wseg, w0, nseg_x, scatter = _pack(a, tile_groups)
+    (values, pos, w0, wseg, nseg_x, paired)."""
+    gpad, k, wseg, w0, nseg_x, scatter = _pack(a, tile_groups, pair=pair)
     if k > max_k:
         raise ValueError(
             f"WELL packing needs K={k} slots > max_k={max_k}; reorder the "
             "matrix (spmv_tpu.reorder.rcm_reorder) or raise max_k"
         )
-    g_s, slot, lo_s, seg_rel, li_s, vals_s, blocks = scatter
-    blk_g, blk_seg, blk_off, blk_width, _ = blocks
+    g_s, slot, lo_s, seg_rel, li_s, vals_s, sa, sb, paired = scatter
 
     # int16 positions halve the index traffic (it matches the value traffic
     # at fp32 otherwise); requires the window-relative flat positions to fit
@@ -258,19 +398,17 @@ def _build_arrays(a: CSRHost, tile_groups: int, max_k: int, dtype):
                  and tile_groups % 16 == 0 else np.int32)
     values = np.zeros((k, gpad, LANES), dtype=dtype or a.dtype)
     pos = np.zeros((k, gpad, LANES), dtype=pos_dtype)
-    # every lane of a used slot must carry the slot's segment (the kernel
-    # reads it from lane 0); fill the slot blocks with seg*128 first
-    if len(blk_g):
-        blk_seg_rel = blk_seg - w0[(blk_g // tile_groups).astype(np.int64)]
-        for width in range(1, int(blk_width.max()) + 1):
-            sel = blk_width >= width
-            pos[blk_off[sel] + width - 1, blk_g[sel], :] = (
-                blk_seg_rel[sel][:, None] * LANES
-            ).astype(pos_dtype)
+    # endpoint-lane invariant (module doc): lane 0 must carry leg a's
+    # segment and lane 127 leg b's — fill every lane with sa*128, the last
+    # lane with sb*128, then let real entries overwrite (their endpoint
+    # segments agree by the pairing's ownership rules; padding value 0
+    # kills the term either way)
+    pos[...] = (sa.T[:, :, None] * LANES).astype(pos_dtype)
+    pos[:, :, LANES - 1] = (sb.T * LANES).astype(pos_dtype)
     if len(g_s):
         values[slot, g_s, lo_s] = vals_s
         pos[slot, g_s, lo_s] = (seg_rel * LANES + li_s).astype(pos_dtype)
-    return values, pos, w0.astype(np.int32), wseg, nseg_x
+    return values, pos, w0.astype(np.int32), wseg, nseg_x, paired
 
 
 def csr_to_well(
@@ -278,12 +416,16 @@ def csr_to_well(
     tile_groups: int = 16,
     max_k: int = 64,
     dtype=None,
+    pair: bool = False,
 ) -> WellMatrix:
     """Convert host CSR to WELL. ``tile_groups`` (groups per kernel tile) is
     fixed here because ``pos`` is window-relative. Raises when a group needs
     more than ``max_k`` slots (one pathologically dense/scattered row group
-    would inflate every group's storage)."""
-    values, pos, w0, wseg, nseg_x = _build_arrays(a, tile_groups, max_k, dtype)
+    would inflate every group's storage). ``pair=True`` enables the
+    paired-slot merge (module doc): ~25% less storage at ~4% more
+    wall-clock — for HBM-capacity-bound or occupancy-gated cases."""
+    values, pos, w0, wseg, nseg_x, paired = _build_arrays(
+        a, tile_groups, max_k, dtype, pair=pair)
     return WellMatrix(
         values=jnp.asarray(values),
         pos=jnp.asarray(pos),
@@ -294,6 +436,7 @@ def csr_to_well(
         tile_groups=tile_groups,
         nseg=nseg_x,
         _nnz=a.nnz,
+        paired=paired,
     )
 
 

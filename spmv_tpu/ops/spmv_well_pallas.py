@@ -52,7 +52,9 @@ def _well_kernel(
     tg: int,
     k: int,
     n_tiles: int,
+    paired: bool,
     compute_dtype=jnp.float32,
+    exact_gather: bool = False,
 ):
     i = pl.program_id(0)
 
@@ -78,43 +80,76 @@ def _well_kernel(
 
     b = k * tg
     pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
-    # the slot's segment is constant across its 128 lanes; read it from
-    # lane 0 (>> 7 strips the lane bits of flat pos = seg*128 + lane)
-    seg = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
     lane = jax.lax.bitwise_and(pos, jnp.int32(LANES - 1))
-    if compute_dtype == jnp.float32:
+    # paired slots (formats/well.py): the two leg segments live at the
+    # ENDPOINT lanes of pos — two free static slices (>> 7 strips the lane
+    # bits). Cross-lane min/max reductions were measured at +0.7 ms here
+    # (2x the kernel) — Mosaic lowers them poorly; do not revisit.
+    sa = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
+
+    if exact_gather:
+        # interpret / reference-executor path: a REAL row gather. The MXU
+        # one-hot formulation below is exact on TPU (bf16 one-hot, one
+        # product per output), but the CPU interpreter evaluates its dots
+        # through XLA:CPU's default-precision matmul, which computes large
+        # f32 matmuls at bf16 precision (measured 7.7e-3 on a
+        # (608,16)@(16,128) one-hot gather — and it ignores the
+        # per-op Precision.HIGHEST request under the TPU interpret
+        # machinery). jnp.take is exact on CPU at every dtype.
+        def gather_leg(sc):
+            rows = jnp.take(xw, sc[:, 0], axis=0)  # (b, 128)
+            with jax.enable_x64(False):  # see note below
+                return jnp.take_along_axis(rows, lane, axis=1)
+    elif compute_dtype == jnp.float32:
         # The MXU rounds f32 operands to bf16 at default precision —
         # measured 1e-3..1e-1 SpMV error. The one-hot operand is EXACT in
         # bf16 (0/1), and each output sums exactly one product, so splitting
         # the window into three bf16 terms (8 mantissa bits each -> 24 bits
         # total) reconstructs the f32 gather exactly, at native bf16 MXU
         # rate (faster than an f32 matmul pass, exact unlike it).
-        onehot = (
-            seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
-        ).astype(jnp.bfloat16)
         x_hi = xw.astype(jnp.bfloat16)
         r1 = xw - x_hi.astype(jnp.float32)
         x_mid = r1.astype(jnp.bfloat16)
         x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
         # one (b, wseg) @ (wseg, 3*128) matmul instead of three: same FLOPs,
-        # one MXU pass; recombine with two lane-slice adds
-        x3 = jnp.concatenate([x_hi, x_mid, x_lo], axis=1)
-        rows3 = jnp.dot(onehot, x3, preferred_element_type=jnp.float32)
-        rows = (rows3[:, :LANES] + rows3[:, LANES:2 * LANES]
-                + rows3[:, 2 * LANES:])  # (b, 128)
+        # one MXU pass; recombine with two lane-slice adds (the measured-
+        # fast round-2 form — a (b, 3*wseg) one-hot is 2x slower on chip)
+        x3 = jnp.concatenate([x_hi, x_mid, x_lo], axis=1)  # (wseg, 3*128)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
+
+        def gather_leg(sc):
+            oh = (sc == iota).astype(jnp.bfloat16)
+            rows3 = jnp.dot(oh, x3, preferred_element_type=jnp.float32)
+            rows = (rows3[:, :LANES] + rows3[:, LANES:2 * LANES]
+                    + rows3[:, 2 * LANES:])  # (b, 128)
+            # under x64, take_along_axis picks int64 index dtype (upstream
+            # int_dtype_for_dim receives a shape, not a dim, and falls back
+            # to the default int) and Mosaic has no 64-bit types — scope
+            # x64 off for the trace of this one op
+            with jax.enable_x64(False):
+                return jnp.take_along_axis(rows, lane, axis=1)
     else:
         # fp64 path (CPU/interpret — the TPU MXU has no f64; TPU callers use
         # fp32/bf16 storage, the documented WELL precision envelope)
-        onehot = (
-            seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
-        ).astype(compute_dtype)
-        rows = jnp.dot(onehot, xw, preferred_element_type=compute_dtype)
-    # under x64, take_along_axis picks int64 index dtype (upstream
-    # int_dtype_for_dim receives a shape, not a dim, and falls back to the
-    # default int) and Mosaic has no 64-bit types — scope x64 off for the
-    # trace of this one op
-    with jax.enable_x64(False):
-        gathered = jnp.take_along_axis(rows, lane, axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
+
+        def gather_leg(sc):
+            oh = (sc == iota).astype(compute_dtype)
+            rows = jnp.dot(oh, xw, preferred_element_type=compute_dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            with jax.enable_x64(False):
+                return jnp.take_along_axis(rows, lane, axis=1)
+
+    ga = gather_leg(sa)
+    if paired:
+        # each element's own segment picks its leg — two gather legs, one
+        # per-lane select, zero scatters
+        gb = gather_leg(
+            jax.lax.shift_right_logical(pos[:, LANES - 1:], jnp.int32(7)))
+        segd = jax.lax.shift_right_logical(pos, jnp.int32(7))
+        gathered = jnp.where(segd == sa, ga, gb)
+    else:
+        gathered = ga
     contrib = v_ref[...].reshape(b, LANES).astype(compute_dtype) * gathered
 
     acc = jnp.zeros((tg, LANES), compute_dtype)
@@ -124,11 +159,13 @@ def _well_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wseg", "tg", "k", "n_tiles", "interpret")
+    jax.jit,
+    static_argnames=("wseg", "tg", "k", "n_tiles", "paired", "interpret"),
 )
 def _spmv_well_2d(
     values, pos, w0, x2,
     wseg: int, tg: int, k: int, n_tiles: int,
+    paired: bool = False,
     interpret: bool = False,
 ):
     g = values.shape[1]
@@ -136,7 +173,8 @@ def _spmv_well_2d(
                      else jnp.float32)
     kernel = functools.partial(
         _well_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles,
-        compute_dtype=compute_dtype,
+        paired=paired, compute_dtype=compute_dtype,
+        exact_gather=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -168,7 +206,7 @@ def _spmv_well_2d(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * k * g * LANES * (wseg + 1),
+            flops=2 * k * g * LANES * (wseg + 1) * (2 if paired else 1),
             bytes_accessed=(values.size * values.dtype.itemsize
                             + pos.size * pos.dtype.itemsize
                             + 2 * g * LANES * values.dtype.itemsize),
@@ -200,7 +238,7 @@ def spmv_well_pallas_2d(
     return _spmv_well_2d(
         a.values, a.pos, a.w0, x2,
         wseg=a.wseg, tg=a.tile_groups, k=a.k_slots, n_tiles=a.n_tiles,
-        interpret=interpret,
+        paired=bool(a.paired), interpret=interpret,
     )
 
 
@@ -262,6 +300,7 @@ class WellDsMatrix:
     tile_groups: int
     nseg: int = 0
     _nnz: int = 0
+    paired: bool = False  # paired slots (formats/well.py module doc)
 
     @property
     def ngroups(self) -> int:
@@ -287,17 +326,19 @@ class WellDsMatrix:
 jax.tree_util.register_dataclass(
     WellDsMatrix,
     data_fields=["values_hi", "values_lo", "pos", "w0"],
-    meta_fields=["nrows", "ncols", "wseg", "tile_groups", "nseg", "_nnz"],
+    meta_fields=["nrows", "ncols", "wseg", "tile_groups", "nseg", "_nnz",
+                 "paired"],
 )
 
 
-def csr_to_well_ds(a, tile_groups: int = 16, max_k: int = 64) -> WellDsMatrix:
+def csr_to_well_ds(a, tile_groups: int = 16, max_k: int = 64,
+                   pair: bool = False) -> WellDsMatrix:
     """f64 host CSR -> double-single WELL (one packing, two value planes;
     the split stays in numpy until upload — see csr_to_dia_ds)."""
     from spmv_tpu.formats.well import _build_arrays
 
-    v64, pos, w0, wseg, nseg_x = _build_arrays(
-        a, tile_groups, max_k, np.float64
+    v64, pos, w0, wseg, nseg_x, paired = _build_arrays(
+        a, tile_groups, max_k, np.float64, pair=pair
     )
     hi, lo = ds_from_f64(v64)
     return WellDsMatrix(
@@ -311,6 +352,7 @@ def csr_to_well_ds(a, tile_groups: int = 16, max_k: int = 64) -> WellDsMatrix:
         tile_groups=tile_groups,
         nseg=nseg_x,
         _nnz=a.nnz,
+        paired=paired,
     )
 
 
@@ -318,7 +360,8 @@ def _well_ds_kernel(
     w0_ref, xh_hbm, xl_hbm, vh_ref, vl_ref, p_ref, yh_ref, yl_ref,
     xwin, xsem,
     *,
-    wseg: int, tg: int, k: int, n_tiles: int,
+    wseg: int, tg: int, k: int, n_tiles: int, paired: bool,
+    exact_gather: bool = False,
 ):
     i = pl.program_id(0)
     hbm = (xh_hbm, xl_hbm)
@@ -346,28 +389,52 @@ def _well_ds_kernel(
 
     b = k * tg
     pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
-    seg = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
     lane = jax.lax.bitwise_and(pos, jnp.int32(LANES - 1))
-    onehot = (
-        seg == jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
-    ).astype(jnp.bfloat16)
+    # leg segments from the pos endpoint lanes (see the f32 kernel)
+    sa = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
 
-    def gather(xw):
-        # exact fused gather: 3-term bf16 split in one matmul (see the f32
-        # kernel for the rationale)
-        x_hi = xw.astype(jnp.bfloat16)
-        r1 = xw - x_hi.astype(jnp.float32)
-        x_mid = r1.astype(jnp.bfloat16)
-        x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        x3 = jnp.concatenate([x_hi, x_mid, x_lo], axis=1)
-        rows3 = jnp.dot(onehot, x3, preferred_element_type=jnp.float32)
-        rows = (rows3[:, :LANES] + rows3[:, LANES:2 * LANES]
-                + rows3[:, 2 * LANES:])
-        with jax.enable_x64(False):  # see f32 kernel note
-            return jnp.take_along_axis(rows, lane, axis=1)
+    if exact_gather:
+        # interpret / reference-executor path: real row gather (see the
+        # f32 kernel — XLA:CPU's default matmul precision is bf16 at these
+        # shapes, and the interpreter drops per-op precision requests)
+        def gather_leg(sc):
+            def gather(xw):
+                rows = jnp.take(xw, sc[:, 0], axis=0)
+                with jax.enable_x64(False):  # see f32 kernel note
+                    return jnp.take_along_axis(rows, lane, axis=1)
 
-    gh = gather(xwin[_mod2(i), _idx32(0)])
-    gl = gather(xwin[_mod2(i), _idx32(1)])
+            return (gather(xwin[_mod2(i), _idx32(0)]),
+                    gather(xwin[_mod2(i), _idx32(1)]))
+    else:
+        def gather_leg(sc):
+            # exact fused gather per plane: 3-term bf16 lane-stacked split
+            # in one matmul (see the f32 kernel for the rationale)
+            oh = (sc == iota).astype(jnp.bfloat16)
+
+            def gather(xw):
+                x_hi = xw.astype(jnp.bfloat16)
+                r1 = xw - x_hi.astype(jnp.float32)
+                x_mid = r1.astype(jnp.bfloat16)
+                x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                x3 = jnp.concatenate([x_hi, x_mid, x_lo], axis=1)
+                rows3 = jnp.dot(oh, x3, preferred_element_type=jnp.float32)
+                rows = (rows3[:, :LANES] + rows3[:, LANES:2 * LANES]
+                        + rows3[:, 2 * LANES:])
+                with jax.enable_x64(False):  # see f32 kernel note
+                    return jnp.take_along_axis(rows, lane, axis=1)
+
+            return (gather(xwin[_mod2(i), _idx32(0)]),
+                    gather(xwin[_mod2(i), _idx32(1)]))
+
+    gh, gl = gather_leg(sa)
+    if paired:
+        gbh, gbl = gather_leg(
+            jax.lax.shift_right_logical(pos[:, LANES - 1:], jnp.int32(7)))
+        segd = jax.lax.shift_right_logical(pos, jnp.int32(7))
+        sel = segd == sa
+        gh = jnp.where(sel, gh, gbh)
+        gl = jnp.where(sel, gl, gbl)
     vh = vh_ref[...].reshape(b, LANES)
     vl = vl_ref[...].reshape(b, LANES)
     ph, plo = ds_mul_f32(vh, vl, gh, gl)
@@ -384,16 +451,19 @@ def _well_ds_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wseg", "tg", "k", "n_tiles", "interpret")
+    jax.jit,
+    static_argnames=("wseg", "tg", "k", "n_tiles", "paired", "interpret"),
 )
 def _spmv_well_ds_2d(
     vh, vl, pos, w0, xh2, xl2,
     wseg: int, tg: int, k: int, n_tiles: int,
+    paired: bool = False,
     interpret: bool = False,
 ):
     g = vh.shape[1]
     kernel = functools.partial(
-        _well_ds_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles
+        _well_ds_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles,
+        paired=paired, exact_gather=interpret,
     )
     bspec = pl.BlockSpec((k, tg, LANES), lambda i, w0_ref: (np.int32(0), i, np.int32(0)),
                          memory_space=pltpu.VMEM)
@@ -439,7 +509,7 @@ def spmv_well_ds_pallas_2d(
     return _spmv_well_ds_2d(
         a.values_hi, a.values_lo, a.pos, a.w0, xh2, xl2,
         wseg=a.wseg, tg=a.tile_groups, k=a.k_slots, n_tiles=a.n_tiles,
-        interpret=interpret,
+        paired=bool(a.paired), interpret=interpret,
     )
 
 

@@ -162,7 +162,7 @@ class DistMatrix:
     local_well_values: jax.Array | None = None  # (D, Kw, G, 128)
     local_well_pos: jax.Array | None = None     # (D, Kw, G, 128) int32
     local_well_w0: jax.Array | None = None      # (D, n_tiles) int32
-    well_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups)
+    well_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups[, paired])
     # double-single lo planes for local_format == "well_ds"
     local_well_values_lo: jax.Array | None = None
     local_values_lo: jax.Array | None = None  # far-block lo plane
@@ -184,7 +184,7 @@ class DistMatrix:
     local_wellT_values: jax.Array | None = None  # (D, KwT, G, 128)
     local_wellT_pos: jax.Array | None = None     # (D, KwT, G, 128) int32
     local_wellT_w0: jax.Array | None = None      # (D, n_tiles) int32
-    wellT_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups)
+    wellT_meta: tuple[int, ...] = ()  # (k_slots, wseg, tile_groups[, paired])
     farT_rows: jax.Array | None = None  # transpose far remainder: COO
     farT_cols: jax.Array | None = None  #   (D, F) for "well"; ELL
     farT_vals: jax.Array | None = None  #   (D, R, Kf) for "well_ds"
@@ -623,9 +623,10 @@ class DistMatrix:
                     spmv_well_ds_pallas_2d,
                 )
 
-                k_w, wseg_w, tg_w = self.well_meta
+                k_w, wseg_w, tg_w, paired_w = _well_meta4(self.well_meta)
                 wm = WellDsMatrix(
                     values_hi=wvh, values_lo=wvl, pos=wp, w0=ww0,
+                    paired=paired_w,
                     nrows=rp, ncols=plan.nlocal_pad, wseg=wseg_w,
                     tile_groups=tg_w, nseg=plan.nlocal_pad // 128,
                 )
@@ -645,9 +646,10 @@ class DistMatrix:
                     # symmetric dual-WELL in DS: the local L^T term is a
                     # SECOND DS gather kernel (no scatters), plus the DS
                     # diagonal product and the (ELL, error-free) farT chain
-                    k_t, wseg_t, tg_t = self.wellT_meta
+                    k_t, wseg_t, tg_t, paired_t = _well_meta4(self.wellT_meta)
                     wmT = WellDsMatrix(
                         values_hi=wtv, values_lo=wtl, pos=wtp, w0=wtw0,
+                        paired=paired_t,
                         nrows=rp, ncols=plan.nlocal_pad, wseg=wseg_t,
                         tile_groups=tg_t, nseg=plan.nlocal_pad // 128,
                     )
@@ -939,7 +941,7 @@ class DistMatrix:
                 n_w = 6 if self.well_far_nnz > 0 else 3
                 wellt = tuple(rest.pop(0)[0] for _ in range(n_w))
                 wv, wp, ww0 = wellt[:3]
-                k_w, wseg_w, tg_w = self.well_meta
+                k_w, wseg_w, tg_w, _ = _well_meta4(self.well_meta)
                 cols = wp.astype(jnp.int32) + (
                     jnp.repeat(ww0.astype(jnp.int32), tg_w) * 128
                 )[None, :, None]
@@ -1038,6 +1040,13 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _well_meta4(meta: tuple) -> tuple:
+    """(k, wseg, tg[, paired]) -> (k, wseg, tg, paired); pre-pairing
+    3-tuples (old checkpoints) read as paired=False."""
+    k, wseg, tg = meta[:3]
+    return k, wseg, tg, bool(meta[3]) if len(meta) > 3 else False
+
+
 def _shard_mult(
     x2, lci, lv, rci, rv, diag, tables,
     plan, row_pad: int, symmetric: bool, comm_axes: tuple[str, ...],
@@ -1093,9 +1102,10 @@ def _shard_mult(
         from spmv_tpu.formats.well import WellMatrix
         from spmv_tpu.ops.spmv_well_pallas import spmv_well_pallas_2d
 
-        k_w, wseg_w, tg_w = well_meta
+        k_w, wseg_w, tg_w, paired_w = _well_meta4(well_meta)
         wm = WellMatrix(
             values=well[0], pos=well[1], w0=well[2],
+            paired=paired_w,
             nrows=row_pad, ncols=plan.nlocal_pad,
             wseg=wseg_w, tile_groups=tg_w, nseg=plan.nlocal_pad // 128,
         )
@@ -1128,9 +1138,10 @@ def _shard_mult(
             from spmv_tpu.formats.well import WellMatrix
             from spmv_tpu.ops.spmv_well_pallas import spmv_well_pallas_2d
 
-            k_t, wseg_t, tg_t = wellT_meta
+            k_t, wseg_t, tg_t, paired_t = _well_meta4(wellT_meta)
             wmT = WellMatrix(
                 values=wellT[0], pos=wellT[1], w0=wellT[2],
+                paired=paired_t,
                 nrows=row_pad, ncols=plan.nlocal_pad,
                 wseg=wseg_t, tile_groups=tg_t,
                 nseg=plan.nlocal_pad // 128,
@@ -1237,26 +1248,26 @@ def _assemble(
                     np.float64 if local_format == "well_ds" else dtype,
                 ))
                 farT_blocks.append(farT)
-        k_w = max(v.shape[0] for v, _, _, _, _ in wells)
-        wseg_w = max(wseg for _, _, _, wseg, _ in wells)
+        k_w = max(v.shape[0] for v, *_ in wells)
+        wseg_w = max(wseg for _, _, _, wseg, _, _ in wells)
         # one padded geometry for every shard: groups cover rows AND every
         # window (w0 + wseg) AND the owned column span (x and y share the
         # per-shard padded length on square operators) — and, symmetric,
         # the transpose stack's rows/windows too
         need = max(
-            max(v.shape[1] for v, _, _, _, _ in wells),
-            max((int(w0.max()) if len(w0) else 0) for _, _, w0, _, _ in wells)
+            max(v.shape[1] for v, *_ in wells),
+            max((int(w0.max()) if len(w0) else 0) for _, _, w0, *_ in wells)
             + wseg_w,
             max(-(-(s.col_range[1] - s.col_range[0]) // 128) for s in shards),
         )
         if symmetric:
-            k_wT = max(v.shape[0] for v, _, _, _, _ in wellsT)
-            wseg_wT = max(wseg for _, _, _, wseg, _ in wellsT)
+            k_wT = max(v.shape[0] for v, *_ in wellsT)
+            wseg_wT = max(wseg for _, _, _, wseg, _, _ in wellsT)
             need = max(
                 need,
-                max(v.shape[1] for v, _, _, _, _ in wellsT),
+                max(v.shape[1] for v, *_ in wellsT),
                 max((int(w0.max()) if len(w0) else 0)
-                    for _, _, w0, _, _ in wellsT) + wseg_wT,
+                    for _, _, w0, *_ in wellsT) + wseg_wT,
             )
         gt = _round_up(need, tg)
 
@@ -1266,27 +1277,29 @@ def _assemble(
                           else ws[0][0].dtype)
             sp = np.zeros((nd, kk, gt, 128), dtype=np.int32)
             s0 = np.zeros((nd, gt // tg), dtype=np.int32)
-            for s, (v, p, w0, _, _) in enumerate(ws):
+            for s, (v, p, w0, _, _, _) in enumerate(ws):
                 sv[s, : v.shape[0], : v.shape[1]] = v
                 sp[s, : p.shape[0], : p.shape[1]] = p
                 s0[s, : len(w0)] = w0
-            return sv, sp, s0
+            # any paired shard makes the STACK paired (unpaired shards'
+            # slots have sa == sb, so the leg select never differs there)
+            return sv, sp, s0, any(w[5] for w in ws)
 
-        wv, wp, ww0 = stack_wells(wells, k_w)
+        wv, wp, ww0, wpaired = stack_wells(wells, k_w)
         if local_format == "well_ds":
             from spmv_tpu.ds import ds_from_f64
 
             wv, well_lo = ds_from_f64(wv)
         well_stack = (wv, wp, ww0)
-        well_meta = (k_w, wseg_w, tg)
+        well_meta = (k_w, wseg_w, tg, wpaired)
         if symmetric:
-            wellT_stack = stack_wells(wellsT, k_wT)
+            wtv, wtp, wtw0, wtpaired = stack_wells(wellsT, k_wT)
             if local_format == "well_ds":
                 from spmv_tpu.ds import ds_from_f64
 
-                wtv, wellT_lo = ds_from_f64(wellT_stack[0])
-                wellT_stack = (wtv, wellT_stack[1], wellT_stack[2])
-            wellT_meta = (k_wT, wseg_wT, tg)
+                wtv, wellT_lo = ds_from_f64(wtv)
+            wellT_stack = (wtv, wtp, wtw0)
+            wellT_meta = (k_wT, wseg_wT, tg, wtpaired)
             farT_max = max((b.nnz for b in farT_blocks), default=0)
             if farT_max > 0 and local_format == "well_ds":
                 # DS far remainder as an ELL rectangle: the ds accumulation

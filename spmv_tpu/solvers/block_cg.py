@@ -320,7 +320,7 @@ def block_cg_refined(
         from spmv_tpu.ops.spmv_dia_pallas import spmv_dia_pallas_2d
 
         from spmv_tpu.solvers.chebyshev import (
-            chebyshev,
+            chebyshev_adaptive,
             chebyshev_bounds,
             chebyshev_iterations_for,
         )
@@ -347,7 +347,12 @@ def block_cg_refined(
                                        nrhs, interpret=interpret)
 
         if cheb is not None:
-            return chebyshev(matmat, r2, cheb[0], cheb[1], cheb[2])
+            # adaptive sweeps (1 reduction per 16 steps): corrects the
+            # Lanczos floor when the clustered bottom eludes it — the
+            # measured kappa ~ 1e5 stall of the fixed-bounds variant
+            return chebyshev_adaptive(
+                matmat, r2, cheb[0], cheb[1], rtol=inner_rtol,
+                sweep_iters=16, max_sweeps=-(-inner_kmax // 16))
         return block_cg(matmat, r2, nrhs, kmax=inner_kmax,
                         rtol=inner_rtol, independent=True)
 
@@ -451,7 +456,7 @@ def block_cg_refined_dist(
         # win (the reference pays 3 MPI_Allreduce per CG iteration,
         # reference spmv/cg.cpp:49,65,75)
         from spmv_tpu.solvers.chebyshev import (
-            chebyshev,
+            chebyshev_adaptive,
             chebyshev_bounds,
             chebyshev_iterations_for,
         )
@@ -470,7 +475,10 @@ def block_cg_refined_dist(
     def inner_block(A32_, rh_, scale):
         r2 = (col3(rh_) * scale[None, :, None]).reshape(rh_.shape)
         if cheb is not None:
-            return chebyshev(A32_.matmat, r2, cheb[0], cheb[1], cheb[2])
+            # adaptive sweeps — see the single-device inner above
+            return chebyshev_adaptive(
+                A32_.matmat, r2, cheb[0], cheb[1], rtol=inner_rtol,
+                sweep_iters=16, max_sweeps=-(-inner_kmax // 16))
         return block_cg(A32_.matmat, r2, nrhs, kmax=inner_kmax,
                         rtol=inner_rtol, independent=True)
 

@@ -108,3 +108,47 @@ def test_dist_refined_chebyshev_inner_no_reductions():
     assert txt.count("all-reduce") == 0, "Chebyshev sweep must be dot-free"
     assert (txt.count("collective-permute") + txt.count(
         "collective-permute-start")) > 0  # halo still present
+
+
+def test_chebyshev_adaptive_corrects_bad_floor():
+    """The measured kappa ~ 1e5 envelope limit (NEXT.md round 3): a
+    Lanczos floor ABOVE the clustered bottom stalls plain chebyshev; the
+    adaptive variant measures the rate, jumps to the rate-consistent
+    bound once, and converges — no decay spiral."""
+    from spmv_tpu.solvers.chebyshev import chebyshev_adaptive
+
+    n = 2048
+    rng = np.random.default_rng(0)
+    ev = np.concatenate([[1e-5, 1.2e-5, 1.5e-5],
+                         rng.uniform(0.3, 1.0, n - 3)]).astype(np.float32)
+    A = jnp.asarray(ev)
+    mv = lambda v: A * v
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    lo_bad = 6.25e-5  # the quarter-theta floor, 6x above true lambda_min
+
+    res = jax.jit(lambda bb: chebyshev_adaptive(
+        mv, bb, lo_bad, 1.0, rtol=1e-5, sweep_iters=16, max_sweeps=400))(b)
+    rel = float(jnp.linalg.norm(b - mv(res.x)) / jnp.linalg.norm(b))
+    assert rel < 2e-5, rel
+    lmin_f = float(res.lmin_final)
+    # corrected below the bad floor, but not spiraled to the clamp
+    assert lmin_f < lo_bad
+    assert lmin_f > 1e-9, lmin_f
+    assert int(res.sweeps) < 400
+    assert int(res.iterations) == int(res.sweeps) * 16
+
+
+def test_chebyshev_adaptive_good_bounds_untouched():
+    """With a correct enclosure the rate matches the prediction and the
+    bound is never moved (no false corrections from equioscillation)."""
+    from spmv_tpu.solvers.chebyshev import chebyshev_adaptive
+
+    dense, lmin, lmax = _spd(300, 3)
+    b = np.random.default_rng(4).standard_normal(300).astype(np.float32)
+    mv = lambda x: jnp.asarray(dense, dtype=jnp.float32) @ x
+    res = chebyshev_adaptive(mv, jnp.asarray(b), lmin * 0.9, lmax,
+                             rtol=1e-6, sweep_iters=16, max_sweeps=100)
+    assert float(res.lmin_final) == pytest.approx(lmin * 0.9, rel=1e-6)
+    want = np.linalg.solve(dense, b)
+    rel = np.linalg.norm(np.asarray(res.x) - want) / np.linalg.norm(want)
+    assert rel < 1e-4, rel

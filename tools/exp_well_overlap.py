@@ -302,7 +302,7 @@ def build_matrix(n=4_000_000, seed=0):
                             np.concatenate(vals).astype(np.float32), n, n)
 
 
-def main():
+def main(modes=None):
     from spmv_tpu.formats.well import csr_to_well
     from spmv_tpu.ops.spmv_well_pallas import well_to_2d
 
@@ -348,7 +348,8 @@ def main():
     print("manual-vs-lib max|d|:", float(np.abs(y_lib - y_man).max()),
           flush=True)
 
-    modes = ["full", "indep", "streamonly"]
+    if modes is None:
+        modes = ["full", "indep", "streamonly"]
     loops = {m: make_loop(wb if m == "bf16" else w, m) for m in modes}
     argsets = {m: ((wb if m == "bf16" else w).values,
                    (wb if m == "bf16" else w).pos,
