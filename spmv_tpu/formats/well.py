@@ -383,6 +383,10 @@ def _build_arrays(a: CSRHost, tile_groups: int, max_k: int, dtype,
                   pair: bool = False):
     """Shared WELL array builder (host numpy): returns
     (values, pos, w0, wseg, nseg_x, paired)."""
+    if not pair:
+        nat = _build_arrays_native(a, tile_groups, max_k, dtype)
+        if nat is not None:
+            return nat
     gpad, k, wseg, w0, nseg_x, scatter = _pack(a, tile_groups, pair=pair)
     if k > max_k:
         raise ValueError(
@@ -409,6 +413,76 @@ def _build_arrays(a: CSRHost, tile_groups: int, max_k: int, dtype,
         values[slot, g_s, lo_s] = vals_s
         pos[slot, g_s, lo_s] = (seg_rel * LANES + li_s).astype(pos_dtype)
     return values, pos, w0.astype(np.int32), wseg, nseg_x, paired
+
+
+def _build_arrays_native(a: CSRHost, tile_groups: int, max_k: int, dtype):
+    """Native (C++) CSR->WELL: per-group block tables, no global sort
+    (spmv_tpu/native/spmv_host.cpp spmv_well_scan/spmv_well_pack_*) —
+    bitwise-identical to the numpy path (regression-tested), ~4x at
+    weak-scale sizes where the numpy lexsort over nnz (g, seg, lane) keys
+    dominates. Unpaired layout only; returns None (numpy fallback) for
+    complex/cross-dtype values, pathological rows (> 4096 distinct
+    segments), or a missing toolchain."""
+    import ctypes
+
+    from spmv_tpu.native.lib import get_lib
+
+    out_dtype = np.dtype(dtype or a.dtype)
+    if out_dtype != a.values.dtype or out_dtype not in (
+        np.dtype(np.float32), np.dtype(np.float64)
+    ):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    gpad = _round_up(max(-(-a.nrows // LANES), 1), tile_groups)
+    n_tiles = gpad // tile_groups
+    rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+    colind = np.ascontiguousarray(a.colind, dtype=np.int32)
+    values = np.ascontiguousarray(a.values)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    w0 = np.zeros(n_tiles, dtype=np.int32)
+    k_c = ctypes.c_int64(0)
+    wseg_c = ctypes.c_int64(0)
+    nseg_c = ctypes.c_int64(0)
+    rc = lib.spmv_well_scan(
+        rowptr.ctypes.data_as(i64p), colind.ctypes.data_as(i32p),
+        a.nrows, a.ncols, tile_groups, gpad, 4096,
+        ctypes.byref(k_c), ctypes.byref(wseg_c), ctypes.byref(nseg_c),
+        w0.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        return None
+    k, wseg, nseg_x = int(k_c.value), int(wseg_c.value), int(nseg_c.value)
+    if k > max_k:
+        raise ValueError(
+            f"WELL packing needs K={k} slots > max_k={max_k}; reorder the "
+            "matrix (spmv_tpu.reorder.rcm_reorder) or raise max_k"
+        )
+    pos_dtype = (np.int16 if wseg * LANES <= np.iinfo(np.int16).max
+                 and tile_groups % 16 == 0 else np.int32)
+    vals_out = np.zeros((k, gpad, LANES), dtype=out_dtype)
+    pos_out = np.zeros((k, gpad, LANES), dtype=pos_dtype)
+    pack = getattr(
+        lib,
+        "spmv_well_pack_"
+        + ("f32" if out_dtype == np.float32 else "f64")
+        + ("_i16" if pos_dtype == np.int16 else "_i32"),
+    )
+    vp = ctypes.POINTER(
+        ctypes.c_float if out_dtype == np.float32 else ctypes.c_double)
+    pp = ctypes.POINTER(
+        ctypes.c_int16 if pos_dtype == np.int16 else ctypes.c_int32)
+    rc = pack(
+        rowptr.ctypes.data_as(i64p), colind.ctypes.data_as(i32p),
+        values.ctypes.data_as(vp), a.nrows, tile_groups, gpad, k, wseg,
+        w0.ctypes.data_as(i32p), vals_out.ctypes.data_as(vp),
+        pos_out.ctypes.data_as(pp),
+    )
+    if rc != 0:
+        return None
+    return vals_out, pos_out, w0, wseg, nseg_x, False
 
 
 def csr_to_well(

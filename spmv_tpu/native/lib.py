@@ -70,6 +70,24 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int32, i64p, ctypes.c_int64, f32p,
     ]
     lib.spmv_dia_pack_f32.restype = ctypes.c_int
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.spmv_well_scan.argtypes = [
+        i64p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i32p,
+    ]
+    lib.spmv_well_scan.restype = ctypes.c_int
+    for name, vp, pp in (
+        ("spmv_well_pack_f32_i16", f32p, i16p),
+        ("spmv_well_pack_f32_i32", f32p, i32p),
+        ("spmv_well_pack_f64_i16", f64p, i16p),
+        ("spmv_well_pack_f64_i32", f64p, i32p),
+    ):
+        fn = getattr(lib, name)
+        fn.argtypes = [
+            i64p, i32p, vp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, vp, pp,
+        ]
+        fn.restype = ctypes.c_int
     return lib
 
 

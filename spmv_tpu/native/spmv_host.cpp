@@ -14,6 +14,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
+#include <algorithm>
+#include <utility>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -318,6 +321,226 @@ int spmv_pack_ell(const int64_t* rowptr, const int32_t* colind,
     }
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CSR -> WELL assembly (formats/well.py _pack/_build_arrays hot path;
+// replaces the numpy lexsort over nnz-sized (g, seg, lane) keys). Unpaired
+// layout only (pair=True falls back to numpy). Per 128-row group, a small
+// sorted block table (seg -> width = max per-row multiplicity) is built in
+// one sweep and the arrays are written in a second sweep — no global sort.
+// Must be BITWISE-identical to the numpy path (regression-tested):
+//   slot = block_offset(g, seg) + rank, ranks in CSR element order;
+//   pos fill = slot_segment*128 everywhere, real entries overwrite.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WellBlock {
+  int64_t seg;
+  int64_t width;
+  int64_t off;
+};
+
+// sorted insert-or-widen; returns false when cap exceeded
+inline bool block_widen(std::vector<WellBlock>& blocks, int64_t seg,
+                        int64_t need_width) {
+  size_t a = 0, b = blocks.size();
+  while (a < b) {
+    const size_t mid = (a + b) / 2;
+    if (blocks[mid].seg < seg) a = mid + 1;
+    else b = mid;
+  }
+  if (a < blocks.size() && blocks[a].seg == seg) {
+    if (blocks[a].width < need_width) blocks[a].width = need_width;
+    return true;
+  }
+  blocks.insert(blocks.begin() + a, WellBlock{seg, need_width, 0});
+  return true;
+}
+
+inline int64_t block_find(const std::vector<WellBlock>& blocks, int64_t seg) {
+  size_t a = 0, b = blocks.size();
+  while (a < b) {
+    const size_t mid = (a + b) / 2;
+    if (blocks[mid].seg < seg) a = mid + 1;
+    else b = mid;
+  }
+  return static_cast<int64_t>(a);
+}
+
+// per-row rank bookkeeping: small vector of (seg, count)
+struct RowSegs {
+  std::vector<std::pair<int64_t, int64_t>> v;
+  void clear() { v.clear(); }
+  // returns rank (count before increment)
+  int64_t bump(int64_t seg) {
+    for (auto& p : v) {
+      if (p.first == seg) return p.second++;
+    }
+    v.emplace_back(seg, 1);
+    return 0;
+  }
+};
+
+template <typename T, typename P>
+int well_pack_impl(const int64_t* rowptr, const int32_t* colind,
+                   const T* values, int64_t nrows, int64_t tile_groups,
+                   int64_t gpad, int64_t k, int64_t /*wseg*/,
+                   const int32_t* w0, T* values_out, P* pos_out) {
+  const int64_t LANES = 128;
+  std::vector<WellBlock> blocks;
+  RowSegs rowsegs;
+  for (int64_t g = 0; g < gpad; ++g) {
+    const int64_t r0 = g * LANES;
+    const int64_t r1 = std::min(nrows, r0 + LANES);
+    if (r0 >= nrows) break;
+    blocks.clear();
+    // sweep 1: block widths
+    for (int64_t r = r0; r < r1; ++r) {
+      rowsegs.clear();
+      const int64_t lo = rowptr[r], hi = rowptr[r + 1];
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t seg = static_cast<int64_t>(colind[i]) >> 7;
+        const int64_t rank = rowsegs.bump(seg);
+        block_widen(blocks, seg, rank + 1);
+      }
+    }
+    // slot offsets: exclusive cumsum in seg-ascending order
+    int64_t acc = 0;
+    for (auto& blk : blocks) {
+      blk.off = acc;
+      acc += blk.width;
+    }
+    if (acc > k) return -4;  // scan/pack disagreement (caller bug)
+    const int64_t wbase = static_cast<int64_t>(w0[g / tile_groups]);
+    // fill: every lane of every used slot carries the slot segment * 128
+    for (const auto& blk : blocks) {
+      const P fill = static_cast<P>((blk.seg - wbase) * LANES);
+      for (int64_t s = blk.off; s < blk.off + blk.width; ++s) {
+        P* prow = pos_out + (s * gpad + g) * LANES;
+        for (int64_t j = 0; j < LANES; ++j) prow[j] = fill;
+      }
+    }
+    // sweep 2: write entries (ranks re-derived in identical CSR order)
+    for (int64_t r = r0; r < r1; ++r) {
+      rowsegs.clear();
+      const int64_t lane_out = r - r0;
+      const int64_t lo = rowptr[r], hi = rowptr[r + 1];
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t col = static_cast<int64_t>(colind[i]);
+        const int64_t seg = col >> 7;
+        const int64_t rank = rowsegs.bump(seg);
+        const int64_t b = block_find(blocks, seg);
+        const int64_t slot = blocks[b].off + rank;
+        const int64_t idx = (slot * gpad + g) * LANES + lane_out;
+        values_out[idx] = values[i];
+        pos_out[idx] =
+            static_cast<P>((seg - wbase) * LANES + (col & (LANES - 1)));
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan pass: K (max slots per group), per-tile window starts (w0, 8-aligned,
+// caller-allocated (gpad/tile_groups,)), wseg (8-rounded max window width)
+// and nseg_x (x segments incl. window overrun). Returns 0, or -6 when a
+// row exceeds row_cap distinct segments (caller falls back to numpy).
+int spmv_well_scan(const int64_t* rowptr, const int32_t* colind,
+                   int64_t nrows, int64_t ncols, int64_t tile_groups,
+                   int64_t gpad, int64_t row_cap, int64_t* k_out,
+                   int64_t* wseg_out, int64_t* nseg_out, int32_t* w0_out) {
+  const int64_t LANES = 128;
+  const int64_t n_tiles = gpad / tile_groups;
+  std::vector<WellBlock> blocks;
+  RowSegs rowsegs;
+  std::vector<int64_t> tmin(static_cast<size_t>(n_tiles), INT64_MAX);
+  std::vector<int64_t> tmax(static_cast<size_t>(n_tiles), INT64_MIN);
+  int64_t k = 1;
+  for (int64_t g = 0; g * LANES < nrows && g < gpad; ++g) {
+    const int64_t r0 = g * LANES;
+    const int64_t r1 = std::min(nrows, r0 + LANES);
+    blocks.clear();
+    const int64_t t = g / tile_groups;
+    for (int64_t r = r0; r < r1; ++r) {
+      rowsegs.clear();
+      const int64_t lo = rowptr[r], hi = rowptr[r + 1];
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t seg = static_cast<int64_t>(colind[i]) >> 7;
+        const int64_t rank = rowsegs.bump(seg);
+        if (static_cast<int64_t>(rowsegs.v.size()) > row_cap) return -6;
+        block_widen(blocks, seg, rank + 1);
+        if (seg < tmin[t]) tmin[t] = seg;
+        if (seg > tmax[t]) tmax[t] = seg;
+      }
+    }
+    int64_t kg = 0;
+    for (const auto& blk : blocks) kg += blk.width;
+    if (kg > k) k = kg;
+  }
+  // windows: 8-aligned starts, shared rounded width (numpy-path semantics)
+  int64_t wseg = 1;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    const int64_t w0t = tmin[t] == INT64_MAX ? 0 : (tmin[t] / 8) * 8;
+    w0_out[t] = static_cast<int32_t>(w0t);
+    if (tmax[t] != INT64_MIN && tmax[t] - w0t + 1 > wseg)
+      wseg = tmax[t] - w0t + 1;
+  }
+  wseg = ((wseg + 7) / 8) * 8;
+  int64_t nseg = (ncols + LANES - 1) / LANES;
+  if (nseg < 1) nseg = 1;
+  int64_t w0max = 0;
+  for (int64_t t = 0; t < n_tiles; ++t)
+    if (w0_out[t] > w0max) w0max = w0_out[t];
+  if (n_tiles > 0 && w0max + wseg > nseg) nseg = w0max + wseg;
+  if (n_tiles == 0 && wseg > nseg) nseg = wseg;
+  *k_out = k;
+  *wseg_out = wseg;
+  *nseg_out = nseg;
+  return 0;
+}
+
+int spmv_well_pack_f32_i16(const int64_t* rowptr, const int32_t* colind,
+                           const float* values, int64_t nrows,
+                           int64_t tile_groups, int64_t gpad, int64_t k,
+                           int64_t wseg, const int32_t* w0, float* values_out,
+                           int16_t* pos_out) {
+  return well_pack_impl(rowptr, colind, values, nrows, tile_groups, gpad, k,
+                        wseg, w0, values_out, pos_out);
+}
+
+int spmv_well_pack_f32_i32(const int64_t* rowptr, const int32_t* colind,
+                           const float* values, int64_t nrows,
+                           int64_t tile_groups, int64_t gpad, int64_t k,
+                           int64_t wseg, const int32_t* w0, float* values_out,
+                           int32_t* pos_out) {
+  return well_pack_impl(rowptr, colind, values, nrows, tile_groups, gpad, k,
+                        wseg, w0, values_out, pos_out);
+}
+
+int spmv_well_pack_f64_i16(const int64_t* rowptr, const int32_t* colind,
+                           const double* values, int64_t nrows,
+                           int64_t tile_groups, int64_t gpad, int64_t k,
+                           int64_t wseg, const int32_t* w0, double* values_out,
+                           int16_t* pos_out) {
+  return well_pack_impl(rowptr, colind, values, nrows, tile_groups, gpad, k,
+                        wseg, w0, values_out, pos_out);
+}
+
+int spmv_well_pack_f64_i32(const int64_t* rowptr, const int32_t* colind,
+                           const double* values, int64_t nrows,
+                           int64_t tile_groups, int64_t gpad, int64_t k,
+                           int64_t wseg, const int32_t* w0, double* values_out,
+                           int32_t* pos_out) {
+  return well_pack_impl(rowptr, colind, values, nrows, tile_groups, gpad, k,
+                        wseg, w0, values_out, pos_out);
 }
 
 }  // extern "C"

@@ -217,3 +217,67 @@ def test_native_dia_pack_matches_numpy():
             np.testing.assert_array_equal(
                 np.asarray(d.data), flat_to_interleaved(ref[0], ref[0].shape[0])
             )
+
+
+def test_native_well_pack_matches_numpy():
+    """The native CSR->WELL pack (spmv_well_scan/spmv_well_pack_*,
+    native/spmv_host.cpp) must be BITWISE-identical to the numpy path —
+    values, pos (incl. the endpoint-lane fill), w0, wseg, nseg. ~45x at
+    weak-scale sizes (BENCH_NOTES)."""
+    import pytest as _pytest
+
+    from spmv_tpu.formats import well as fw
+    from spmv_tpu.native.lib import native_available
+
+    if not native_available():
+        _pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(5)
+
+    def numpy_arrays(a, tg, dtype):
+        gpad, k, wseg, w0, nseg_x, scatter = fw._pack(a, tg, pair=False)
+        g_s, slot, lo_s, seg_rel, li_s, vals_s, sa, sb, _ = scatter
+        pos_dtype = (np.int16 if wseg * 128 <= 32767 and tg % 16 == 0
+                     else np.int32)
+        values = np.zeros((k, gpad, 128), dtype=dtype)
+        pos = np.zeros((k, gpad, 128), dtype=pos_dtype)
+        pos[...] = (sa.T[:, :, None] * 128).astype(pos_dtype)
+        pos[:, :, 127] = (sb.T * 128).astype(pos_dtype)
+        if len(g_s):
+            values[slot, g_s, lo_s] = vals_s
+            pos[slot, g_s, lo_s] = (seg_rel * 128 + li_s).astype(pos_dtype)
+        return values, pos, w0.astype(np.int32), wseg, nseg_x
+
+    cases = []
+    n, nnz = 2000, 14000
+    rows = rng.integers(0, n, nnz)
+    cols = np.clip(rows + rng.integers(-700, 700, nnz), 0, n - 1)
+    cases.append((CSRHost.from_coo(
+        rows, cols, rng.standard_normal(nnz).astype(np.float32), n, n), 16,
+        np.float32))
+    cases.append((create_laplace_2d(48, 48, dtype=np.float64), 16,
+                  np.float64))
+    # rectangular + duplicate-rank rows + empty
+    cases.append((CSRHost.from_coo(
+        rng.integers(0, 300, 1500), rng.integers(0, 3000, 1500),
+        rng.standard_normal(1500).astype(np.float32), 300, 3000), 2,
+        np.float32))
+    cases.append((CSRHost.from_coo(
+        np.array([], np.int64), np.array([], np.int64),
+        np.array([], np.float32), 400, 400), 16, np.float32))
+
+    for a, tg, dtype in cases:
+        nat = fw._build_arrays_native(a, tg, 512, dtype)
+        assert nat is not None
+        nv, npp, nw0, nwseg, nnseg, npaired = nat
+        values, pos, w0, wseg, nseg_x = numpy_arrays(a, tg, dtype)
+        assert (nwseg, nnseg) == (wseg, nseg_x)
+        assert np.array_equal(nw0, w0)
+        assert nv.shape == values.shape and np.array_equal(nv, values)
+        assert npp.dtype == pos.dtype and np.array_equal(npp, pos)
+        assert npaired is False
+
+    # complex dtype falls back (returns None), numpy path still works
+    ac = CSRHost.from_coo(np.array([0, 1]), np.array([1, 0]),
+                          np.array([1 + 1j, 2 - 1j], np.complex64), 2, 2)
+    assert fw._build_arrays_native(ac, 16, 64, np.complex64) is None
