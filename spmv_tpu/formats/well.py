@@ -147,9 +147,42 @@ jax.tree_util.register_dataclass(
 
 def well_occupancy(a: CSRHost, tile_groups: int = 16) -> float:
     """Predicted storage occupancy of csr_to_well(a) without building the
-    arrays — the conversion gate (cheap: one pass over indices)."""
+    arrays — the conversion gate. Uses the native scan when available
+    (the numpy dry-run lexsorts nnz-sized keys: ~37 s at 4M rows, vs
+    ~0.6 s native — this gate runs inside auto format selection)."""
+    k_ = _well_scan_k_native(a, tile_groups)
+    if k_ is not None:
+        gpad = _round_up(max(-(-a.nrows // LANES), 1), tile_groups)
+        return a.nnz / max(gpad * k_ * LANES, 1)
     g_, k_, _, _, _, _ = _pack(a, tile_groups, dry_run=True)
     return a.nnz / max(g_ * k_ * LANES, 1)
+
+
+def _well_scan_k_native(a: CSRHost, tile_groups: int) -> int | None:
+    """K (max slots per group) via the native scan; None -> numpy path."""
+    import ctypes
+
+    from spmv_tpu.native.lib import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    gpad = _round_up(max(-(-a.nrows // LANES), 1), tile_groups)
+    rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+    colind = np.ascontiguousarray(a.colind, dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    w0 = np.zeros(gpad // tile_groups, dtype=np.int32)
+    k_c = ctypes.c_int64(0)
+    wseg_c = ctypes.c_int64(0)
+    nseg_c = ctypes.c_int64(0)
+    rc = lib.spmv_well_scan(
+        rowptr.ctypes.data_as(i64p), colind.ctypes.data_as(i32p),
+        a.nrows, a.ncols, tile_groups, gpad, 4096,
+        ctypes.byref(k_c), ctypes.byref(wseg_c), ctypes.byref(nseg_c),
+        w0.ctypes.data_as(i32p),
+    )
+    return int(k_c.value) if rc == 0 else None
 
 
 def split_window(

@@ -1653,8 +1653,11 @@ def select_local_format(
         return "dia"
     from spmv_tpu.formats.well import (
         _pack,
+        _round_up,
+        _well_scan_k_native,
         split_window,
         well_occupancy,
+        LANES as _WL,
     )
 
     try:
@@ -1662,7 +1665,13 @@ def select_local_format(
         if (far.nnz <= 0.25 * a.nnz
                 and well_occupancy(near, tile_groups=8) >= 0.02):
             # size gate: predicted WELL bytes vs the ELL fallback's bytes
-            g_, k_, _, _, _, _ = _pack(near, 8, dry_run=True)
+            # (native scan when available — the numpy dry-run lexsorts
+            # nnz-sized keys, ~37 s at 4M rows)
+            k_ = _well_scan_k_native(near, 8)
+            if k_ is not None:
+                g_ = _round_up(max(-(-near.nrows // _WL), 1), 8)
+            else:
+                g_, k_, _, _, _, _ = _pack(near, 8, dry_run=True)
             itemsize = 8 if want_ds else np.dtype(dtype or np.float32).itemsize
             well_bytes = g_ * k_ * 128 * (itemsize + 2)  # values + int16 pos
             kmax = int(a.row_nnz().max())
