@@ -459,6 +459,19 @@ class DistMatrix:
                     self.plan.nlocal_pad // 128, len(self.dia_offsets), hr_d,
                     self.local_values.dtype.itemsize, nrhs=nrhs,
                 )
+        # WELL block fast path: matrix streamed once, gather metadata
+        # decoded once for the whole block (ops/spmm_well_pallas); VMEM
+        # gate on the (2, wseg, nrhs*128) window scratch + pipelined tiles
+        mrhs_well = False
+        if (self.local_format == "well" and not self.symmetric
+                and self.local_well_values.dtype in (jnp.float32,
+                                                     jnp.bfloat16)):
+            k_w0, wseg_w0, tg_w0, _ = _well_meta4(self.well_meta)
+            itemsize = self.local_well_values.dtype.itemsize
+            need = (2 * wseg_w0 * nrhs * 128 * 4
+                    + 4 * k_w0 * tg_w0 * 128 * itemsize
+                    + 2 * tg_w0 * nrhs * 128 * itemsize)
+            mrhs_well = need <= 16 * 1024 * 1024
 
         (args, op_specs, nt, has_diag, has_dia, has_well,
          n_well, n_wellT) = self._mult_operands()
@@ -491,6 +504,49 @@ class DistMatrix:
                         "rk,rkn->rn", rv[0],
                         jnp.take(ghosts, rci[0], axis=0)
                     )  # (R, nrhs)
+                    outs = [
+                        y2[:, r * 128:(r + 1) * 128]
+                        + gy[:, r].reshape(-1, 128)
+                        for r in range(nrhs)
+                    ]
+                    y2 = jnp.concatenate(outs, axis=1)
+                return y2
+            if mrhs_well:
+                from spmv_tpu.formats.well import WellMatrix
+                from spmv_tpu.ops.spmm_well_pallas import spmm_well_pallas_2d
+
+                k_w, wseg_w, tg_w, paired_w = _well_meta4(self.well_meta)
+                wm = WellMatrix(
+                    values=well[0], pos=well[1], w0=well[2],
+                    paired=paired_w,
+                    nrows=rp, ncols=self.plan.nlocal_pad,
+                    wseg=wseg_w, tile_groups=tg_w,
+                    nseg=self.plan.nlocal_pad // 128,
+                )
+                y2 = spmm_well_pallas_2d(wm, x_s2, nrhs,
+                                         interpret=not on_tpu)
+                if len(well) > 3:
+                    # compact-COO far remainder per column (tiny post-RCM)
+                    fr_, fc_, fv_ = well[3:6]
+                    outs = []
+                    for r in range(nrhs):
+                        far = jnp.zeros((rp,), x_s2.dtype).at[fr_].add(
+                            fv_ * jnp.take(cols[r].reshape(-1), fc_,
+                                           axis=0),
+                            mode="promise_in_bounds",
+                        )
+                        outs.append(y2[:, r * 128:(r + 1) * 128]
+                                    + far.reshape(-1, 128))
+                    y2 = jnp.concatenate(outs, axis=1)
+                if self.plan.nghost_pad > 0 and len(self.plan.rounds) > 0:
+                    # block halo + remote-ELL product, as the DIA path
+                    xblk = jnp.stack(
+                        [c.reshape(-1) for c in cols], axis=1)
+                    ghosts = _plan_gather(self.plan, xblk, tabs,
+                                          self.comm_axes)
+                    gy = jnp.einsum(
+                        "rk,rkn->rn", rv[0],
+                        jnp.take(ghosts, rci[0], axis=0))
                     outs = [
                         y2[:, r * 128:(r + 1) * 128]
                         + gy[:, r].reshape(-1, 128)
