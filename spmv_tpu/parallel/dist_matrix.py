@@ -812,9 +812,18 @@ class DistMatrix:
         (ops/spmv_dia_ds_pallas._dia_ds_mrhs_kernel); the halo moves hi and
         lo as two block gathers (one ppermute set per round per plane,
         independent of nrhs); remote terms run error-free f32 arithmetic
-        per column. ``local_format='dia_ds'`` only."""
-        if self.local_format != "dia_ds":
-            raise ValueError("matmat_ds requires local_format 'dia_ds'")
+        per column. ``local_format='well_ds'`` routes the block through
+        the DS WELL SpMM (ops/spmm_well_pallas) — the f64-class block
+        apply for GENERAL sparsity — with the far window-split remainder
+        as per-column DS ELL chains."""
+        if self.local_format not in ("dia_ds", "well_ds"):
+            raise ValueError(
+                "matmat_ds requires local_format 'dia_ds' or 'well_ds'")
+        if self.local_format == "well_ds" and self.symmetric:
+            raise ValueError(
+                "matmat_ds: symmetric well_ds blocks apply per column via "
+                "matvec_ds; build the operator non-symmetric for block "
+                "refinement")
         from spmv_tpu.ds import ds_add, ds_mul_f32
 
         nrhs = xh.shape[1] // 128
@@ -825,6 +834,92 @@ class DistMatrix:
         plan = self.plan
         rp = self.row_pad
         on_tpu = self.on_tpu
+
+        def ell_ds_term(ci, vh_, vl_, gh_src, gl_src, acc_h, acc_l):
+            """Accumulate an ELL block (remote or far) in ds arithmetic."""
+            ghg = jnp.take(gh_src, ci, axis=0)
+            glg = jnp.take(gl_src, ci, axis=0)
+            for kk in range(ci.shape[1]):
+                ph, plo = ds_mul_f32(vh_[:, kk], vl_[:, kk],
+                                     ghg[:, kk], glg[:, kk])
+                acc_h, acc_l = ds_add(acc_h, acc_l, ph, plo)
+            return acc_h, acc_l
+
+        if self.local_format == "well_ds":
+            from spmv_tpu.ops.spmm_well_pallas import spmm_well_ds_pallas_2d
+            from spmv_tpu.ops.spmv_well_pallas import WellDsMatrix
+
+            k_w, wseg_w, tg_w, paired_w = _well_meta4(self.well_meta)
+            m4spec = P(self.axis_name, None, None, None)
+            has_far = self.well_far_nnz > 0
+
+            def per_shard_w(xh2, xl2, rci, rvh, rvl, wvh, wvl, wp, ww0,
+                            lci, lvh, lvl, *tabs_in):
+                tabs = tuple(t[0] for t in tabs_in)
+                rci_, rvh_, rvl_ = rci[0], rvh[0], rvl[0]
+                wm = WellDsMatrix(
+                    values_hi=wvh[0], values_lo=wvl[0], pos=wp[0],
+                    w0=ww0[0], paired=paired_w,
+                    nrows=rp, ncols=plan.nlocal_pad, wseg=wseg_w,
+                    tile_groups=tg_w, nseg=plan.nlocal_pad // 128,
+                )
+                yh, yl = spmm_well_ds_pallas_2d(wm, xh2, xl2, nrhs,
+                                                interpret=not on_tpu)
+
+                def col(v2, r):
+                    return v2[:, r * 128:(r + 1) * 128].reshape(-1)
+
+                if has_far:
+                    # window-split far remainder: per-column DS ELL chain
+                    # (error-free per output row; tiny after RCM)
+                    for r in range(nrhs):
+                        fh = jnp.zeros((rp,), jnp.float32)
+                        fl = jnp.zeros((rp,), jnp.float32)
+                        fh, fl = ell_ds_term(lci[0], lvh[0], lvl[0],
+                                             col(xh2, r), col(xl2, r),
+                                             fh, fl)
+                        sl = slice(r * 128, (r + 1) * 128)
+                        nh, nl = ds_add(yh[:, sl], yl[:, sl],
+                                        fh.reshape(-1, 128),
+                                        fl.reshape(-1, 128))
+                        yh = yh.at[:, sl].set(nh)
+                        yl = yl.at[:, sl].set(nl)
+                if plan.nghost_pad > 0 and len(plan.rounds) > 0:
+                    # block halo per plane (one ppermute set per round)
+                    def as_cols(v2):
+                        return jnp.stack(
+                            [col(v2, r) for r in range(nrhs)], axis=1)
+
+                    gh = _plan_gather(plan, as_cols(xh2), tabs,
+                                      self.comm_axes)
+                    gl = _plan_gather(plan, as_cols(xl2), tabs,
+                                      self.comm_axes)
+                    for r in range(nrhs):
+                        acc_h = jnp.zeros((rp,), jnp.float32)
+                        acc_l = jnp.zeros((rp,), jnp.float32)
+                        acc_h, acc_l = ell_ds_term(rci_, rvh_, rvl_,
+                                                   gh[:, r], gl[:, r],
+                                                   acc_h, acc_l)
+                        sl = slice(r * 128, (r + 1) * 128)
+                        nh, nl = ds_add(yh[:, sl], yl[:, sl],
+                                        acc_h.reshape(-1, 128),
+                                        acc_l.reshape(-1, 128))
+                        yh = yh.at[:, sl].set(nh)
+                        yl = yl.at[:, sl].set(nl)
+                return yh, yl
+
+            return jax.shard_map(
+                per_shard_w, mesh=self.mesh,
+                in_specs=(spec, spec, mspec, mspec, mspec,
+                          m4spec, m4spec, m4spec, P(self.axis_name, None),
+                          mspec, mspec, mspec)
+                + (mspec,) * nt,
+                out_specs=(spec, spec), check_vma=False,
+            )(xh, xl, self.remote_colind, self.remote_values,
+              self.remote_values_lo, self.local_well_values,
+              self.local_well_values_lo, self.local_well_pos,
+              self.local_well_w0, self.local_colind, self.local_values,
+              self.local_values_lo, *tables)
 
         def per_shard(xh2, xl2, rci, rvh, rvl, dh, dl, *tabs_in):
             tabs = tuple(t[0] for t in tabs_in)

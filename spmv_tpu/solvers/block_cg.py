@@ -405,30 +405,38 @@ def block_cg_refined_dist(
     inner_kmax: int = 400,
     inner_rtol: float = 1e-4,
     inner_solver: str = "cg",
+    local_format: str = "dia",
 ):
     """Distributed f64-class multi-RHS solves at fp32 block speed.
 
     The distributed completion of ``block_cg_refined`` (VERDICT r2 item 6):
-    inner iterations run the fp32 DIA SpMM over the mesh
+    inner iterations run the fp32 block SpMM over the mesh
     (``DistMatrix.matmat`` — matrix streamed once per block iteration, halo
     one ppermute set per round), and TRUE residuals run the double-single
     block apply (``DistMatrix.matmat_ds`` — both planes streamed once for
     ALL columns, DS halo in two block gathers). Every column converges to
     the kappa * 2^-48 envelope.
 
-    ``a``: global host CSRHost (banded/DIA-convertible, SPD); ``B``:
-    (n, nrhs) float64. Returns (X (n, nrhs) float64, outer_passes,
-    inner_iterations, final per-column TRUE residual norms).
+    ``local_format``: "dia" (banded operators; the DS DIA SpMM) or "well"
+    (GENERAL sparsity; the DS WELL SpMM, ops/spmm_well_pallas — RCM
+    reordering first keeps the window split tight).
+
+    ``a``: global host CSRHost (SPD); ``B``: (n, nrhs) float64. Returns
+    (X (n, nrhs) float64, outer_passes, inner_iterations, final
+    per-column TRUE residual norms).
     """
     import numpy as np
 
     from spmv_tpu.ds import ds_add, ds_from_f64, ds_to_f64
     from spmv_tpu.parallel.dist_matrix import build_dist_matrix
 
+    if local_format not in ("dia", "well"):
+        raise ValueError("local_format must be 'dia' or 'well'")
     n, nrhs = B.shape
     A32 = build_dist_matrix(a, n_devices=n_devices, mesh=mesh,
-                            local_format="dia", dtype=np.float32)
-    Ads = build_dist_matrix(a, mesh=A32.mesh, local_format="dia_ds")
+                            local_format=local_format, dtype=np.float32)
+    Ads = build_dist_matrix(a, mesh=A32.mesh,
+                            local_format=local_format + "_ds")
     assert A32.col_pad == Ads.col_pad, "fp32/DS layouts must coincide"
 
     bh, bl = ds_from_f64(np.asarray(B, np.float64))

@@ -246,3 +246,71 @@ def test_dist_matmat_well_block_fast_path():
             err = (np.linalg.norm(Yw[:, r] - want)
                    / max(np.linalg.norm(want), 1e-30))
             assert err < 1e-6, (n_dev, r, err)
+
+
+def _banded_random_spd(n=2000, seed=0, diag=3.0):
+    """Unique-columns banded-random symmetric SPD host matrix (the WELL
+    window split keeps everything near; multiplicity 1 keeps K small)."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for off in (-170, -1, 1, 130):
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(len(i)) < 0.8
+        i = i[keep]
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(rng.standard_normal(len(i)) * 0.1)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    i = np.concatenate([rows, cols, np.arange(n)])
+    j = np.concatenate([cols, rows, np.arange(n)])
+    v = np.concatenate([vals, vals, np.full(n, diag)])
+    from spmv_tpu.formats.csr import CSRHost
+
+    return CSRHost.from_coo(i, j, v, n, n)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_well_ds_matmat_ds_f64_class(n_dev):
+    """DS WELL block SpMM through the distributed path: every column at
+    the double-single floor (ops/spmm_well_pallas DS kernel + per-column
+    DS far chains + DS block halos)."""
+    from spmv_tpu.ds import ds_from_f64
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    rng = np.random.default_rng(1)
+    n, nrhs = 1700, 3
+    rows = rng.integers(0, n, 9000)
+    cols = np.clip(rows + rng.integers(-500, 500, 9000), 0, n - 1)
+    from spmv_tpu.formats.csr import CSRHost
+
+    a = CSRHost.from_coo(rows, cols, rng.standard_normal(9000), n, n)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="well_ds")
+    X = rng.standard_normal((n, nrhs))
+    Xh, Xl = ds_from_f64(X)
+    yh, yl = jax.jit(lambda M, h, l: M.matmat_ds(h, l))(
+        A, A.to_dist_block(Xh), A.to_dist_block(Xl))
+    Yh = A.from_dist_block(yh)
+    Yl = A.from_dist_block(yl)
+    for r in range(nrhs):
+        got = Yh[:, r].astype(np.float64) + Yl[:, r].astype(np.float64)
+        want = a.matvec(X[:, r])
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1)
+        assert err < 1e-13, (n_dev, r, err)
+
+
+def test_block_cg_refined_dist_well():
+    """f64-class distributed multi-RHS refinement on GENERAL sparsity:
+    fp32 WELL block SpMM inner + DS WELL block-SpMM true residuals."""
+    from spmv_tpu.solvers.block_cg import block_cg_refined_dist
+
+    a = _banded_random_spd()
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((a.nrows, 3))
+    X, outers, inners, rnorms = block_cg_refined_dist(
+        a, B, n_devices=4, local_format="well", rtol=1e-12, max_outer=8)
+    for r in range(3):
+        rel = (np.linalg.norm(a.matvec(X[:, r]) - B[:, r])
+               / np.linalg.norm(B[:, r]))
+        assert rel < 1e-12, (r, rel)
