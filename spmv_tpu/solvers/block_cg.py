@@ -257,6 +257,9 @@ def block_cg_refined(
     the DS residual SpMVs (nrhs per outer pass).
 
     ``a``: host CSRHost (banded/DIA-convertible, SPD); ``B``: (n, nrhs).
+    For GENERAL sparsity use ``block_cg_refined_dist(...,
+    local_format="well")`` (works at n_devices=1 too) — it routes
+    the block applies through the WELL SpMM kernels.
     Returns (X (n, nrhs) float64, outer_iterations, inner_iterations,
     final per-column TRUE residual norms).
     """
