@@ -228,6 +228,34 @@ def main(argv=None) -> int:
     gflops = 2.0 * a.nnz / sec_sym / 1e9
     gflops_well = 2.0 * aw.nnz / statistics.median(t_well) / 1e9
 
+    # WELL block SpMM (ops/spmm_well_pallas): ms/column vs the per-column
+    # kernel — guarded so a regression here cannot take down the headline
+    spmm_speedup = None
+    spmm_ms_col = None
+    try:
+        from spmv_tpu.ops.spmm_well_pallas import spmm_well_pallas_2d
+
+        nrhs = 4 if args.smoke else 8
+        xblk = jnp.tile(xw, (1, nrhs))
+
+        @jax.jit
+        def spmm_loop(ww, v):
+            def body(i, u):
+                y = spmm_well_pallas_2d(ww, u, nrhs, interpret=interpret)
+                if y.shape[0] >= u.shape[0]:
+                    return y[: u.shape[0]]
+                return jnp.pad(y, ((0, u.shape[0] - y.shape[0]), (0, 0)))
+
+            return jax.lax.fori_loop(0, k, body, v)
+
+        (t_spmm,) = interleaved_trial_seconds(
+            [(spmm_loop, (w, xblk))], max(trials - 1, 1), k)
+        sec_blk = statistics.median(t_spmm)
+        spmm_ms_col = sec_blk / nrhs * 1e3
+        spmm_speedup = statistics.median(t_well) * nrhs / sec_blk
+    except Exception as e:  # noqa: BLE001 — auxiliary metric only
+        print(f"# WELL SpMM metric skipped: {e!r}", file=sys.stderr)
+
     print(
         f"# {kind}: spec roofline {spec_gbs:.0f} GB/s, measured copy "
         f"{statistics.median(copy_gbs):.0f} GB/s | n={a.nrows} nnz={a.nnz} | "
@@ -261,6 +289,10 @@ def main(argv=None) -> int:
                 "well_gflops": round(gflops_well, 2),
                 "well_stored_roofline_frac": f_well[0],
                 "well_stored_roofline_spread": [f_well[1], f_well[2]],
+                **({} if spmm_speedup is None else {
+                    "well_spmm_ms_per_col": round(spmm_ms_col, 4),
+                    "well_spmm_speedup_vs_percol": round(spmm_speedup, 3),
+                }),
             }
         )
     )
