@@ -461,9 +461,12 @@ class DistMatrix:
                 )
         # WELL block fast path: matrix streamed once, gather metadata
         # decoded once for the whole block (ops/spmm_well_pallas); VMEM
-        # gate on the (2, wseg, nrhs*128) window scratch + pipelined tiles
+        # gate on the (2, wseg, nrhs*128) window scratch + pipelined
+        # tiles. Symmetric dual-WELL blocks run TWO SpMM passes (L and the
+        # pre-built L^T) plus per-column diag/far terms and the batched
+        # reverse exchange.
         mrhs_well = False
-        if (self.local_format == "well" and not self.symmetric
+        if (self.local_format == "well"
                 and self.local_well_values.dtype in (jnp.float32,
                                                      jnp.bfloat16)):
             k_w0, wseg_w0, tg_w0, _ = _well_meta4(self.well_meta)
@@ -471,6 +474,11 @@ class DistMatrix:
             need = (2 * wseg_w0 * nrhs * 128 * 4
                     + 4 * k_w0 * tg_w0 * 128 * itemsize
                     + 2 * tg_w0 * nrhs * 128 * itemsize)
+            if self.symmetric:
+                k_t0, wseg_t0, tg_t0, _ = _well_meta4(self.wellT_meta)
+                need += (2 * wseg_t0 * nrhs * 128 * 4
+                         + 4 * k_t0 * tg_t0 * 128 * itemsize
+                         + 2 * tg_t0 * nrhs * 128 * itemsize)
             mrhs_well = need <= 16 * 1024 * 1024
 
         (args, op_specs, nt, has_diag, has_dia, has_well,
@@ -525,19 +533,43 @@ class DistMatrix:
                 )
                 y2 = spmm_well_pallas_2d(wm, x_s2, nrhs,
                                          interpret=not on_tpu)
-                if len(well) > 3:
-                    # compact-COO far remainder per column (tiny post-RCM)
-                    fr_, fc_, fv_ = well[3:6]
+
+                def coo_cols(idx_r, idx_c, vals_f):
+                    # per-column COO scatter-add (tiny post-RCM)
                     outs = []
                     for r in range(nrhs):
-                        far = jnp.zeros((rp,), x_s2.dtype).at[fr_].add(
-                            fv_ * jnp.take(cols[r].reshape(-1), fc_,
-                                           axis=0),
+                        t = jnp.zeros((rp,), x_s2.dtype).at[idx_r].add(
+                            vals_f * jnp.take(cols[r].reshape(-1), idx_c,
+                                              axis=0),
                             mode="promise_in_bounds",
                         )
                         outs.append(y2[:, r * 128:(r + 1) * 128]
-                                    + far.reshape(-1, 128))
-                    y2 = jnp.concatenate(outs, axis=1)
+                                    + t.reshape(-1, 128))
+                    return jnp.concatenate(outs, axis=1)
+
+                if len(well) > 3:
+                    fr_, fc_, fv_ = well[3:6]
+                    y2 = coo_cols(fr_, fc_, fv_)
+                if self.symmetric:
+                    # dual-WELL block: SECOND SpMM over the pre-built L^T
+                    # stack + per-column diagonal axpy (+ farT COO)
+                    k_t, wseg_t, tg_t, paired_t = _well_meta4(
+                        self.wellT_meta)
+                    wmT = WellMatrix(
+                        values=wellT[0], pos=wellT[1], w0=wellT[2],
+                        paired=paired_t,
+                        nrows=rp, ncols=self.plan.nlocal_pad,
+                        wseg=wseg_t, tile_groups=tg_t,
+                        nseg=self.plan.nlocal_pad // 128,
+                    )
+                    y2 = y2 + spmm_well_pallas_2d(wmT, x_s2, nrhs,
+                                                  interpret=not on_tpu)
+                    d2 = diag.reshape(-1, 128)
+                    y2 = y2 + jnp.concatenate(
+                        [d2 * cols[r] for r in range(nrhs)], axis=1)
+                    if len(wellT) > 3:
+                        frT, fcT, fvT = wellT[3:6]
+                        y2 = coo_cols(frT, fcT, fvT)
                 if self.plan.nghost_pad > 0 and len(self.plan.rounds) > 0:
                     # block halo + remote-ELL product, as the DIA path
                     xblk = jnp.stack(
@@ -553,6 +585,25 @@ class DistMatrix:
                         for r in range(nrhs)
                     ]
                     y2 = jnp.concatenate(outs, axis=1)
+                    if self.symmetric:
+                        # batched reverse: ghost-column contributions for
+                        # the whole block in ONE reverse set per round
+                        gzblk = jnp.stack([
+                            jnp.zeros((self.plan.nghost_pad,),
+                                      x_s2.dtype).at[rci[0].reshape(-1)].add(
+                                (rv[0] * cols[r].reshape(-1)[:, None]
+                                 ).reshape(-1),
+                                mode="promise_in_bounds")
+                            for r in range(nrhs)
+                        ], axis=1)
+                        yblk = jnp.stack(
+                            [y2[:, r * 128:(r + 1) * 128].reshape(-1)
+                             for r in range(nrhs)], axis=1)
+                        yblk = _plan_scatter_add(self.plan, gzblk, yblk,
+                                                 tabs, self.comm_axes)
+                        y2 = jnp.concatenate(
+                            [yblk[:, r].reshape(-1, 128)
+                             for r in range(nrhs)], axis=1)
                 return y2
             # generic: per-column local math, but the halo moves as ONE
             # block — a single ppermute set forward (and, symmetric, one

@@ -314,3 +314,29 @@ def test_block_cg_refined_dist_well():
         rel = (np.linalg.norm(a.matvec(X[:, r]) - B[:, r])
                / np.linalg.norm(B[:, r]))
         assert rel < 1e-12, (r, rel)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_dist_matmat_well_symmetric_block(n_dev):
+    """Symmetric dual-WELL block matmat: two SpMM passes (L, pre-built
+    L^T) + per-column diag/far terms + batched reverse exchange — must
+    match the host oracle per column."""
+    from spmv_tpu.gen import random_csr
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    rng = np.random.default_rng(64)
+    a0 = random_csr(700, 700, 5, seed=65, symmetric=True, spd_shift=2.0)
+    from spmv_tpu.formats.csr import CSRHost
+
+    a = CSRHost(a0.rowptr, a0.colind, a0.values.astype(np.float32),
+                a0.ncols)
+    A = build_dist_matrix(a, n_devices=n_dev, symmetric=True,
+                          local_format="well", dtype=np.float32)
+    X = rng.standard_normal((700, 3)).astype(np.float32)
+    Y = A.from_dist_block(
+        jax.jit(lambda M, v: M.matmat(v))(A, A.to_dist_block(X)))
+    for r in range(3):
+        want = a.matvec(X[:, r])
+        err = (np.linalg.norm(Y[:, r] - want)
+               / max(np.linalg.norm(want), 1e-30))
+        assert err < 1e-5, (n_dev, r, err)
