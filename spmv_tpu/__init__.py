@@ -76,6 +76,8 @@ from spmv_tpu.ops.spmv_dia_pallas import (
 )
 from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.gmres import GMRESResult, gmres
+from spmv_tpu.solvers.minres import MINRESResult, minres
+from spmv_tpu.solvers.lobpcg import LOBPCGResult, lane_block_ops, lobpcg
 from spmv_tpu.ops.spmm_dia_pallas import spmm_dia, spmm_dia_supported
 from spmv_tpu.solvers.block_cg import (
     BlockCGResult,
@@ -150,6 +152,11 @@ __all__ = [
     "bicgstab",
     "BiCGStabResult",
     "gmres",
+    "minres",
+    "MINRESResult",
+    "lobpcg",
+    "lane_block_ops",
+    "LOBPCGResult",
     "GMRESResult",
     "block_jacobi_preconditioner",
     "lanczos_extreme",

@@ -33,6 +33,44 @@ def create_laplace_1d(n: int, gamma: float = 0.1, dtype=np.float64) -> CSRHost:
     return CSRHost.from_coo(rows, cols, vals, n, n)
 
 
+def _native_laplace(fill_name, dims, nnz, dtype) -> CSRHost | None:
+    """Single-pass C++ stencil fill (native/spmv_host.cpp): no candidate/
+    mask temporaries (the numpy builders allocate ~8 GB of them at 100M
+    rows) — output arrays are written exactly once each. Returns None when
+    the toolchain/dtype is unavailable (caller falls back to numpy);
+    bitwise-identical to the numpy path (regression-tested)."""
+    import ctypes
+
+    from spmv_tpu.native.lib import get_lib
+
+    np_dtype = np.dtype(dtype)
+    if np_dtype == np.float64:
+        suffix, cptr = "f64", ctypes.POINTER(ctypes.c_double)
+    elif np_dtype == np.float32:
+        suffix, cptr = "f32", ctypes.POINTER(ctypes.c_float)
+    else:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = 1
+    for d in dims:
+        n *= d
+    rowptr = np.empty(n + 1, dtype=np.int64)
+    colind = np.empty(nnz, dtype=np.int32)
+    values = np.empty(nnz, dtype=np_dtype)
+    fn = getattr(lib, f"{fill_name}_{suffix}")
+    rc = fn(*[ctypes.c_int64(d) for d in dims],
+            rowptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            colind.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            values.ctypes.data_as(cptr))
+    if rc != 0:
+        return None
+    out = CSRHost(rowptr=rowptr, colind=colind, values=values, ncols=n)
+    out._sorted_unique = True
+    return out
+
+
 def create_laplace_2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSRHost:
     """2-D 5-point Laplacian on an nx x ny grid (Dirichlet): diag 4, neighbors -1.
 
@@ -41,10 +79,16 @@ def create_laplace_2d(nx: int, ny: int | None = None, dtype=np.float64) -> CSRHo
     {-nx, -1, 0, +1, +nx} — ideal for the DIA fast path.
 
     Builds CSR directly in row order (no triplet sort) so 100M-row assembly
-    stays linear-time and memory-lean (SURVEY.md section 7 risk 5).
+    stays linear-time and memory-lean (SURVEY.md section 7 risk 5); the
+    native single-pass fill serves f32/f64 when the toolchain is present.
     """
     ny = ny if ny is not None else nx
     n = nx * ny
+    if n > 4096:  # below this the numpy path is faster than the ctypes trip
+        nat = _native_laplace("spmv_laplace2d", (nx, ny),
+                              5 * n - 2 * (nx + ny), dtype)
+        if nat is not None:
+            return nat
     # int32 index math: n < 2^31 always holds, and the (n, 5) candidate
     # table is the dominant allocation at 100M rows (2 GB vs 4 GB)
     idx = np.arange(n, dtype=np.int32)
@@ -73,10 +117,17 @@ def create_laplace_3d(nx: int, ny: int | None = None, nz: int | None = None,
                       dtype=np.float64) -> CSRHost:
     """3-D 7-point Laplacian on an nx x ny x nz grid (Dirichlet): diag 6,
     neighbors -1. Offsets {-nx*ny, -nx, -1, 0, +1, +nx, +nx*ny} — banded,
-    DIA-friendly. Built directly in CSR row order (no sort)."""
+    DIA-friendly. Built directly in CSR row order (no sort); native
+    single-pass fill for f32/f64 when the toolchain is present."""
     ny = ny if ny is not None else nx
     nz = nz if nz is not None else nx
     n = nx * ny * nz
+    if n > 4096:
+        nat = _native_laplace("spmv_laplace3d", (nx, ny, nz),
+                              7 * n - 2 * (nx * ny + nx * nz + ny * nz),
+                              dtype)
+        if nat is not None:
+            return nat
     idx = np.arange(n, dtype=np.int32)
     ix = idx % np.int32(nx)
     iy = (idx // np.int32(nx)) % np.int32(ny)

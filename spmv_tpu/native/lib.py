@@ -88,6 +88,18 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, i32p, vp, pp,
         ]
         fn.restype = ctypes.c_int
+    lib.spmv_laplace2d_f64.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p]
+    lib.spmv_laplace2d_f64.restype = ctypes.c_int
+    lib.spmv_laplace2d_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p]
+    lib.spmv_laplace2d_f32.restype = ctypes.c_int
+    lib.spmv_laplace3d_f64.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p]
+    lib.spmv_laplace3d_f64.restype = ctypes.c_int
+    lib.spmv_laplace3d_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p]
+    lib.spmv_laplace3d_f32.restype = ctypes.c_int
     return lib
 
 

@@ -544,3 +544,89 @@ int spmv_well_pack_f64_i32(const int64_t* rowptr, const int32_t* colind,
 }
 
 }  // extern "C"
+
+// ---- stencil generators (gen.py hot path) -----------------------------
+//
+// The numpy builders in gen.py are vectorized but materialize ~(5..7)n
+// candidate/mask temporaries (8+ GB at 100M rows) and pay boolean-
+// compression passes; these single-pass fills write rowptr/colind/values
+// exactly once each (output-bandwidth-bound) with no temporaries.
+// Semantics identical to gen.create_laplace_{2d,3d}: Dirichlet, diag 4/6,
+// neighbors -1, ascending-offset column order (bitwise-regression-tested
+// against the numpy path). Caller allocates rowptr (n+1), colind/values
+// (nnz) with nnz = 5n - 2(nx+ny) resp. 7n - 2(nx*ny + nx*nz + ny*nz).
+
+namespace {
+
+template <typename T>
+int laplace2d_impl(int64_t nx, int64_t ny, int64_t* rowptr, int32_t* colind,
+                   T* values) {
+  if (nx < 1 || ny < 1 || nx * ny > INT32_MAX) return -1;
+  const T kOff = static_cast<T>(-1.0), kDiag = static_cast<T>(4.0);
+  int64_t p = 0;
+  rowptr[0] = 0;
+  for (int64_t iy = 0; iy < ny; ++iy) {
+    const bool up = iy > 0, dn = iy < ny - 1;
+    for (int64_t ix = 0; ix < nx; ++ix) {
+      const int64_t r = iy * nx + ix;
+      if (up) { colind[p] = static_cast<int32_t>(r - nx); values[p++] = kOff; }
+      if (ix > 0) { colind[p] = static_cast<int32_t>(r - 1); values[p++] = kOff; }
+      colind[p] = static_cast<int32_t>(r); values[p++] = kDiag;
+      if (ix < nx - 1) { colind[p] = static_cast<int32_t>(r + 1); values[p++] = kOff; }
+      if (dn) { colind[p] = static_cast<int32_t>(r + nx); values[p++] = kOff; }
+      rowptr[r + 1] = p;
+    }
+  }
+  return 0;
+}
+
+template <typename T>
+int laplace3d_impl(int64_t nx, int64_t ny, int64_t nz, int64_t* rowptr,
+                   int32_t* colind, T* values) {
+  if (nx < 1 || ny < 1 || nz < 1 || nx * ny * nz > INT32_MAX) return -1;
+  const T kOff = static_cast<T>(-1.0), kDiag = static_cast<T>(6.0);
+  const int64_t nxy = nx * ny;
+  int64_t p = 0;
+  rowptr[0] = 0;
+  for (int64_t iz = 0; iz < nz; ++iz) {
+    const bool zu = iz > 0, zd = iz < nz - 1;
+    for (int64_t iy = 0; iy < ny; ++iy) {
+      const bool yu = iy > 0, yd = iy < ny - 1;
+      for (int64_t ix = 0; ix < nx; ++ix) {
+        const int64_t r = (iz * ny + iy) * nx + ix;
+        if (zu) { colind[p] = static_cast<int32_t>(r - nxy); values[p++] = kOff; }
+        if (yu) { colind[p] = static_cast<int32_t>(r - nx); values[p++] = kOff; }
+        if (ix > 0) { colind[p] = static_cast<int32_t>(r - 1); values[p++] = kOff; }
+        colind[p] = static_cast<int32_t>(r); values[p++] = kDiag;
+        if (ix < nx - 1) { colind[p] = static_cast<int32_t>(r + 1); values[p++] = kOff; }
+        if (yd) { colind[p] = static_cast<int32_t>(r + nx); values[p++] = kOff; }
+        if (zd) { colind[p] = static_cast<int32_t>(r + nxy); values[p++] = kOff; }
+        rowptr[r + 1] = p;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int spmv_laplace2d_f64(int64_t nx, int64_t ny, int64_t* rowptr,
+                       int32_t* colind, double* values) {
+  return laplace2d_impl(nx, ny, rowptr, colind, values);
+}
+int spmv_laplace2d_f32(int64_t nx, int64_t ny, int64_t* rowptr,
+                       int32_t* colind, float* values) {
+  return laplace2d_impl(nx, ny, rowptr, colind, values);
+}
+int spmv_laplace3d_f64(int64_t nx, int64_t ny, int64_t nz, int64_t* rowptr,
+                       int32_t* colind, double* values) {
+  return laplace3d_impl(nx, ny, nz, rowptr, colind, values);
+}
+int spmv_laplace3d_f32(int64_t nx, int64_t ny, int64_t nz, int64_t* rowptr,
+                       int32_t* colind, float* values) {
+  return laplace3d_impl(nx, ny, nz, rowptr, colind, values);
+}
+
+}  // extern "C"

@@ -123,6 +123,34 @@ def chebyshev_bounds(
     return jnp.maximum(lo, hi * 1e-12), hi
 
 
+def chebyshev_preconditioner(
+    matvec: Callable[[jax.Array], jax.Array],
+    lmin: float | jax.Array,
+    lmax: float | jax.Array,
+    degree: int = 8,
+) -> Callable[[jax.Array], jax.Array]:
+    """Polynomial preconditioner: M^-1 r = p_degree(A) r, the ``degree``-step
+    Chebyshev approximation of A^-1 on [lmin, lmax].
+
+    Communication shape is the point (the reason polynomial preconditioning
+    exists at pod scale): one M^-1 apply costs ``degree`` operator
+    applications and ZERO global reductions, so preconditioned CG/MINRES
+    keep their 2-3 psums per OUTER iteration while the effective condition
+    number drops by the polynomial's clustering. The fixed-degree Chebyshev
+    polynomial is symmetric positive definite on operators with spectrum in
+    [lmin, lmax] (p is positive there), so it is a valid PCG/PMINRES
+    preconditioner — unlike truncated *adaptive* schemes, whose iteration-
+    dependent operator breaks the Krylov recurrences.
+
+    Bounds from ``chebyshev_bounds``; degree 4-16 is the useful range
+    (beyond that, spending the applies in the Krylov method itself wins).
+    """
+    def apply(r: jax.Array) -> jax.Array:
+        return chebyshev(matvec, r, lmin, lmax, degree).x
+
+    return apply
+
+
 def chebyshev_iterations_for(kappa: float, rtol: float) -> int:
     """Iteration count for a target contraction ``rtol`` given a condition
     bound: error_k <= 2 * ((sqrt(k)-1)/(sqrt(k)+1))**k_steps."""

@@ -152,3 +152,45 @@ def test_chebyshev_adaptive_good_bounds_untouched():
     want = np.linalg.solve(dense, b)
     rel = np.linalg.norm(np.asarray(res.x) - want) / np.linalg.norm(want)
     assert rel < 1e-4, rel
+
+
+def test_chebyshev_preconditioner_accelerates_cg():
+    """PCG with the fixed-degree Chebyshev polynomial preconditioner:
+    same true-residual convergence meaning, materially fewer OUTER
+    iterations (hence fewer psums) on a stiff SPD operator."""
+    from spmv_tpu.solvers.cg import cg
+    from spmv_tpu.solvers.chebyshev import chebyshev_preconditioner
+
+    dense, lmin, lmax = _spd(300, 9, kappa=2000.0)
+    b = np.random.default_rng(10).standard_normal(300)
+    mv = lambda x: jnp.asarray(dense) @ x
+    plain = cg(mv, jnp.asarray(b), kmax=600, rtol=1e-10)
+    m_inv = chebyshev_preconditioner(mv, lmin, lmax, degree=8)
+    prec = cg(mv, jnp.asarray(b), kmax=600, rtol=1e-10,
+              preconditioner=m_inv)
+    assert bool(prec.converged)
+    want = np.linalg.solve(dense, b)
+    rel = np.linalg.norm(np.asarray(prec.x) - want) / np.linalg.norm(want)
+    assert rel < 1e-8, rel
+    # degree-8 polynomial cuts kappa_eff enough that outer iterations
+    # (and with them the psum count) drop by far more than 2x
+    assert int(prec.iterations) * 2 < int(plain.iterations)
+
+
+def test_chebyshev_preconditioner_with_minres():
+    """The polynomial is SPD on the enclosure, so PMINRES accepts it."""
+    from spmv_tpu.solvers.chebyshev import chebyshev_preconditioner
+    from spmv_tpu.solvers.minres import minres
+
+    dense, lmin, lmax = _spd(200, 11, kappa=500.0)
+    b = np.random.default_rng(12).standard_normal(200)
+    mv = lambda x: jnp.asarray(dense) @ x
+    m_inv = chebyshev_preconditioner(mv, lmin, lmax, degree=6)
+    plain = minres(mv, jnp.asarray(b), kmax=600, rtol=1e-10)
+    prec = minres(mv, jnp.asarray(b), kmax=600, rtol=1e-10,
+                  preconditioner=m_inv)
+    assert bool(prec.converged)
+    want = np.linalg.solve(dense, b)
+    rel = np.linalg.norm(np.asarray(prec.x) - want) / np.linalg.norm(want)
+    assert rel < 1e-7, rel
+    assert int(prec.iterations) < int(plain.iterations)

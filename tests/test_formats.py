@@ -281,3 +281,35 @@ def test_native_well_pack_matches_numpy():
     ac = CSRHost.from_coo(np.array([0, 1]), np.array([1, 0]),
                           np.array([1 + 1j, 2 - 1j], np.complex64), 2, 2)
     assert fw._build_arrays_native(ac, 16, 64, np.complex64) is None
+
+
+def test_native_laplace_fill_matches_numpy(monkeypatch):
+    """The C++ single-pass stencil fills are bitwise-identical to the numpy
+    builders (same rowptr/colind/values), for 2-D and 3-D, f64 and f32,
+    including degenerate strip grids."""
+    from spmv_tpu import gen
+    from spmv_tpu.native.lib import native_available
+
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("native toolchain unavailable")
+
+    cases = [
+        (gen.create_laplace_2d, (70, 73), np.float64),
+        (gen.create_laplace_2d, (70, 73), np.float32),
+        (gen.create_laplace_2d, (1, 5000), np.float64),   # 1-wide strip
+        (gen.create_laplace_2d, (5000, 1), np.float64),
+        (gen.create_laplace_3d, (17, 19, 23), np.float64),
+        (gen.create_laplace_3d, (17, 19, 23), np.float32),
+        (gen.create_laplace_3d, (1, 1, 8000), np.float64),  # 1x1 pencil
+    ]
+    for builder, dims, dtype in cases:
+        a_nat = builder(*dims, dtype=dtype)
+        with monkeypatch.context() as m:
+            m.setattr("spmv_tpu.native.lib.get_lib", lambda: None)
+            a_np = builder(*dims, dtype=dtype)
+        np.testing.assert_array_equal(a_nat.rowptr, a_np.rowptr), (dims,)
+        np.testing.assert_array_equal(a_nat.colind, a_np.colind)
+        np.testing.assert_array_equal(
+            np.asarray(a_nat.values), np.asarray(a_np.values))
+        assert a_nat.values.dtype == np.dtype(dtype)
