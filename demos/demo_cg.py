@@ -41,10 +41,11 @@ def main() -> int:
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
-    ap.add_argument("--solver", choices=["cg", "bicgstab", "gmres"],
+    ap.add_argument("--solver", choices=["cg", "minres", "bicgstab", "gmres"],
                     default="cg",
-                    help="bicgstab/gmres handle NON-symmetric operators "
-                         "(the reference's CG-only solver layer cannot)")
+                    help="bicgstab/gmres handle NON-symmetric operators, "
+                         "minres symmetric INDEFINITE ones (the reference's "
+                         "CG-only solver layer cannot touch either)")
     ap.add_argument("--refine", action="store_true",
                     help="mixed-precision iterative refinement: fp32 inner "
                          "CG + double-single residuals -> f64-class TRUE "
@@ -153,6 +154,10 @@ def main() -> int:
                          preconditioner=preconditioner)
     elif args.solver == "bicgstab":
         krylov = bicgstab
+    elif args.solver == "minres":
+        from spmv_tpu.solvers.minres import minres
+
+        krylov = minres
     else:
         krylov = cg
     solve = jax.jit(
