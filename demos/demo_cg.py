@@ -41,6 +41,10 @@ def main() -> int:
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
+    ap.add_argument("--amg", action="store_true",
+                    help="smoothed-aggregation algebraic-multigrid "
+                         "preconditioning (mesh-independent iteration "
+                         "counts on SPD operators; setup timed separately)")
     ap.add_argument("--solver", choices=["cg", "minres", "bicgstab", "gmres"],
                     default="cg",
                     help="bicgstab/gmres handle NON-symmetric operators, "
@@ -160,16 +164,33 @@ def main() -> int:
         krylov = minres
     else:
         krylov = cg
-    solve = jax.jit(
-        lambda A_, bb: krylov(
-            A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
-            preconditioner=A_.jacobi_preconditioner() if args.jacobi else None,
+    if args.amg:
+        from spmv_tpu.solvers.amg import amg_setup
+
+        t0 = time.perf_counter()
+        hier = amg_setup(a, A)
+        timer.add("0.AMGSetup", time.perf_counter() - t0)
+        print(f"AMG: {hier.n_levels} levels, grid complexity "
+              f"{hier.grid_complexity():.2f}", file=sys.stderr)
+        solve = jax.jit(
+            lambda A_, bb, h_: krylov(
+                A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
+                preconditioner=h_.as_preconditioner(),
+            )
         )
-    )
-    res = solve(A, b)  # warm-up/compile
+        solve_args = (A, b, hier)
+    else:
+        solve = jax.jit(
+            lambda A_, bb: krylov(
+                A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
+                preconditioner=A_.jacobi_preconditioner() if args.jacobi else None,
+            )
+        )
+        solve_args = (A, b)
+    res = solve(*solve_args)  # warm-up/compile
     device_sync(res.rnorm)  # block until compilation really finished
     t0 = time.perf_counter()
-    res = solve(A, b)
+    res = solve(*solve_args)
     device_sync(res.rnorm)
     timer.add("1.Solve", time.perf_counter() - t0)
 

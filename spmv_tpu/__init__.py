@@ -93,6 +93,11 @@ from spmv_tpu.solvers.lanczos import (
     lanczos_extreme_with_bounds,
 )
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
+from spmv_tpu.solvers.amg import (
+    AMGHierarchy,
+    amg_preconditioner,
+    amg_setup,
+)
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
 from spmv_tpu.solvers.chebyshev import (
     chebyshev,
@@ -159,6 +164,9 @@ __all__ = [
     "LOBPCGResult",
     "GMRESResult",
     "block_jacobi_preconditioner",
+    "AMGHierarchy",
+    "amg_preconditioner",
+    "amg_setup",
     "lanczos_extreme",
     "condition_estimate",
     "condition_interval",

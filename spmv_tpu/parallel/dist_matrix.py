@@ -1397,6 +1397,8 @@ def _assemble(
     row_align: int,
     local_format: str,
     well_wseg_cap: int = 512,
+    well_max_k: int = 64,
+    well_tile_groups: int | None = None,
 ) -> DistMatrix:
     """Shared assembly tail: compile the (column-side) CommPlan, stack the
     ELL/DIA blocks, and upload everything sharded in one device_put each."""
@@ -1420,7 +1422,9 @@ def _assemble(
 
         max_groups = max(-(-(s.row_range[1] - s.row_range[0]) // 128)
                          for s in shards)
-        tg = next(t for t in (64, 32, 16, 8, 4, 2, 1) if t <= max_groups)
+        tg = (well_tile_groups if well_tile_groups is not None else
+              next(t for t in (64, 32, 16, 8, 4, 2, 1) if t <= max_groups))
+        tg = next(t for t in (tg, 32, 16, 8, 4, 2, 1) if t <= max_groups)
         # near/far split: entries beyond each tile's best well_wseg_cap-segment window
         # leave the WELL block and run through the XLA ELL path instead
         # (multi-pass general sparsity; far is small after RCM reordering).
@@ -1431,25 +1435,37 @@ def _assemble(
         # is two gather kernels + diag axpy with no O(nnz) scatter (the
         # dual-WELL formulation; reference symmetric kernels use conflict
         # maps/atomics instead, spmv/openmp/csr_kernels.openmp.cpp:89-168).
-        wells, far_blocks = [], []
-        wellsT, farT_blocks = [], []
-        for s in shards:
-            near, far = split_window(s.local, tile_groups=tg,
-                                     wseg_cap=well_wseg_cap)
-            wells.append(_build_arrays(
-                near, tg, 64,
-                np.float64 if local_format == "well_ds" else dtype,
-            ))
-            far_blocks.append(far)
-            if symmetric:
-                lt = s.local.transpose()
-                nearT, farT = split_window(lt, tile_groups=tg,
-                                           wseg_cap=well_wseg_cap)
-                wellsT.append(_build_arrays(
-                    nearT, tg, 64,
+        while True:
+            wells, far_blocks = [], []
+            wellsT, farT_blocks = [], []
+            for s in shards:
+                near, far = split_window(s.local, tile_groups=tg,
+                                         wseg_cap=well_wseg_cap)
+                wells.append(_build_arrays(
+                    near, tg, well_max_k,
                     np.float64 if local_format == "well_ds" else dtype,
                 ))
-                farT_blocks.append(farT)
+                far_blocks.append(far)
+                if symmetric:
+                    lt = s.local.transpose()
+                    nearT, farT = split_window(lt, tile_groups=tg,
+                                               wseg_cap=well_wseg_cap)
+                    wellsT.append(_build_arrays(
+                        nearT, tg, well_max_k,
+                        np.float64 if local_format == "well_ds" else dtype,
+                    ))
+                    farT_blocks.append(farT)
+            k_all = max(v.shape[0] for v, *_ in
+                        (wells + wellsT if symmetric else wells))
+            # kernel VMEM envelope: the gather temporaries scale with the
+            # tile's slot-row count b = K*tg; K*tg <= 1024 is the measured
+            # safe bound (K=89 at tg=16 blew the 16M scoped-vmem limit on
+            # a v5e AOT compile; K<=64 at tg=16 is the proven envelope).
+            # High-K matrices (e.g. AMG Galerkin coarse grids) repack at a
+            # smaller tile until they fit.
+            if k_all * tg <= 1024 or tg <= 1:
+                break
+            tg = max(tg // 2, 1)
         k_w = max(v.shape[0] for v, *_ in wells)
         wseg_w = max(wseg for _, _, _, wseg, _, _ in wells)
         # one padded geometry for every shard: groups cover rows AND every
@@ -1926,6 +1942,8 @@ def build_dist_matrix(
     row_align: int = 8,
     local_format: str = "ell",
     well_wseg_cap: int = 512,
+    well_max_k: int = 64,
+    well_tile_groups: int | None = None,
 ) -> DistMatrix:
     """Assemble a DistMatrix from a global host CSR.
 
@@ -1960,6 +1978,7 @@ def build_dist_matrix(
     A = _assemble(
         shards, col_ranges, a.nrows, a.ncols, a.nnz, mesh, axis_name,
         symmetric, dtype, row_align, local_format, well_wseg_cap,
+        well_max_k, well_tile_groups,
     )
     # side data for transposed(): the assembly-time host matrix + rebuild
     # args. Plain attributes, NOT pytree fields — they vanish across
@@ -1968,6 +1987,7 @@ def build_dist_matrix(
     A._rebuild_kwargs = dict(
         mesh=mesh, axis_name=axis_name, dtype=dtype,
         local_format=local_format, well_wseg_cap=well_wseg_cap,
+        well_max_k=well_max_k,
     )
     return A
 
