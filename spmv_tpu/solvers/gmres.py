@@ -22,6 +22,14 @@ TPU-native choices:
   triangular back-substitution on the accumulated R.
 - Right preconditioning: the convergence test uses the TRUE residual of the
   original system, so ``rtol`` means the same thing as in ``cg``.
+- ``flexible=True`` turns the cycle into FGMRES (Saad '93): the
+  preconditioned vectors z_j = M_j^-1 v_j are stored as a SECOND basis and
+  the update is built from them directly, so the preconditioner may CHANGE
+  between applications — inner Krylov sweeps (``cg``/``chebyshev_adaptive``
+  with data-dependent iteration counts), AMG cycles with varying depth, or
+  any nonlinear M^-1. Plain right-preconditioned GMRES silently assumes a
+  FIXED linear M^-1 and stalls or diverges under a variable one; FGMRES is
+  the correct contract at the cost of one extra (m, n) basis in memory.
 """
 from __future__ import annotations
 
@@ -58,6 +66,7 @@ def gmres(
     rtol: float = 1e-10,
     dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     preconditioner: Callable[[jax.Array], jax.Array] | None = None,
+    flexible: bool = False,
 ) -> GMRESResult:
     """Solve A x = b with restarted GMRES(m), m = ``restart``. Vectors keep
     b's (padded) shape; padding entries of b must be zero. The matvec budget
@@ -65,6 +74,12 @@ def gmres(
     stops as soon as its running residual estimate clears ``rtol`` or the
     Krylov space becomes invariant (lucky breakdown), so a cycle that
     converges at step j costs j matvecs, not m.
+
+    ``flexible=True`` (FGMRES) stores the preconditioned directions
+    z_j = M^-1 v_j and forms the update from them, admitting a
+    preconditioner that varies between applications (module docstring).
+    With a fixed linear preconditioner it computes the same iterates as
+    the default right-preconditioned cycle.
 
     Checkpoint/resume: passing a saved solution as ``x0`` IS the exact warm
     resume — every restart cycle rebuilds the Krylov space from the current
@@ -98,21 +113,27 @@ def gmres(
         v0 = (r / safe_beta.astype(cdtype)).reshape(n_flat)
 
         basis0 = jnp.zeros((m + 1, n_flat), cdtype).at[0].set(v0)
+        # FGMRES: second basis of preconditioned directions z_j = M^-1 v_j
+        # (1 dummy row when not flexible so the carry structure is uniform)
+        zbasis0 = jnp.zeros((m if flexible else 1, n_flat), cdtype)
         h0 = jnp.zeros((m + 1, m), cdtype)   # Givens-rotated (accumulates R)
         cs0 = jnp.zeros((m,), rdtype)
         sn0 = jnp.zeros((m,), cdtype)
         g0 = jnp.zeros((m + 1,), cdtype).at[0].set(beta.astype(cdtype))
 
         def arn_cond(carry):
-            j, _basis, _h, _cs, _sn, _g, live = carry
+            j, _basis, _zbasis, _h, _cs, _sn, _g, live = carry
             return (j < m) & live
 
         def arn_body(carry):
-            j, basis, h, cs, sn, g, live = carry
+            j, basis, zbasis, h, cs, sn, g, live = carry
             vj = jax.lax.dynamic_index_in_dim(
                 basis, j, axis=0, keepdims=False
             )
-            w = matvec(precond(vj.reshape(vshape))).reshape(n_flat)
+            zj = precond(vj.reshape(vshape)).reshape(n_flat)
+            if flexible:
+                zbasis = zbasis.at[j].set(zj)
+            w = matvec(zj.reshape(vshape)).reshape(n_flat)
             # CGS2: two passes of project-against-all (masked to rows <= j)
             mask = (jnp.arange(m + 1) <= j).astype(rdtype)
             coeffs = jnp.zeros((m + 1,), cdtype)
@@ -174,12 +195,13 @@ def gmres(
             # projected residual clears rtol (or the space went invariant)
             est = jnp.abs(g[j + 1]).astype(rdtype)
             conv = est < rtol * jnp.maximum(rnorm0, tiny)
-            return (j + 1, basis, h, cs, sn, g,
+            return (j + 1, basis, zbasis, h, cs, sn, g,
                     live & jnp.logical_not(brk) & jnp.logical_not(conv))
 
-        steps, basis, h, _cs, _sn, g, _live = jax.lax.while_loop(
+        steps, basis, zbasis, h, _cs, _sn, g, _live = jax.lax.while_loop(
             arn_cond, arn_body,
-            (jnp.int32(0), basis0, h0, cs0, sn0, g0, jnp.asarray(True)),
+            (jnp.int32(0), basis0, zbasis0, h0, cs0, sn0, g0,
+             jnp.asarray(True)),
         )
 
         # back-substitution on the accumulated upper-triangular R = h[:m,:m].
@@ -192,8 +214,12 @@ def gmres(
                                * col_dead.astype(rdtype)).astype(cdtype)
         y = jax.scipy.linalg.solve_triangular(r_solve, g[:m], lower=False)
         y = jnp.where(col_dead, jnp.zeros((), cdtype), y)
-        dx = (y.astype(cdtype) @ basis[:m]).reshape(vshape)
-        x = x + precond(dx)
+        if flexible:
+            # the stored z_j already carry their (possibly distinct) M^-1
+            x = x + (y.astype(cdtype) @ zbasis).reshape(vshape)
+        else:
+            dx = (y.astype(cdtype) @ basis[:m]).reshape(vshape)
+            x = x + precond(dx)
         # the TRUE residual doubles as the next cycle's starting residual —
         # carrying it saves one matvec per cycle
         r_new = b - matvec(x)

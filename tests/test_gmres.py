@@ -173,3 +173,65 @@ def test_gmres_mid_cycle_convergence_exit():
     iters = int(res.iterations)
     assert iters < 60  # converged well before the restart length
     assert len(calls) == iters + int(res.cycles) + 1, (len(calls), iters)
+
+
+def test_fgmres_fixed_preconditioner_matches_plain():
+    """With a FIXED linear M^-1, FGMRES computes the same iterates as
+    right-preconditioned GMRES (Saad '93, Prop. 2.2)."""
+    a0 = nonsym_dd(240, seed=53)
+    n = a0.nrows
+    w = np.logspace(-2, 2, n)
+    dense = a0.to_dense() * w[:, None] * w[None, :]
+    diag = jnp.asarray(np.diag(dense))
+    b = np.random.default_rng(54).standard_normal(n)
+    mv = lambda x: jnp.asarray(dense) @ x
+    prec = lambda r: r / diag
+    plain = gmres(mv, jnp.asarray(b), restart=30, max_cycles=40, rtol=1e-9,
+                  preconditioner=prec)
+    flex = gmres(mv, jnp.asarray(b), restart=30, max_cycles=40, rtol=1e-9,
+                 preconditioner=prec, flexible=True)
+    assert bool(flex.converged)
+    assert int(flex.iterations) == int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(flex.x), np.asarray(plain.x),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_fgmres_variable_inner_gmres_preconditioner():
+    """A VARIABLE preconditioner (inner GMRES sweep with data-dependent
+    early exit — a different linear operator every application): FGMRES's
+    stored-Z update keeps the reported residual equal to the true residual
+    and converges. (The plain right-preconditioned cycle re-applies M^-1
+    once to the combined direction — with a variable M that update is
+    uncontrolled; it is not asserted to fail, only FGMRES is the contract
+    that's guaranteed.)"""
+    a = nonsym_dd(300, seed=57, dom=0.25)
+    dense = a.to_dense()
+    b = np.random.default_rng(58).standard_normal(300)
+    mv = lambda x: jnp.asarray(dense) @ x
+    inner = lambda r: gmres(mv, r, restart=8, max_cycles=1, rtol=1e-3).x
+    flex = jax.jit(lambda bb: gmres(mv, bb, restart=20, max_cycles=15,
+                                    rtol=1e-9, preconditioner=inner,
+                                    flexible=True))(jnp.asarray(b))
+    assert bool(flex.converged), float(flex.rnorm / flex.rnorm0)
+    rel = np.linalg.norm(dense @ np.asarray(flex.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-8, rel
+    # reported rnorm IS the true residual (the flexible update preserves it)
+    np.testing.assert_allclose(
+        float(flex.rnorm), np.linalg.norm(dense @ np.asarray(flex.x) - b),
+        rtol=1e-5, atol=1e-14)
+    # the inner sweeps pay off: far fewer outer Arnoldi steps than plain
+    unprec = gmres(mv, jnp.asarray(b), restart=20, max_cycles=15, rtol=1e-9)
+    assert int(flex.iterations) < int(unprec.iterations) // 2
+
+
+def test_fgmres_unpreconditioned_equals_gmres():
+    """flexible=True with no preconditioner degenerates to plain GMRES
+    bitwise (z_j = v_j)."""
+    a = nonsym_dd(150, seed=61)
+    b = np.random.default_rng(62).standard_normal(150)
+    mv = lambda x: jnp.asarray(a.to_dense()) @ x
+    r1 = gmres(mv, jnp.asarray(b), restart=25, max_cycles=10, rtol=1e-10)
+    r2 = gmres(mv, jnp.asarray(b), restart=25, max_cycles=10, rtol=1e-10,
+               flexible=True)
+    assert int(r1.iterations) == int(r2.iterations)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
