@@ -76,6 +76,7 @@ from spmv_tpu.ops.spmv_dia_pallas import (
 )
 from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.gmres import GMRESResult, gmres
+from spmv_tpu.solvers.lsqr import LSQRResult, lsqr
 from spmv_tpu.solvers.minres import MINRESResult, minres
 from spmv_tpu.solvers.lobpcg import LOBPCGResult, lane_block_ops, lobpcg
 from spmv_tpu.ops.spmm_dia_pallas import spmm_dia, spmm_dia_supported
@@ -157,6 +158,8 @@ __all__ = [
     "bicgstab",
     "BiCGStabResult",
     "gmres",
+    "lsqr",
+    "LSQRResult",
     "minres",
     "MINRESResult",
     "lobpcg",
