@@ -41,6 +41,11 @@ def main() -> int:
                     help="local-block format (default: ell; 'auto' selects)")
     ap.add_argument("--dia", action="store_true", help="DIA local blocks (stencil fast path)")
     ap.add_argument("--jacobi", action="store_true", help="Jacobi (diagonal) preconditioning")
+    ap.add_argument("--spai", type=int, nargs="?", const=1, default=0,
+                    metavar="LEVEL",
+                    help="SPAI (sparse approximate inverse) preconditioning "
+                         "for the nonsymmetric solvers; LEVEL=1 uses "
+                         "pattern(A), 2 the denser pattern(|A|^2+|A|)")
     ap.add_argument("--amg", action="store_true",
                     help="smoothed-aggregation algebraic-multigrid "
                          "preconditioning (mesh-independent iteration "
@@ -179,6 +184,20 @@ def main() -> int:
             )
         )
         solve_args = (A, b, hier)
+    elif args.spai:
+        from spmv_tpu.solvers.spai import spai_setup
+
+        t0 = time.perf_counter()
+        m_host = spai_setup(a, pattern_level=args.spai)
+        M = build_dist_matrix(m_host, n_devices=n_dev, dtype=dtype)
+        timer.add("0.SPAISetup", time.perf_counter() - t0)
+        solve = jax.jit(
+            lambda A_, bb, M_: krylov(
+                A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
+                preconditioner=M_.as_linear_operator(),
+            )
+        )
+        solve_args = (A, b, M)
     else:
         solve = jax.jit(
             lambda A_, bb: krylov(

@@ -94,6 +94,7 @@ from spmv_tpu.solvers.lanczos import (
     lanczos_extreme_with_bounds,
 )
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
+from spmv_tpu.solvers.spai import spai_preconditioner, spai_setup
 from spmv_tpu.solvers.amg import (
     AMGHierarchy,
     amg_preconditioner,
@@ -167,6 +168,8 @@ __all__ = [
     "LOBPCGResult",
     "GMRESResult",
     "block_jacobi_preconditioner",
+    "spai_preconditioner",
+    "spai_setup",
     "AMGHierarchy",
     "amg_preconditioner",
     "amg_setup",
