@@ -87,6 +87,11 @@ from spmv_tpu.solvers.block_cg import (
     block_cg_refined,
     block_cg_refined_dist,
 )
+from spmv_tpu.solvers.arnoldi import (
+    ArnoldiRitz,
+    arnoldi_factorization,
+    arnoldi_ritz,
+)
 from spmv_tpu.solvers.lanczos import (
     condition_estimate,
     condition_interval,
@@ -173,6 +178,9 @@ __all__ = [
     "AMGHierarchy",
     "amg_preconditioner",
     "amg_setup",
+    "arnoldi_ritz",
+    "arnoldi_factorization",
+    "ArnoldiRitz",
     "lanczos_extreme",
     "condition_estimate",
     "condition_interval",
