@@ -11,6 +11,7 @@ Usage:
   python demos/demo_eig.py --lap2d 64 -k 4 --cheb 16        # generated
   python demos/demo_eig.py --petsc A.petsc -k 2 --largest   # PETSc file
   python demos/demo_eig.py --lap2d 96 -k 2 --devices 4 --cpu --cheb 16
+  python demos/demo_eig.py --convdiff 48 --arnoldi 60   # nonsymmetric Ritz
 """
 from __future__ import annotations
 
@@ -31,7 +32,15 @@ def main() -> int:
     src.add_argument("--lap2d", type=int, help="generate NxN 2-D Laplacian")
     src.add_argument("--lap3d", type=int, help="generate NxNxN 3-D Laplacian")
     src.add_argument("--mtx", help="Matrix Market file (.mtx / .mtx.gz)")
+    src.add_argument("--convdiff", type=int, metavar="N",
+                     help="generate NxN upwind convection-diffusion "
+                          "(NONSYMMETRIC; use with --arnoldi)")
     ap.add_argument("-k", type=int, default=4, help="number of eigenpairs")
+    ap.add_argument("--arnoldi", type=int, default=0, metavar="M",
+                    help="NONSYMMETRIC mode: report the leading Ritz values "
+                         "from an M-step Arnoldi run (spectral radius, "
+                         "rightmost eigenvalue, residual certificates) "
+                         "instead of LOBPCG eigenpairs")
     ap.add_argument("--largest", action="store_true",
                     help="largest eigenpairs (default: smallest)")
     ap.add_argument("--maxiter", type=int, default=300)
@@ -83,14 +92,54 @@ def main() -> int:
         a = read_matrix_market(args.mtx)
     elif args.lap3d:
         a = create_laplace_3d(args.lap3d)
+    elif args.convdiff:
+        g = args.convdiff
+        n2 = g * g
+        h = 1.0 / (g + 1)
+        iy, ix = np.divmod(np.arange(n2), g)
+        rows = [np.arange(n2)]
+        cols = [np.arange(n2)]
+        vals = [np.full(n2, 4.0 + 20.0 * h)]
+        for di, dj, v in ((0, -1, -1.0 - 12.0 * h), (0, 1, -1.0),
+                          (-1, 0, -1.0 - 8.0 * h), (1, 0, -1.0)):
+            ok = ((ix + dj >= 0) & (ix + dj < g) & (iy + di >= 0)
+                  & (iy + di < g))
+            i = np.arange(n2)[ok]
+            rows.append(i)
+            cols.append(i + dj + di * g)
+            vals.append(np.full(len(i), v))
+        from spmv_tpu.formats.csr import CSRHost
+
+        a = CSRHost.from_coo(np.concatenate(rows), np.concatenate(cols),
+                             np.concatenate(vals), n2, n2)
     else:
         a = create_laplace_2d(args.lap2d, args.lap2d)
     timer.add("0.MatCreate", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     n_dev = args.devices or len(jax.devices())
+    nonsym_fmt = "ell" if (args.arnoldi or args.convdiff) else None
     A = build_dist_matrix(a, n_devices=n_dev, dtype=dtype,
-                          local_format=args.format or "dia")
+                          local_format=args.format or nonsym_fmt or "dia")
+
+    if args.arnoldi:
+        from spmv_tpu.solvers.arnoldi import arnoldi_ritz
+
+        v0 = A.to_dist(np.random.default_rng(args.seed)
+                       .standard_normal(a.nrows).astype(dtype))
+        timer.add("1.Assemble", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        r = arnoldi_ritz(A.as_linear_operator(), v0, m=args.arnoldi)
+        device_sync(v0)
+        timer.add("2.Arnoldi", time.perf_counter() - t0)
+        print(timer.report())
+        print(f"Arnoldi({args.arnoldi}, {r.steps} informative steps): "
+              f"spectral radius >= {r.spectral_radius:.9e}, "
+              f"rightmost = {r.rightmost:.9e}")
+        for j in range(min(args.k, len(r.values))):
+            print(f"  ritz[{j}] = {r.values[j]:.9e}   "
+                  f"cert = {r.residuals[j]:.3e}")
+        return 0
     X0_host = np.random.default_rng(args.seed).standard_normal(
         (a.nrows, args.k)).astype(dtype)
     X0 = A.to_dist_block(X0_host)

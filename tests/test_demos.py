@@ -115,3 +115,22 @@ def test_demo_cg_gmres_solver():
     )
     assert "Converged: True" in stdout
     assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-8
+
+
+def test_demo_cg_spai_preconditioner():
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--solver", "gmres", "--spai", "--kmax", "400", "--rtol", "1e-8"])
+    assert "Converged: True" in stdout
+    rnorm = float(stdout.split("r.norm = ")[1].split()[0])
+    assert rnorm < 1e-5
+
+
+def test_demo_eig_arnoldi_nonsymmetric():
+    stdout = run_demo(
+        ["demos/demo_eig.py", "--convdiff", "16", "--arnoldi", "40",
+         "-k", "2", "--cpu", "--devices", "2"])
+    assert "spectral radius" in stdout
+    rho = float(stdout.split("spectral radius >= ")[1].split(",")[0])
+    # 16x16 convection-diffusion: rho ~ 4 + 2*... around 8-9
+    assert 6.0 < rho < 12.0
