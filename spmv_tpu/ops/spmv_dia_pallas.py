@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spmv_tpu.formats.dia import DiaMatrix
+from spmv_tpu.ops.batching import sequential_vmap
 
 LANES = 128
 # max grid steps per pallas_call for the vanilla kernel — longer grids
@@ -727,13 +728,9 @@ def _pick_tile_rows(
     return best
 
 
-def spmv_dia_pallas_2d(
+def _spmv_dia_pallas_2d_dispatch(
     a: DiaMatrix, x2: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """Zero-copy SpMV in lane layout: x2 (nrows, 128) -> y (nrows, 128).
-    The solver hot path — repeated applies chain with no data movement.
-    Dispatches to the symmetric (lower-triangle-only) kernel when
-    ``a.symmetric``."""
     nrows = a.nrows_pad // LANES
     hr = dia_halo_rows(a)
     tr = _pick_tile_rows(
@@ -748,6 +745,29 @@ def spmv_dia_pallas_2d(
     return _spmv_dia_pallas_2d(
         a.data, x2, a.offsets, tr, hr, interpret=interpret
     )
+
+
+# vmap over the kernel runs lane-by-lane (ops/batching.py): Mosaic rejects
+# a batch dim on the ANY-space x-window operand, and sequential lanes are
+# the right schedule for an HBM-bound kernel anyway. Two instances so the
+# interpret flag stays static.
+_spmv_dia_pallas_2d_compiled = sequential_vmap(
+    lambda a, x2: _spmv_dia_pallas_2d_dispatch(a, x2, interpret=False))
+_spmv_dia_pallas_2d_interp = sequential_vmap(
+    lambda a, x2: _spmv_dia_pallas_2d_dispatch(a, x2, interpret=True))
+
+
+def spmv_dia_pallas_2d(
+    a: DiaMatrix, x2: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Zero-copy SpMV in lane layout: x2 (nrows, 128) -> y (nrows, 128).
+    The solver hot path — repeated applies chain with no data movement.
+    Dispatches to the symmetric (lower-triangle-only) kernel when
+    ``a.symmetric``. Batchable: under ``jax.vmap`` (stacked ``a.data`` /
+    ``x2``) lanes run sequentially at full kernel speed."""
+    if interpret:
+        return _spmv_dia_pallas_2d_interp(a, x2)
+    return _spmv_dia_pallas_2d_compiled(a, x2)
 
 
 def spmv_dia_pallas(
