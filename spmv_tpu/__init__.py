@@ -100,6 +100,7 @@ from spmv_tpu.solvers.lanczos import (
 )
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.spai import spai_preconditioner, spai_setup
+from spmv_tpu.solvers.fsai import fsai_preconditioner, fsai_setup
 from spmv_tpu.solvers.amg import (
     AMGHierarchy,
     amg_preconditioner,
@@ -174,6 +175,8 @@ __all__ = [
     "GMRESResult",
     "block_jacobi_preconditioner",
     "spai_preconditioner",
+    "fsai_preconditioner",
+    "fsai_setup",
     "spai_setup",
     "AMGHierarchy",
     "amg_preconditioner",
