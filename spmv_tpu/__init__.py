@@ -101,6 +101,7 @@ from spmv_tpu.solvers.lanczos import (
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.spai import spai_preconditioner, spai_setup
 from spmv_tpu.solvers.fsai import fsai_preconditioner, fsai_setup
+from spmv_tpu.solvers.svds import SVDSResult, gk_factorization, svds
 from spmv_tpu.solvers.amg import (
     AMGHierarchy,
     amg_preconditioner,
@@ -177,6 +178,9 @@ __all__ = [
     "spai_preconditioner",
     "fsai_preconditioner",
     "fsai_setup",
+    "SVDSResult",
+    "gk_factorization",
+    "svds",
     "spai_setup",
     "AMGHierarchy",
     "amg_preconditioner",
