@@ -102,6 +102,7 @@ from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.spai import spai_preconditioner, spai_setup
 from spmv_tpu.solvers.fsai import fsai_preconditioner, fsai_setup
 from spmv_tpu.solvers.svds import SVDSResult, gk_factorization, svds
+from spmv_tpu.solvers.deflation import cg_deflated
 from spmv_tpu.solvers.amg import (
     AMGHierarchy,
     amg_preconditioner,
@@ -181,6 +182,7 @@ __all__ = [
     "SVDSResult",
     "gk_factorization",
     "svds",
+    "cg_deflated",
     "spai_setup",
     "AMGHierarchy",
     "amg_preconditioner",
