@@ -97,6 +97,13 @@ from spmv_tpu.solvers.lanczos import (
     condition_interval,
     lanczos_extreme,
     lanczos_extreme_with_bounds,
+    lanczos_factorization,
+)
+from spmv_tpu.solvers.funm import (
+    expm_multiply,
+    funm_multiply,
+    inv_sqrt_multiply,
+    sqrt_multiply,
 )
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
 from spmv_tpu.solvers.spai import spai_preconditioner, spai_setup
@@ -183,6 +190,11 @@ __all__ = [
     "gk_factorization",
     "svds",
     "cg_deflated",
+    "lanczos_factorization",
+    "expm_multiply",
+    "funm_multiply",
+    "inv_sqrt_multiply",
+    "sqrt_multiply",
     "spai_setup",
     "AMGHierarchy",
     "amg_preconditioner",

@@ -39,12 +39,20 @@ def lanczos_extreme(
     return lmin, lmax
 
 
-def _lanczos_impl(
+def lanczos_factorization(
     matvec: Callable[[jax.Array], jax.Array],
     v0: jax.Array,
     m: int = 64,
 ):
-    """m-step Lanczos; returns (theta_min, theta_max, ritz_residuals)."""
+    """m-step Lanczos with CGS2 full reorthogonalization:
+    A V_m = V_m T_m + beta_m v_{m+1} e_m^T. Returns
+    ``(alphas, betas, basis, nrm0)``: the tridiagonal coefficients
+    (alphas (m,), betas (m,) with betas[j] = 0 from the breakdown step on
+    and the matching alphas replaced by alphas[0] so dead steps cannot
+    extend the spectrum), the flat orthonormal basis (m+1, n), and |v0|.
+    Jittable; the matvecs run distributed when ``matvec`` does. Consumed
+    by ``lanczos_extreme`` (extreme Ritz values) and
+    ``solvers/funm.funm_multiply`` (matrix-function actions f(A) v)."""
     rdtype = jnp.finfo(v0.dtype).dtype
     eps = jnp.asarray(jnp.finfo(v0.dtype).eps, rdtype)
     tiny = jnp.asarray(jnp.finfo(v0.dtype).tiny, rdtype)
@@ -86,6 +94,16 @@ def _lanczos_impl(
     # dead steps (after an invariant subspace) decouple with beta=0; give
     # them the first Ritz value so they cannot extend the spectrum
     alphas = jnp.where(lives, alphas, alphas[0])
+    return alphas, betas, basis, nrm0
+
+
+def _lanczos_impl(
+    matvec: Callable[[jax.Array], jax.Array],
+    v0: jax.Array,
+    m: int = 64,
+):
+    """m-step Lanczos; returns (theta_min, theta_max, ritz_residuals)."""
+    alphas, betas, _basis, _nrm0 = lanczos_factorization(matvec, v0, m)
     t = (jnp.diag(alphas)
          + jnp.diag(betas[:-1], 1)
          + jnp.diag(betas[:-1], -1))
