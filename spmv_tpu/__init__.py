@@ -103,6 +103,8 @@ from spmv_tpu.solvers.funm import (
     expm_multiply,
     funm_multiply,
     inv_sqrt_multiply,
+    slq_logdet,
+    slq_trace,
     sqrt_multiply,
 )
 from spmv_tpu.solvers.precond import block_jacobi_preconditioner
@@ -195,6 +197,8 @@ __all__ = [
     "funm_multiply",
     "inv_sqrt_multiply",
     "sqrt_multiply",
+    "slq_logdet",
+    "slq_trace",
     "spai_setup",
     "AMGHierarchy",
     "amg_preconditioner",

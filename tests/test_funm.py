@@ -9,6 +9,8 @@ from spmv_tpu.solvers.funm import (
     expm_multiply,
     funm_multiply,
     inv_sqrt_multiply,
+    slq_logdet,
+    slq_trace,
     sqrt_multiply,
 )
 
@@ -99,6 +101,71 @@ def test_funm_jittable_end_to_end():
         lambda v: expm_multiply(mv, v, t=-0.5, m=32))(jnp.asarray(b))
     want = _f_dense(w, V, b, lambda x: np.exp(-0.5 * x))
     assert np.linalg.norm(np.asarray(y) - want) < 1e-11 * np.linalg.norm(want)
+
+
+def test_slq_logdet_within_error_bars():
+    """SLQ log-det lands within 5 standard errors of the exact slogdet
+    (deterministic key) and the bar is itself sane (< 3% of the value)."""
+    a = create_laplace_2d(24, 24)
+    dense = a.to_dense()
+    mv = lambda x: jnp.asarray(dense) @ x
+    mean, se = slq_logdet(mv, jnp.ones(a.nrows), jax.random.PRNGKey(0),
+                          n_probes=24, m=40)
+    want = np.linalg.slogdet(dense)[1]
+    assert abs(float(mean) - want) < 5 * float(se)
+    assert float(se) < 0.03 * abs(want)
+
+
+def test_slq_trace_identity_function():
+    """f = id: the estimator targets tr(A) (Hutchinson through exact
+    quadrature)."""
+    a = create_laplace_2d(20, 20)
+    dense = a.to_dense()
+    mv = lambda x: jnp.asarray(dense) @ x
+    mean, se = slq_trace(mv, lambda th: th, jnp.ones(a.nrows),
+                         jax.random.PRNGKey(1), n_probes=24, m=32)
+    assert abs(float(mean) - np.trace(dense)) < 5 * max(float(se), 1e-12)
+
+
+def test_slq_exact_on_diagonal_operator():
+    """Diagonal A with few distinct eigenvalues: every Rademacher probe
+    gives the exact trace (z_i^2 = 1, no cross terms) and the Lanczos
+    quadrature is exact once m exceeds the number of distinct
+    eigenvalues — so the variance is EXACTLY zero."""
+    d = np.repeat([1.0, 2.0, 3.0, 4.0], 16)
+    mv = lambda x: jnp.asarray(d) * x
+    mean, se = slq_trace(mv, lambda th: th ** 2, jnp.ones(64),
+                         jax.random.PRNGKey(2), n_probes=4, m=8)
+    np.testing.assert_allclose(float(mean), np.sum(d ** 2), rtol=1e-10)
+    assert float(se) < 1e-10
+
+
+def test_slq_respects_padding_support():
+    """Zero entries of the template never receive probe mass — the
+    estimate equals the one on the dense subproblem."""
+    d = np.arange(1.0, 33.0)
+    dpad = np.concatenate([d, np.zeros(8)])       # 8 padding rows
+    mv = lambda x: jnp.asarray(dpad) * x
+    tmpl = jnp.asarray((dpad != 0).astype(np.float64))
+    mean, _se = slq_trace(mv, lambda th: th, tmpl, jax.random.PRNGKey(3),
+                          n_probes=8, m=40)
+    np.testing.assert_allclose(float(mean), d.sum(), rtol=1e-9)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_slq_logdet_distributed(n_dev):
+    """SLQ through a DistMatrix on the mesh, probes drawn on the padded
+    lane layout's true support."""
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+
+    a = create_laplace_2d(16, 16)
+    A = build_dist_matrix(a, n_devices=n_dev)
+    tmpl = A.to_dist(np.ones(a.nrows))
+    mean, se = jax.jit(lambda A_, t: slq_logdet(
+        A_.as_linear_operator(), t, jax.random.PRNGKey(4),
+        n_probes=20, m=40))(A, tmpl)
+    want = np.linalg.slogdet(a.to_dense())[1]
+    assert abs(float(mean) - want) < 5 * float(se)
 
 
 @pytest.mark.parametrize("n_dev", [1, 4])
