@@ -46,6 +46,16 @@ def main() -> int:
                     help="SPAI (sparse approximate inverse) preconditioning "
                          "for the nonsymmetric solvers; LEVEL=1 uses "
                          "pattern(A), 2 the denser pattern(|A|^2+|A|)")
+    ap.add_argument("--fsai", action="store_true",
+                    help="FSAI (factorized sparse approximate inverse) SPD "
+                         "preconditioning: M^-1 = G^T G with G ~ "
+                         "inv(chol(A)), apply = two SpMVs on this library's "
+                         "own kernels — no triangular solves (cg/minres)")
+    ap.add_argument("--deflated", type=int, default=0, metavar="D",
+                    help="deflated CG: project out D approximate bottom "
+                         "eigenvectors (harvested by a short LOBPCG run, "
+                         "setup timed separately); the solve then converges "
+                         "at the EFFECTIVE condition number lmax/l_{D+1}")
     ap.add_argument("--amg", action="store_true",
                     help="smoothed-aggregation algebraic-multigrid "
                          "preconditioning (mesh-independent iteration "
@@ -184,6 +194,65 @@ def main() -> int:
             )
         )
         solve_args = (A, b, hier)
+    elif args.fsai:
+        from spmv_tpu.solvers.fsai import fsai_setup
+
+        t0 = time.perf_counter()
+        g_host = fsai_setup(a)
+        # G is triangular, NOT symmetric — plain storage regardless of -s
+        G = build_dist_matrix(g_host, n_devices=n_dev, dtype=dtype,
+                              local_format=args.format
+                              or ("dia" if args.dia else "ell"))
+        Gt = G.transposed()
+        timer.add("0.FSAISetup", time.perf_counter() - t0)
+        solve = jax.jit(
+            lambda A_, bb, G_, Gt_: krylov(
+                A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
+                preconditioner=lambda r: Gt_.matvec(G_.matvec(r)),
+            )
+        )
+        solve_args = (A, b, G, Gt)
+    elif args.deflated:
+        import jax.numpy as jnp
+
+        from spmv_tpu.solvers.deflation import cg_deflated
+        from spmv_tpu.solvers.lobpcg import lane_block_ops, lobpcg
+
+        if args.solver != "cg":
+            ap.error("--deflated is a CG variant; drop --solver")
+        # harvest an approximate bottom-eigenvector basis: a short LOBPCG
+        # run behind the Chebyshev spectral filter (plain LOBPCG stalls on
+        # clustered bottoms — Laplacian gap ratios are ~1e-4); deflation
+        # only needs the subspace, not converged eigenpairs
+        t0 = time.perf_counter()
+        from spmv_tpu.solvers.chebyshev import chebyshev_preconditioner
+        from spmv_tpu.solvers.lanczos import lanczos_extreme
+
+        _, lmax_d = lanczos_extreme(
+            A.as_linear_operator(),
+            A.to_dist(np.ones(a.nrows, dtype)), m=32)
+        lmax = float(lmax_d) * 1.05
+        deg = 16
+        X0 = A.to_dist_block(np.random.default_rng(0).standard_normal(
+            (a.nrows, args.deflated)).astype(dtype))
+        eig = jax.jit(lambda A_, X: lobpcg(
+            A_.matmat, X, k=args.deflated, maxiter=100, tol=1e-3,
+            preconditioner=chebyshev_preconditioner(
+                A_.matmat, (2.0 / deg) ** 2 * lmax, lmax, degree=deg),
+            block_ops=lane_block_ops()))(A, X0)
+        Xh = A.from_dist_block(eig.X)
+        W = jnp.stack([A.to_dist(np.ascontiguousarray(Xh[:, j]))
+                       for j in range(args.deflated)])
+        timer.add("0.DeflSetup", time.perf_counter() - t0)
+        solve = jax.jit(
+            lambda A_, bb, W_: cg_deflated(
+                A_.as_linear_operator(), bb, W_, kmax=args.kmax,
+                rtol=args.rtol,
+                preconditioner=A_.jacobi_preconditioner() if args.jacobi
+                else None,
+            )
+        )
+        solve_args = (A, b, W)
     elif args.spai:
         from spmv_tpu.solvers.spai import spai_setup
 

@@ -126,6 +126,54 @@ def test_demo_cg_spai_preconditioner():
     assert rnorm < 1e-5
 
 
+def test_demo_cg_fsai_preconditioner():
+    """--fsai through the CLI: SPD-preconditioned CG must converge in
+    FEWER iterations than plain (79 vs 123 on this family) and hit the
+    same solution."""
+    plain = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--kmax", "200"])
+    fsai = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--fsai", "--kmax", "200"])
+    assert "Converged: True" in fsai
+    assert float(fsai.split("r.norm = ")[1].split()[0]) < 1e-8
+    it_plain = int(plain.split("Converged: True in ")[1].split()[0])
+    it_fsai = int(fsai.split("Converged: True in ")[1].split()[0])
+    assert it_fsai < it_plain
+    x_plain = float(plain.split("x.norm = ")[1].split()[0])
+    x_fsai = float(fsai.split("x.norm = ")[1].split()[0])
+    np.testing.assert_allclose(x_fsai, x_plain, rtol=1e-8)
+
+
+def test_demo_cg_deflated():
+    """--deflated D through the CLI: LOBPCG-harvested basis + deflated CG
+    converges, matching the plain solution."""
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--deflated", "4", "--kmax", "200"])
+    assert "0.DeflSetup" in stdout
+    assert "Converged: True" in stdout
+    assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-8
+
+
+def test_demo_eig_svd_triplets():
+    """--svd through the CLI: Golub-Kahan top triplets of the 2-D
+    Laplacian; sigma_max(16x16 lap2d) is 4*(cos(pi/17)+... ) ~ 7.86 — check
+    the printed leading sigma against the dense value and the certificate
+    column is present."""
+    stdout = run_demo(
+        ["demos/demo_eig.py", "--lap2d", "16", "--svd", "40", "-k", "2",
+         "--cpu", "--devices", "2"])
+    assert "largest singular triplets" in stdout
+    s0 = float(stdout.split("sigma[0] = ")[1].split()[0])
+    # dense check: lap2d eigenvalues are 4 - 2cos(i pi/17) - 2cos(j pi/17)
+    th = np.pi / 17.0
+    want = 4.0 - 2.0 * np.cos(16 * th) - 2.0 * np.cos(16 * th)
+    np.testing.assert_allclose(s0, want, rtol=1e-6)
+    assert "|A^T u - s v|" in stdout
+
+
 def test_demo_eig_arnoldi_nonsymmetric():
     stdout = run_demo(
         ["demos/demo_eig.py", "--convdiff", "16", "--arnoldi", "40",
