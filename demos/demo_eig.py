@@ -45,6 +45,13 @@ def main() -> int:
                     help="estimate the k LARGEST singular triplets via an "
                          "M-step Golub-Kahan run (any operator, incl. "
                          "nonsymmetric; certificates printed per triplet)")
+    ap.add_argument("--logdet", type=int, default=0, metavar="M",
+                    help="estimate log det A (SPD) by stochastic Lanczos "
+                         "quadrature with M-step quadratures; prints "
+                         "mean +- stderr over --probes Rademacher probes "
+                         "(and the exact dense value when n is small)")
+    ap.add_argument("--probes", type=int, default=16,
+                    help="Monte-Carlo probes for --logdet")
     ap.add_argument("--largest", action="store_true",
                     help="largest eigenpairs (default: smallest)")
     ap.add_argument("--maxiter", type=int, default=300)
@@ -125,6 +132,30 @@ def main() -> int:
     nonsym_fmt = "ell" if (args.arnoldi or args.convdiff) else None
     A = build_dist_matrix(a, n_devices=n_dev, dtype=dtype,
                           local_format=args.format or nonsym_fmt or "dia")
+
+    if args.logdet:
+        from spmv_tpu.solvers.funm import slq_logdet
+
+        template = A.to_dist(np.ones(a.nrows, dtype))
+        timer.add("1.Assemble", time.perf_counter() - t0)
+        est = jax.jit(lambda A_, t, key: slq_logdet(
+            A_.as_linear_operator(), t, key,
+            n_probes=args.probes, m=args.logdet))
+        mean, err = est(A, template, jax.random.key(args.seed))
+        device_sync(mean)
+        t0 = time.perf_counter()
+        mean, err = est(A, template, jax.random.key(args.seed))
+        device_sync(mean)
+        timer.add("2.SLQ", time.perf_counter() - t0)
+        print(timer.report())
+        print(f"SLQ(m={args.logdet}, probes={args.probes}): "
+              f"log det A = {float(mean):.9e} +- {float(err):.3e} (stderr)")
+        if a.nrows <= 8192:
+            sign, exact = np.linalg.slogdet(a.to_dense().astype(np.float64))
+            dev = abs(float(mean) - exact) / max(float(err), 1e-300)
+            print(f"  exact (dense slogdet): {exact:.9e}  "
+                  f"sign={sign:+.0f}  deviation = {dev:.2f} sigma")
+        return 0
 
     if args.svd:
         from spmv_tpu.solvers.svds import svds

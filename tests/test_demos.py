@@ -174,6 +174,17 @@ def test_demo_eig_svd_triplets():
     assert "|A^T u - s v|" in stdout
 
 
+def test_demo_eig_slq_logdet():
+    """--logdet through the CLI: the SLQ estimate must land within its own
+    Monte-Carlo error bars of the dense slogdet (deterministic seed)."""
+    stdout = run_demo(
+        ["demos/demo_eig.py", "--lap2d", "16", "--logdet", "48",
+         "--probes", "24", "--cpu", "--devices", "2"])
+    assert "log det A = " in stdout and "exact (dense slogdet)" in stdout
+    dev = float(stdout.split("deviation = ")[1].split()[0])
+    assert dev < 4.0
+
+
 def test_demo_eig_arnoldi_nonsymmetric():
     stdout = run_demo(
         ["demos/demo_eig.py", "--convdiff", "16", "--arnoldi", "40",
