@@ -46,6 +46,11 @@ def main() -> int:
                     help="SPAI (sparse approximate inverse) preconditioning "
                          "for the nonsymmetric solvers; LEVEL=1 uses "
                          "pattern(A), 2 the denser pattern(|A|^2+|A|)")
+    ap.add_argument("--sstep", type=int, default=0, metavar="S",
+                    help="s-step (communication-avoiding) CG: ONE global "
+                         "reduction per S iterations (plain CG pays 2-3 "
+                         "per iteration) — the pod-scale latency lever; "
+                         "shifted-Chebyshev Krylov basis, block Galerkin")
     ap.add_argument("--fsai", action="store_true",
                     help="FSAI (factorized sparse approximate inverse) SPD "
                          "preconditioning: M^-1 = G^T G with G ~ "
@@ -267,6 +272,18 @@ def main() -> int:
             )
         )
         solve_args = (A, b, M)
+    elif args.sstep:
+        from spmv_tpu.solvers.cg_sstep import cg_sstep
+
+        if args.solver != "cg" or args.jacobi:
+            ap.error("--sstep is unpreconditioned s-step CG; drop "
+                     "--solver/--jacobi")
+        solve = jax.jit(
+            lambda A_, bb: cg_sstep(A_.as_linear_operator(), bb,
+                                    s=args.sstep, kmax=args.kmax,
+                                    rtol=args.rtol)
+        )
+        solve_args = (A, b)
     else:
         solve = jax.jit(
             lambda A_, bb: krylov(

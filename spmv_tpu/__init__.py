@@ -118,6 +118,7 @@ from spmv_tpu.solvers.amg import (
     amg_setup,
 )
 from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
+from spmv_tpu.solvers.cg_sstep import cg_sstep
 from spmv_tpu.solvers.chebyshev import (
     chebyshev,
     chebyshev_adaptive,
@@ -169,6 +170,7 @@ __all__ = [
     "dia_pallas_supported",
     "cg",
     "cg_pipelined",
+    "cg_sstep",
     "chebyshev",
     "chebyshev_adaptive",
     "chebyshev_bounds",

@@ -174,6 +174,16 @@ def test_demo_eig_svd_triplets():
     assert "|A^T u - s v|" in stdout
 
 
+def test_demo_cg_sstep():
+    """--sstep S through the CLI: communication-avoiding CG converges to
+    the same solution as plain CG (within block-granularity iterations)."""
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--sstep", "4", "--kmax", "200"])
+    assert "Converged: True" in stdout
+    assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-8
+
+
 def test_demo_eig_slq_logdet():
     """--logdet through the CLI: the SLQ estimate must land within its own
     Monte-Carlo error bars of the dense slogdet (deterministic seed)."""
