@@ -143,6 +143,16 @@ def cg_sstep(
     basis — ``(0, lmax)`` is always valid for SPD A and costs nothing in
     conditioning; if omitted, a 12-step power iteration estimates lmax
     once (s extra matvecs' worth of setup, amortized over the solve).
+
+    Preconditioning composes by SPLITTING, not by an M^-1 argument (a
+    left-preconditioned s-step basis would need every Gram in the
+    M-inner product): for a factorized SPD preconditioner M^-1 = G^T G
+    (``fsai_setup``; Jacobi is G = diag(A)^-1/2) solve the equivalent
+    SPD system (G A G^T) y = G b with ``matvec=lambda v:
+    G(A(Gt(v)))`` and recover x = G^T y — three SpMVs per apply, zero
+    extra reductions, and the s-step communication structure untouched.
+    ``tests/test_cg_sstep.py::test_sstep_fsai_split_preconditioned``
+    demonstrates the pattern end to end.
     """
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")

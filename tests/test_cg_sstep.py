@@ -145,6 +145,38 @@ def test_sstep_distributed(n_dev):
         < 1e-9
 
 
+def test_sstep_fsai_split_preconditioned():
+    """Split preconditioning (the documented composition pattern): s-step
+    CG on (G A G^T) y = G b with the FSAI factor, x = G^T y — converges
+    in FEWER iterations than unpreconditioned s-step on the same mesh and
+    hits the true solution. Three SpMVs per apply, reduction structure
+    unchanged."""
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.fsai import fsai_setup
+
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, n_devices=4)
+    G = build_dist_matrix(fsai_setup(a), n_devices=4)
+    Gt = G.transposed()
+    b_host = gaussian_bump(a.nrows)
+    b = A.to_dist(b_host)
+
+    def solve(A_, G_, Gt_, bb):
+        gmv = lambda v: G_.matvec(A_.matvec(Gt_.matvec(v)))
+        res = cg_sstep(gmv, G_.matvec(bb), s=4, kmax=400, rtol=1e-10)
+        return res, Gt_.matvec(res.x)
+
+    res, x = jax.jit(solve)(A, G, Gt, b)
+    x_host = A.from_dist(x)
+    assert bool(res.converged)
+    rel = np.linalg.norm(a.matvec(x_host) - b_host) / np.linalg.norm(b_host)
+    assert rel < 1e-8
+    plain = jax.jit(
+        lambda A_, bb: cg_sstep(A_.as_linear_operator(), bb, s=4,
+                                kmax=400, rtol=1e-10))(A, b)
+    assert int(res.iterations) < int(plain.iterations)
+
+
 def test_sstep_one_allreduce_per_block_in_hlo():
     """The headline: the compiled while-loop body (= one s-block = s CG
     iterations) contains exactly ONE all-reduce; plain CG's body (= one
