@@ -147,6 +147,12 @@ from spmv_tpu.parallel.dist_matrix import (
     build_dist_matrix_from_shards,
 )
 from spmv_tpu.parallel.partition import owner_ranges, partition_csr
+from spmv_tpu.parallel.powers import (
+    PowersPlan,
+    build_powers_plan,
+    chebyshev_powers_basis,
+    powers_ghost_stats,
+)
 
 __version__ = "0.1.0"
 
@@ -239,6 +245,10 @@ __all__ = [
     "build_dist_matrix_from_shards",
     "owner_ranges",
     "partition_csr",
+    "PowersPlan",
+    "build_powers_plan",
+    "chebyshev_powers_basis",
+    "powers_ghost_stats",
     "WellMatrix",
     "csr_to_well",
     "csr_to_well_sym",

@@ -1,0 +1,260 @@
+"""Matrix-powers kernel — communication-avoiding Krylov basis builder.
+
+``cg_sstep`` reduced the REDUCTION count to one psum per s iterations, but
+its basis build still pays s halo exchanges (one per matvec). This module
+removes that second communication axis: fetch a DEPTH-s ghost region ONCE,
+then build all s+1 Chebyshev basis vectors with purely local applies —
+one ppermute round set + one psum per s iterations, the full
+communication-avoiding Krylov recipe (the "matrix powers kernel" of
+Demmel/Hoemmen/Mohiyuddin; reference LIBSPMV has neither the concept nor
+the plan machinery — its L2GMap is strictly depth-1,
+reference spmv/L2GMap.cpp:18-478).
+
+How it works (per shard):
+
+1. At PLAN time (host, once): BFS the sparsity pattern s hops outward
+   from the owned row range. Hop sets F_1..F_s are this shard's extended
+   ghosts; the extended operator is the rows of A for owned ∪ F_1..F_s
+   with columns renumbered into the extended-local space
+   [owned-padded | ghosts]. Column references that leave the extended
+   space (possible only on hop-s rows) are DROPPED — see the validity
+   argument below. The ghost exchange itself is an ordinary ``CommPlan``
+   compiled over the depth-s ghost lists (same ppermute schedule
+   machinery as the depth-1 halo, bigger payload).
+
+2. At APPLY time (device, inside one ``shard_map``): ONE ``halo_gather``
+   fills the extended tail, then s local ELL applies run the shifted-
+   Chebyshev three-term recurrence on extended-length vectors. No
+   masking is needed: after j applies, entries at hop distance > s-j are
+   garbage, but garbage only propagates OUTWARD (row at hop h reads
+   columns at hops <= h+1), so the OWNED slice of every basis vector
+   v_0..v_s is exact. Each shard simply never reads the contaminated
+   tail region it returns to nobody.
+
+The validity argument is the standard MPK one; what TPU adds is that the
+whole thing is one compiled SPMD program — the deep halo_gather is a
+static ppermute schedule XLA can overlap with the first local apply, and
+the local applies are gather+multiply-reduce ops with no collectives at
+all (HLO-counted in tests/test_powers.py).
+
+When to use: reduction- and halo-LATENCY-bound regimes (large meshes,
+DCN-crossing pods) with sparsity whose s-hop ghost growth is modest —
+banded/stencil operators grow ghosts LINEARLY in s (s * bandwidth rows
+per boundary), which is the sweet spot. General scrambled sparsity can
+blow the ghost set up exponentially; ``plan.nghost_pad`` (and
+``powers_ghost_stats``) make the cost visible before you pay it — RCM
+reordering (``spmv_tpu.reorder``) localizes the pattern first. On this
+1-chip environment the multi-chip wall-clock win is unmeasurable; the
+collective counts are the verifiable contract.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.parallel.comm_plan import CommPlan, compile_plan, halo_gather
+from spmv_tpu.parallel.partition import owner_ranges
+
+
+@dataclasses.dataclass
+class PowersPlan:
+    """Depth-s ghost plan + extended-local ELL operator, stacked over the
+    device axis.
+
+    colind/values: (D, next_pad, K) — extended operator rows in the
+    extended-local vector layout [owned (col_pad) | ghosts (nghost_pad)];
+    padding slots carry value 0 (colind 0, harmless).
+    """
+
+    colind: jax.Array
+    values: jax.Array
+    plan: CommPlan
+    s: int
+    next_pad: int
+    mesh: object
+    axis_name: str
+
+
+jax.tree_util.register_dataclass(
+    PowersPlan,
+    data_fields=["colind", "values", "plan"],
+    meta_fields=["s", "next_pad", "mesh", "axis_name"],
+)
+
+
+def _expand_rows(rowptr: np.ndarray, rows: np.ndarray):
+    """Indices into colind/values for the given rows, plus the per-row
+    repeat vector (vectorized CSR row gather)."""
+    starts = rowptr[rows]
+    cnt = (rowptr[rows + 1] - starts).astype(np.int64)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.int64), cnt
+    # idx = concat(arange(starts[i], starts[i]+cnt[i]))
+    off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    idx = np.repeat(starts, cnt) + (np.arange(total) - off)
+    return idx, cnt
+
+
+def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
+    """Compile the depth-``s`` matrix-powers plan for the square operator
+    ``a`` distributed as ``A`` (a ``DistMatrix`` built from the same
+    host matrix on a 1-D mesh; used for mesh/layout/dtype). Host-side,
+    vectorized numpy; call once at assembly time like ``fsai_setup``/
+    ``amg_setup``. The resulting plan is a pytree — pass it through jit
+    as an argument."""
+    if a.nrows != a.ncols:
+        raise ValueError("matrix powers need a square operator")
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    if isinstance(A.plan, CommPlan) is False:
+        raise NotImplementedError(
+            "powers plans are compiled for 1-D (single-tier) meshes; "
+            "two-tier (dcn, ici) support is a follow-up")
+    n = a.nrows
+    D = A.n_devices
+    col_pad = A.col_pad
+    dtype = A.dtype
+    ranges = owner_ranges(n, D)
+
+    # --- BFS hop sets per shard ---
+    ghost_lists: list[np.ndarray] = []
+    for sh in range(D):
+        r0, r1 = int(ranges[sh]), int(ranges[sh + 1])
+        seen = np.arange(r0, r1, dtype=np.int64)
+        cur = seen
+        levels = []
+        for _hop in range(s):
+            idx, _ = _expand_rows(a.rowptr, cur)
+            if len(idx) == 0:
+                break
+            nb = np.unique(a.colind[idx].astype(np.int64))
+            new = np.setdiff1d(nb, seen, assume_unique=True)
+            if len(new) == 0:
+                break
+            levels.append(new)
+            seen = np.union1d(seen, new)
+            cur = new
+        ghosts = (np.sort(np.concatenate(levels))
+                  if levels else np.empty(0, np.int64))
+        ghost_lists.append(ghosts)
+
+    plan = compile_plan(ranges, ghost_lists, row_align=col_pad)
+    assert plan.nlocal_pad == col_pad, (plan.nlocal_pad, col_pad)
+    next_pad = col_pad + plan.nghost_pad
+
+    # --- extended-local ELL operator per shard ---
+    per_shard = []
+    K = 1
+    for sh in range(D):
+        r0, r1 = int(ranges[sh]), int(ranges[sh + 1])
+        ghosts = ghost_lists[sh]
+        ng = len(ghosts)
+        ext_ids = np.concatenate([np.arange(r0, r1, dtype=np.int64), ghosts])
+        xe_pos = np.concatenate([
+            np.arange(r1 - r0, dtype=np.int64),
+            col_pad + np.arange(ng, dtype=np.int64),
+        ])
+        idx, cnt = _expand_rows(a.rowptr, ext_ids)
+        gcols = a.colind[idx].astype(np.int64)
+        gvals = a.values[idx].astype(dtype)
+        rows_rep = np.repeat(xe_pos, cnt)
+        owned = (gcols >= r0) & (gcols < r1)
+        lcols = np.where(owned, gcols - r0, 0)
+        if ng:
+            gpos = np.searchsorted(ghosts, gcols)
+            gclip = np.minimum(gpos, ng - 1)
+            hit = (~owned) & (ghosts[gclip] == gcols)
+            lcols = np.where(hit, col_pad + gclip, lcols)
+        else:
+            hit = np.zeros(len(gcols), bool)
+        # references beyond the extended space occur only on hop-s rows,
+        # whose values are never validly read — drop them
+        keep = owned | hit
+        rows_rep, lcols, gvals = rows_rep[keep], lcols[keep], gvals[keep]
+        kc = np.bincount(rows_rep, minlength=next_pad).astype(np.int64)
+        K = max(K, int(kc.max()) if len(kc) else 1)
+        per_shard.append((rows_rep, lcols, gvals, kc))
+
+    colind = np.zeros((D, next_pad, K), np.int32)
+    values = np.zeros((D, next_pad, K), dtype)
+    for sh, (rows_rep, lcols, gvals, kc) in enumerate(per_shard):
+        if len(rows_rep) == 0:
+            continue
+        order = np.argsort(rows_rep, kind="stable")
+        rs = rows_rep[order]
+        row_start = np.cumsum(kc) - kc  # first slot index of each row
+        slot = np.arange(len(rs)) - row_start[rs]
+        colind[sh, rs, slot] = lcols[order].astype(np.int32)
+        values[sh, rs, slot] = gvals[order]
+
+    return PowersPlan(
+        colind=jnp.asarray(colind),
+        values=jnp.asarray(values),
+        plan=plan,
+        s=s,
+        next_pad=next_pad,
+        mesh=A.mesh,
+        axis_name=A.axis_name,
+    )
+
+
+def powers_ghost_stats(pp: PowersPlan, A) -> dict:
+    """Cost visibility: depth-s ghost volume vs the operator's depth-1
+    halo. A growth factor ~s means stencil-like sparsity (MPK sweet
+    spot); much larger means the pattern defeats the trade."""
+    return {
+        "s": pp.s,
+        "nghost_pad_depth_s": pp.plan.nghost_pad,
+        "nghost_pad_depth_1": A.plan.nghost_pad,
+        "growth": (pp.plan.nghost_pad / max(A.plan.nghost_pad, 1)),
+        "ext_rows_pad": pp.next_pad,
+        "ext_nnz_slots": int(pp.values.shape[1] * pp.values.shape[2]),
+    }
+
+
+def chebyshev_powers_basis(pp: PowersPlan, x: jax.Array, c, e) -> jax.Array:
+    """The s+1 shifted-Chebyshev Krylov basis vectors of ``x`` in the
+    distributed lane layout — with ONE halo exchange total.
+
+    Returns ``V`` of shape (s+1, *x.shape); ``V[j]`` equals the naive
+    ``v_{j+1} = 2((A - c)/e) v_j - v_{j-1}`` recurrence built with s
+    separate halo-exchanged matvecs (tests pin the equivalence). Use as
+    ``cg_sstep(..., basis_builder=lambda r, c, e:
+    chebyshev_powers_basis(pp, r, c, e))`` with matching ``s``."""
+    spec = P(pp.axis_name, None)
+    mspec3 = P(pp.axis_name, None, None)
+    plan = pp.plan
+    tables = (plan.send_idx, plan.recv_pos)
+
+    def per_shard(x_s, ci, vals, sidx, rpos):
+        ci, vals = ci[0], vals[0]
+        xf = x_s.reshape(-1)  # (col_pad,)
+        g = halo_gather(xf, sidx[0], rpos[0], plan.rounds, plan.n_devices,
+                        plan.nghost_pad, pp.axis_name)
+        xe = jnp.concatenate([xf, g])
+
+        def ell(v):
+            # gather + multiply-reduce: VPU ops, exact at storage precision
+            return jnp.einsum("rk,rk->r", vals, jnp.take(v, ci, axis=0))
+
+        cc = jnp.asarray(c, xe.dtype)
+        ee = jnp.asarray(e, xe.dtype)
+        vs = [xe, (ell(xe) - cc * xe) / ee]
+        for _ in range(1, pp.s):
+            vs.append(2 * (ell(vs[-1]) - cc * vs[-1]) / ee - vs[-2])
+        V = jnp.stack([v[: xf.shape[0]] for v in vs])  # owned slices
+        return V.reshape((pp.s + 1,) + x_s.shape)
+
+    return jax.shard_map(
+        per_shard,
+        mesh=pp.mesh,
+        in_specs=(spec, mspec3, mspec3, mspec3, mspec3),
+        out_specs=P(None, pp.axis_name, None),
+        check_vma=False,
+    )(x, pp.colind, pp.values, *tables)

@@ -130,6 +130,7 @@ def cg_sstep(
     kmax: int = 100,
     rtol: float = 1e-10,
     lambda_bounds: tuple | None = None,
+    basis_builder: Callable | None = None,
 ) -> CGResult:
     """Solve SPD ``A x = b`` with s-step CG: one global reduction per
     ``s`` iterations (module docstring). Semantics follow ``cg``:
@@ -153,6 +154,14 @@ def cg_sstep(
     extra reductions, and the s-step communication structure untouched.
     ``tests/test_cg_sstep.py::test_sstep_fsai_split_preconditioned``
     demonstrates the pattern end to end.
+
+    ``basis_builder``: optional replacement for the internal s-matvec
+    basis build — ``basis_builder(r, c, e) -> (s+1, *r.shape)`` must
+    return the same shifted-Chebyshev basis [rho_0(A) r, ..., rho_s(A) r]
+    for the bounds-derived (c, e). The matrix-powers kernel
+    (``spmv_tpu.parallel.powers.chebyshev_powers_basis``) plugs in here
+    to build the whole basis with ONE halo exchange instead of s — the
+    fully communication-avoiding configuration.
     """
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
@@ -191,6 +200,9 @@ def cg_sstep(
             (e / 2).astype(b.dtype))
 
     def build_basis(r):
+        if basis_builder is not None:
+            # e.g. the matrix-powers kernel: whole basis, ONE exchange
+            return basis_builder(r.reshape(vshape), c, e).reshape(s + 1, n)
         # shifted-Chebyshev Krylov basis of r: s matvecs, zero reductions
         vs = [r, (mv(r) - c.astype(b.dtype) * r) / e.astype(b.dtype)]
         for _ in range(1, s):
