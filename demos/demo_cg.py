@@ -51,6 +51,11 @@ def main() -> int:
                          "reduction per S iterations (plain CG pays 2-3 "
                          "per iteration) — the pod-scale latency lever; "
                          "shifted-Chebyshev Krylov basis, block Galerkin")
+    ap.add_argument("--mpk", action="store_true",
+                    help="with --sstep: build the Krylov basis through "
+                         "the matrix-powers kernel (depth-S ghost plan) — "
+                         "ONE halo exchange + ONE reduction per S "
+                         "iterations; ghost-growth stats printed")
     ap.add_argument("--fsai", action="store_true",
                     help="FSAI (factorized sparse approximate inverse) SPD "
                          "preconditioning: M^-1 = G^T G with G ~ "
@@ -278,12 +283,35 @@ def main() -> int:
         if args.solver != "cg" or args.jacobi:
             ap.error("--sstep is unpreconditioned s-step CG; drop "
                      "--solver/--jacobi")
-        solve = jax.jit(
-            lambda A_, bb: cg_sstep(A_.as_linear_operator(), bb,
-                                    s=args.sstep, kmax=args.kmax,
-                                    rtol=args.rtol)
-        )
-        solve_args = (A, b)
+        if args.mpk:
+            from spmv_tpu.parallel.powers import (
+                build_powers_plan,
+                chebyshev_powers_basis,
+                powers_ghost_stats,
+            )
+
+            t0 = time.perf_counter()
+            pp = build_powers_plan(a, A, s=args.sstep)
+            timer.add("0.PowersPlan", time.perf_counter() - t0)
+            st = powers_ghost_stats(pp, A)
+            print(f"MPK: depth-{args.sstep} ghosts {st['nghost_pad_depth_s']}"
+                  f" vs depth-1 {st['nghost_pad_depth_1']} "
+                  f"(growth {st['growth']:.1f}x)", file=sys.stderr)
+            solve = jax.jit(
+                lambda A_, p_, bb: cg_sstep(
+                    A_.as_linear_operator(), bb, s=args.sstep,
+                    kmax=args.kmax, rtol=args.rtol,
+                    basis_builder=lambda r, c, e: chebyshev_powers_basis(
+                        p_, r, c, e))
+            )
+            solve_args = (A, pp, b)
+        else:
+            solve = jax.jit(
+                lambda A_, bb: cg_sstep(A_.as_linear_operator(), bb,
+                                        s=args.sstep, kmax=args.kmax,
+                                        rtol=args.rtol)
+            )
+            solve_args = (A, b)
     else:
         solve = jax.jit(
             lambda A_, bb: krylov(
