@@ -117,7 +117,12 @@ from spmv_tpu.solvers.amg import (
     amg_preconditioner,
     amg_setup,
 )
-from spmv_tpu.solvers.cg import cg, cg_pipelined, CGResult
+from spmv_tpu.solvers.cg import (
+    cg,
+    cg_pipelined,
+    cg_residual_history,
+    CGResult,
+)
 from spmv_tpu.solvers.cg_sstep import cg_sstep
 from spmv_tpu.solvers.chebyshev import (
     chebyshev,
@@ -176,6 +181,7 @@ __all__ = [
     "dia_pallas_supported",
     "cg",
     "cg_pipelined",
+    "cg_residual_history",
     "cg_sstep",
     "chebyshev",
     "chebyshev_adaptive",
