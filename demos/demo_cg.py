@@ -167,6 +167,12 @@ def main() -> int:
         print(f"x.norm = {np.linalg.norm(res.x):.12e}")
         return 0
 
+    if args.mpk and not args.sstep:
+        ap.error("--mpk builds the s-step Krylov basis; it needs --sstep S")
+    if args.sstep and (args.amg or args.spai or args.fsai or args.deflated):
+        ap.error("--sstep is unpreconditioned s-step CG; it cannot combine "
+                 "with --amg/--spai/--fsai/--deflated")
+
     n_dev = args.devices or len(jax.devices())
     A = build_dist_matrix(a, n_devices=n_dev, symmetric=args.symmetric, dtype=dtype,
                           local_format=args.format or ("dia" if args.dia else "ell"))
@@ -250,8 +256,10 @@ def main() -> int:
             preconditioner=chebyshev_preconditioner(
                 A_.matmat, (2.0 / deg) ** 2 * lmax, lmax, degree=deg),
             block_ops=lane_block_ops()))(A, X0)
-        Xh = A.from_dist_block(eig.X)
-        W = jnp.stack([A.to_dist(np.ascontiguousarray(Xh[:, j]))
+        # column j of the SpMM block layout IS the single-vector lane
+        # layout at lanes [j*128, (j+1)*128) — stack by device-side slicing
+        # (no host round trip)
+        W = jnp.stack([eig.X[:, j * 128:(j + 1) * 128]
                        for j in range(args.deflated)])
         timer.add("0.DeflSetup", time.perf_counter() - t0)
         solve = jax.jit(

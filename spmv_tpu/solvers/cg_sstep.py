@@ -224,10 +224,18 @@ def cg_sstep(
         # (|r| grown 1e4x over |r0| — no healthy CG trajectory does that).
         k, _x, _r, _Q, _S, _D, rnorm2, _xb, _rb = state
         rn = jnp.sqrt(jnp.maximum(rnorm2, 0.0))
+        # divergence cap keyed to dtype: CG's 2-norm residual can grow
+        # transiently up to ~sqrt(kappa) over |r0| on HEALTHY trajectories,
+        # and f64 handles kappa far beyond fp32 — cap at ~1/sqrt(eps)
+        # (1e4 for f32, ~6.7e7 for f64) so only precision-impossible
+        # growth exits early
+        cap = jnp.maximum(
+            jnp.asarray(1e4, rdtype),
+            1.0 / jnp.sqrt(jnp.asarray(jnp.finfo(b.dtype).eps, rdtype)))
         return ((k < n_outer)
                 & (rn / jnp.maximum(rnorm0, tiny) >= rtol)
                 & jnp.isfinite(rn)
-                & (rn <= 1e4 * rnorm0 + tiny))
+                & (rn <= cap * rnorm0 + tiny))
 
     def body(state):
         k, x, r, Q, S, D, _rn2, x_best, rn2_best = state
@@ -272,8 +280,13 @@ def cg_sstep(
     use_best = (~jnp.isfinite(rn_x)) | (
         rn_x > 4.0 * jnp.sqrt(jnp.maximum(rn2_best, 0.0)))
     x = jnp.where(use_best, x_best, x)
-    r_true = jnp.where(use_best, (b - matvec(x_best.reshape(vshape))
-                                  ).reshape(n), r_x)
+    # lax.cond, not jnp.where: the snapshot's matvec must only run on the
+    # (rare) fallback path — where would evaluate both branches and pay an
+    # unconditional second matvec+halo per solve
+    r_true = jax.lax.cond(
+        use_best,
+        lambda: (b - matvec(x_best.reshape(vshape))).reshape(n),
+        lambda: r_x)
     rnorm = jnp.sqrt(jnp.real(jnp.vdot(r_true, r_true)))
     return CGResult(
         x=x.reshape(vshape),
