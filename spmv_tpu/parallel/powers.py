@@ -57,7 +57,14 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from spmv_tpu.formats.csr import CSRHost
-from spmv_tpu.parallel.comm_plan import CommPlan, compile_plan, halo_gather
+from spmv_tpu.parallel.comm_plan import (
+    CommPlan,
+    CommPlan2,
+    compile_plan,
+    compile_plan_two_tier,
+    halo_gather,
+    halo_gather_two_tier,
+)
 from spmv_tpu.parallel.partition import owner_ranges
 
 
@@ -104,7 +111,9 @@ def _expand_rows(rowptr: np.ndarray, rows: np.ndarray):
 def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
     """Compile the depth-``s`` matrix-powers plan for the square operator
     ``a`` distributed as ``A`` (a ``DistMatrix`` built from the same
-    host matrix on a 1-D mesh; used for mesh/layout/dtype). Host-side,
+    host matrix; used for mesh/layout/dtype). Works on 1-D meshes and on
+    two-tier (dcn, ici) meshes — the deep ghosts then ride the same
+    dcn-first two-tier schedule as the operator's own halo. Host-side,
     vectorized numpy; call once at assembly time like ``fsai_setup``/
     ``amg_setup``. The resulting plan is a pytree — pass it through jit
     as an argument."""
@@ -112,10 +121,7 @@ def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
         raise ValueError("matrix powers need a square operator")
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
-    if isinstance(A.plan, CommPlan) is False:
-        raise NotImplementedError(
-            "powers plans are compiled for 1-D (single-tier) meshes; "
-            "two-tier (dcn, ici) support is a follow-up")
+    two_tier = isinstance(A.plan, CommPlan2)
     n = a.nrows
     D = A.n_devices
     col_pad = A.col_pad
@@ -144,7 +150,15 @@ def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
                   if levels else np.empty(0, np.int64))
         ghost_lists.append(ghosts)
 
-    plan = compile_plan(ranges, ghost_lists, row_align=col_pad)
+    if two_tier:
+        # same BFS ghosts, two-tier schedule: dcn-first rounds over the
+        # (dcn, ici) factorization the operator's own plan uses
+        plan = compile_plan_two_tier(ranges, ghost_lists,
+                                     n_dcn=A.plan.n_dcn,
+                                     n_ici=A.plan.n_ici,
+                                     row_align=col_pad)
+    else:
+        plan = compile_plan(ranges, ghost_lists, row_align=col_pad)
     assert plan.nlocal_pad == col_pad, (plan.nlocal_pad, col_pad)
     next_pad = col_pad + plan.nghost_pad
 
@@ -230,13 +244,24 @@ def chebyshev_powers_basis(pp: PowersPlan, x: jax.Array, c, e) -> jax.Array:
     spec = P(pp.axis_name, None)
     mspec3 = P(pp.axis_name, None, None)
     plan = pp.plan
-    tables = (plan.send_idx, plan.recv_pos)
+    two_tier = isinstance(plan, CommPlan2)
+    axes = (pp.axis_name if isinstance(pp.axis_name, tuple)
+            else (pp.axis_name,))
+    tables = ((plan.ici_send_idx, plan.ici_recv_pos,
+               plan.dcn_send_idx, plan.dcn_recv_pos)
+              if two_tier else (plan.send_idx, plan.recv_pos))
 
-    def per_shard(x_s, ci, vals, sidx, rpos):
+    def per_shard(x_s, ci, vals, *tabs):
         ci, vals = ci[0], vals[0]
+        tabs = tuple(t[0] for t in tabs)
         xf = x_s.reshape(-1)  # (col_pad,)
-        g = halo_gather(xf, sidx[0], rpos[0], plan.rounds, plan.n_devices,
-                        plan.nghost_pad, pp.axis_name)
+        if two_tier:
+            g = halo_gather_two_tier(
+                xf, *tabs, plan.rounds_ici, plan.rounds_dcn,
+                plan.n_dcn, plan.n_ici, plan.nghost_pad, axes[0], axes[1])
+        else:
+            g = halo_gather(xf, tabs[0], tabs[1], plan.rounds,
+                            plan.n_devices, plan.nghost_pad, axes[0])
         xe = jnp.concatenate([xf, g])
 
         def ell(v):
@@ -254,7 +279,7 @@ def chebyshev_powers_basis(pp: PowersPlan, x: jax.Array, c, e) -> jax.Array:
     return jax.shard_map(
         per_shard,
         mesh=pp.mesh,
-        in_specs=(spec, mspec3, mspec3, mspec3, mspec3),
+        in_specs=(spec, mspec3, mspec3) + (mspec3,) * len(tables),
         out_specs=P(None, pp.axis_name, None),
         check_vma=False,
     )(x, pp.colind, pp.values, *tables)

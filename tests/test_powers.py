@@ -121,6 +121,24 @@ def test_powers_fewer_collectives_in_hlo():
     assert n_mpk * 4 <= n_naive, (n_mpk, n_naive)
 
 
+def test_powers_basis_two_tier_mesh():
+    """Depth-s plan over a (dcn, ici) two-tier mesh: the deep ghosts ride
+    the dcn-first schedule; basis matches the naive two-tier matvec
+    recurrence."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dcn", "ici"))
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, mesh=mesh)
+    pp = build_powers_plan(a, A, s=4)
+    x = A.to_dist(gaussian_bump(a.nrows))
+    c, e = 4.0, 4.2
+    V = jax.jit(lambda p_, x_: chebyshev_powers_basis(p_, x_, c, e))(pp, x)
+    Vn = jax.jit(lambda A_, x_: _naive_basis(A_, x_, c, e, 4))(A, x)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(Vn), atol=1e-13)
+
+
 def test_powers_plan_validation():
     a = create_laplace_2d(8, 8)
     A = build_dist_matrix(a, n_devices=2)
