@@ -23,7 +23,7 @@ spmv.h (L7)            this module
 ====================  =======================================================
 """
 
-from spmv_tpu.formats.csr import CSRHost
+from spmv_tpu.formats.csr import CSRHost, csr_matmul
 from spmv_tpu.formats.ell import EllMatrix, csr_to_ell
 from spmv_tpu.formats.dia import DiaMatrix, csr_to_dia, dia_transpose
 from spmv_tpu.gen import (
@@ -163,6 +163,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CSRHost",
+    "csr_matmul",
     "EllMatrix",
     "csr_to_ell",
     "DiaMatrix",

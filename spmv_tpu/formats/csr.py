@@ -158,3 +158,27 @@ class CSRHost:
             sum_duplicates=False,
         )
         return lower, diag
+
+
+def csr_matmul(a: CSRHost, b: CSRHost) -> CSRHost:
+    """C = A @ B on host CSR — one vectorized expansion + coalesce (ESC
+    SpGEMM: expand every (A nonzero) x (matching B row), sort, compress).
+    Intermediate size is sum over A's nonzeros of B's matching row length;
+    intended for setup-time products (AMG triple products, explicit split
+    operators G A G^T for preconditioned CA-CG) on stencil-width rows."""
+    if a.ncols != b.nrows:
+        raise ValueError(f"shape mismatch: ({a.nrows},{a.ncols}) @ "
+                         f"({b.nrows},{b.ncols})")
+    lens_a = a.row_nnz().astype(np.int64)
+    rows_a = np.repeat(np.arange(a.nrows, dtype=np.int64), lens_a)
+    cols_a = a.colind.astype(np.int64)
+    rep = (b.rowptr[cols_a + 1] - b.rowptr[cols_a]).astype(np.int64)
+    total = int(rep.sum())
+    out_rows = np.repeat(rows_a, rep)
+    grp_off = np.zeros(len(rep), np.int64)
+    np.cumsum(rep[:-1], out=grp_off[1:])
+    inner = (np.arange(total, dtype=np.int64) - np.repeat(grp_off, rep)
+             + np.repeat(b.rowptr[cols_a], rep))
+    out_vals = np.repeat(a.values.astype(np.float64), rep) * b.values[inner]
+    return CSRHost.from_coo(out_rows, b.colind[inner].astype(np.int64),
+                            out_vals, a.nrows, b.ncols)

@@ -141,24 +141,10 @@ def _aggregate_block(rows, cols, vals, n, passes, seed):
     return agg, nc
 
 
-def _spgemm(a: CSRHost, b: CSRHost) -> CSRHost:
-    """C = A @ B on host CSR — one vectorized expansion + coalesce.
-    Intermediate size is sum over A's nonzeros of B's matching row length
-    (the standard ESC SpGEMM expansion); fine for the setup-time triple
-    products here, where B is a prolongator with ~stencil-width rows."""
-    lens_a = a.row_nnz().astype(np.int64)
-    rows_a = np.repeat(np.arange(a.nrows, dtype=np.int64), lens_a)
-    cols_a = a.colind.astype(np.int64)
-    rep = (b.rowptr[cols_a + 1] - b.rowptr[cols_a]).astype(np.int64)
-    total = int(rep.sum())
-    out_rows = np.repeat(rows_a, rep)
-    grp_off = np.zeros(len(rep), np.int64)
-    np.cumsum(rep[:-1], out=grp_off[1:])
-    inner = (np.arange(total, dtype=np.int64) - np.repeat(grp_off, rep)
-             + np.repeat(b.rowptr[cols_a], rep))
-    out_vals = np.repeat(a.values.astype(np.float64), rep) * b.values[inner]
-    return CSRHost.from_coo(out_rows, b.colind[inner].astype(np.int64),
-                            out_vals, a.nrows, b.ncols)
+# _spgemm was promoted to the public spmv_tpu.formats.csr.csr_matmul
+# (explicit split operators for CA-CG reuse it); kept under its old name
+# for the call sites below.
+from spmv_tpu.formats.csr import csr_matmul as _spgemm
 
 
 def _smoothed_prolongator(a: CSRHost, agg_g: np.ndarray, ncg: int,

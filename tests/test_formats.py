@@ -313,3 +313,22 @@ def test_native_laplace_fill_matches_numpy(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a_nat.values), np.asarray(a_np.values))
         assert a_nat.values.dtype == np.dtype(dtype)
+
+
+def test_csr_matmul_matches_dense():
+    """Host SpGEMM (csr_matmul): rectangular chains and the FSAI split
+    triple product match dense, incl. duplicate coalescing."""
+    from spmv_tpu.formats.csr import csr_matmul
+    from spmv_tpu.gen import create_laplace_2d, random_csr
+
+    a = random_csr(40, 24, 3, seed=5)
+    b = random_csr(24, 31, 4, seed=6)
+    c = csr_matmul(a, b)
+    np.testing.assert_allclose(c.to_dense(), a.to_dense() @ b.to_dense(),
+                               atol=1e-12)
+    lap = create_laplace_2d(8, 8)
+    m = csr_matmul(csr_matmul(lap, lap), lap.transpose())
+    d = lap.to_dense()
+    np.testing.assert_allclose(m.to_dense(), d @ d @ d.T, atol=1e-10)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        csr_matmul(a, a)
