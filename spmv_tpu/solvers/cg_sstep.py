@@ -131,6 +131,7 @@ def cg_sstep(
     rtol: float = 1e-10,
     lambda_bounds: tuple | None = None,
     basis_builder: Callable | None = None,
+    replace_every: int = 0,
 ) -> CGResult:
     """Solve SPD ``A x = b`` with s-step CG: one global reduction per
     ``s`` iterations (module docstring). Semantics follow ``cg``:
@@ -162,6 +163,15 @@ def cg_sstep(
     (``spmv_tpu.parallel.powers.chebyshev_powers_basis``) plugs in here
     to build the whole basis with ONE halo exchange instead of s — the
     fully communication-avoiding configuration.
+
+    ``replace_every=k``: residual replacement — every k-th block,
+    recompute ``r = b - A x`` instead of carrying the recurrence
+    residual, at 1/k extra matvecs per block. At fp32 this both lifts
+    the attainable floor ~6-8x (measured 3.0e-4 -> 5.1e-5 at kappa ~
+    1.7e3 with k in {1,2,4}) and stops the drifted recurrence from
+    triggering a false early exit; it does NOT restore plain CG's fp32
+    floor (the remaining gap is fp32 Galerkin/conjugation rounding) —
+    use f64 when that matters. 0 (default) disables it.
     """
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
@@ -260,6 +270,16 @@ def cg_sstep(
         Sp = _mm(B.T, V) - _mm(C.T.conj(), S)    # A P' (exact, no matvec)
         x = x + _mm(a, Pp)
         r = r - _mm(a, Sp)
+        if replace_every:
+            # residual replacement (van der Vorst/Carson): re-anchor the
+            # recurrence residual to b - A x so later blocks project
+            # against the TRUE residual instead of a drifted one — the
+            # low-precision drift killer, at 1/replace_every extra
+            # matvecs per block
+            r = jax.lax.cond(
+                (k + 1) % replace_every == 0,
+                lambda: (b - matvec(x.reshape(vshape))).reshape(n),
+                lambda: r)
         return (k + 1, x, r, Pp, Sp, Dn, g00, x_best, rn2_best)
 
     Q0 = jnp.zeros((s, n), b.dtype)

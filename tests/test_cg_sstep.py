@@ -119,6 +119,29 @@ def test_sstep_fp32_high_kappa_divergence_safe():
     assert float(r.rnorm) <= 4.0 * float(r.rnorm0) + 1e-6
 
 
+def test_sstep_residual_replacement_lifts_fp32_floor():
+    """replace_every re-anchors the recurrence residual to b - A x: at
+    fp32 the attainable true residual improves ~8x (measured 2.3e-4 ->
+    2.8e-5 on this family) and the drifted recurrence can no longer
+    trigger a false early exit."""
+    a = create_laplace_2d(48, 48)
+    dense = jnp.asarray(a.to_dense(), jnp.float32)
+    mv = lambda v: dense @ v
+    b = jnp.asarray(gaussian_bump(a.nrows), jnp.float32)
+    r0 = cg_sstep(mv, b, s=4, kmax=400, rtol=1e-7)
+    r2 = cg_sstep(mv, b, s=4, kmax=400, rtol=1e-7, replace_every=2)
+    t0 = float(jnp.linalg.norm(dense @ r0.x - b) / r0.rnorm0)
+    t2 = float(jnp.linalg.norm(dense @ r2.x - b) / r2.rnorm0)
+    assert t2 < t0 / 3
+    # f64 path unaffected in exactness terms
+    a64 = create_laplace_2d(16, 16)
+    d64, mv64 = _dense_ops(a64)
+    b64 = jnp.asarray(gaussian_bump(a64.nrows))
+    rr = cg_sstep(mv64, b64, s=4, kmax=400, rtol=1e-10, replace_every=2)
+    assert bool(rr.converged)
+    assert float(jnp.linalg.norm(d64 @ rr.x - b64)) < 1e-9
+
+
 def test_sstep_zero_rhs_no_nan():
     a = create_laplace_2d(8, 8)
     _, mv = _dense_ops(a)
