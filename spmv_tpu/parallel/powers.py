@@ -60,6 +60,7 @@ from spmv_tpu.formats.csr import CSRHost
 from spmv_tpu.parallel.comm_plan import (
     CommPlan,
     CommPlan2,
+    _round_up,
     compile_plan,
     compile_plan_two_tier,
     halo_gather,
@@ -70,27 +71,44 @@ from spmv_tpu.parallel.partition import owner_ranges
 
 @dataclasses.dataclass
 class PowersPlan:
-    """Depth-s ghost plan + extended-local ELL operator, stacked over the
+    """Depth-s ghost plan + extended-local operator, stacked over the
     device axis.
 
-    colind/values: (D, next_pad, K) — extended operator rows in the
-    extended-local vector layout [owned (col_pad) | ghosts (nghost_pad)];
-    padding slots carry value 0 (colind 0, harmless).
+    ELL realization (``local_format='ell'``, works for any sparsity):
+      colind/values: (D, next_pad, K) — extended operator rows in the
+      extended-local vector layout [owned (col_pad) | ghosts
+      (nghost_pad)]; padding slots carry value 0 (colind 0, harmless).
+
+    DIA realization (``local_format='dia'``, banded operators — the
+    chip-speed path): the extended window is the CONTIGUOUS global range
+    around the owned block under the affine map pos(g) = gl_pad + g - r0,
+    which preserves every diagonal offset exactly, so the extended block
+    is one per-shard ``DiaMatrix`` applied by the Pallas DIA kernel.
+      dia_data: (D, dia_rows/128, K*128) row-interleaved lane layout
+      ghost_pos: (D, nghost_pad) — xe positions the sorted ghost buffer
+      scatters into (OOB padding slots drop)
     """
 
     colind: jax.Array
     values: jax.Array
     plan: CommPlan
+    dia_data: jax.Array | None
+    ghost_pos: jax.Array | None
     s: int
     next_pad: int
     mesh: object
     axis_name: str
+    local_format: str = "ell"
+    dia_offsets: tuple = ()
+    gl_pad: int = 0
+    dia_rows: int = 0
 
 
 jax.tree_util.register_dataclass(
     PowersPlan,
-    data_fields=["colind", "values", "plan"],
-    meta_fields=["s", "next_pad", "mesh", "axis_name"],
+    data_fields=["colind", "values", "plan", "dia_data", "ghost_pos"],
+    meta_fields=["s", "next_pad", "mesh", "axis_name", "local_format",
+                 "dia_offsets", "gl_pad", "dia_rows"],
 )
 
 
@@ -108,7 +126,8 @@ def _expand_rows(rowptr: np.ndarray, rows: np.ndarray):
     return idx, cnt
 
 
-def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
+def build_powers_plan(a: CSRHost, A, s: int,
+                      local_format: str = "auto") -> PowersPlan:
     """Compile the depth-``s`` matrix-powers plan for the square operator
     ``a`` distributed as ``A`` (a ``DistMatrix`` built from the same
     host matrix; used for mesh/layout/dtype). Works on 1-D meshes and on
@@ -116,7 +135,13 @@ def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
     dcn-first two-tier schedule as the operator's own halo. Host-side,
     vectorized numpy; call once at assembly time like ``fsai_setup``/
     ``amg_setup``. The resulting plan is a pytree — pass it through jit
-    as an argument."""
+    as an argument.
+
+    ``local_format``: 'ell' (any sparsity, XLA gather applies), 'dia'
+    (banded operators — the extended block rides the Pallas DIA kernel at
+    chip speed; raises if the union of diagonal offsets exceeds 64), or
+    'auto' (default: 'dia' when the distributed operator itself uses DIA
+    local blocks and the extended window stays banded, else 'ell')."""
     if a.nrows != a.ncols:
         raise ValueError("matrix powers need a square operator")
     if s < 1:
@@ -161,6 +186,18 @@ def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
         plan = compile_plan(ranges, ghost_lists, row_align=col_pad)
     assert plan.nlocal_pad == col_pad, (plan.nlocal_pad, col_pad)
     next_pad = col_pad + plan.nghost_pad
+
+    if local_format not in ("auto", "ell", "dia"):
+        raise ValueError(f"unknown local_format {local_format!r}")
+    want_dia = (local_format == "dia"
+                or (local_format == "auto"
+                    and getattr(A, "local_format", "") == "dia"))
+    if want_dia:
+        built = _build_dia_powers(a, A, s, ranges, ghost_lists, plan,
+                                  col_pad, dtype,
+                                  strict=local_format == "dia")
+        if built is not None:
+            return built
 
     # --- extended-local ELL operator per shard ---
     per_shard = []
@@ -211,10 +248,101 @@ def build_powers_plan(a: CSRHost, A, s: int) -> PowersPlan:
         colind=jnp.asarray(colind),
         values=jnp.asarray(values),
         plan=plan,
+        dia_data=None,
+        ghost_pos=None,
         s=s,
         next_pad=next_pad,
         mesh=A.mesh,
         axis_name=A.axis_name,
+        local_format="ell",
+    )
+
+
+def _build_dia_powers(a, A, s, ranges, ghost_lists, plan, col_pad, dtype,
+                      strict: bool):
+    """DIA realization of the extended operator (see PowersPlan). Returns
+    None when the window is not banded enough (> 64 diagonals) and
+    ``strict`` is False — the caller then falls back to ELL."""
+    D = len(ghost_lists)
+    OOBi = np.int32(2**31 - 1)
+    gl_needed = []
+    right_span = []
+    for sh in range(D):
+        r0, r1 = int(ranges[sh]), int(ranges[sh + 1])
+        g = ghost_lists[sh]
+        gl_needed.append(int(r0 - g.min()) if len(g) and g.min() < r0 else 0)
+        gr = int(g.max() + 1 - r1) if len(g) and g.max() >= r1 else 0
+        right_span.append(r1 - r0 + gr)
+    gl_pad = _round_up(max(gl_needed), 128)
+    L = gl_pad + _round_up(max(max(right_span), col_pad), 128)
+
+    # entry lists in window coordinates; the affine pos(g) = gl_pad + g - r0
+    # preserves diagonal offsets EXACTLY (pcol - prow = gcol - grow)
+    per_shard = []
+    all_offs = []
+    for sh in range(D):
+        r0, r1 = int(ranges[sh]), int(ranges[sh + 1])
+        ghosts = ghost_lists[sh]
+        ng = len(ghosts)
+        ext_ids = np.concatenate([np.arange(r0, r1, dtype=np.int64), ghosts])
+        idx, cnt = _expand_rows(a.rowptr, ext_ids)
+        grow = np.repeat(ext_ids, cnt)
+        gcols = a.colind[idx].astype(np.int64)
+        gvals = a.values[idx].astype(dtype)
+        owned = (gcols >= r0) & (gcols < r1)
+        if ng:
+            gpos = np.searchsorted(ghosts, gcols)
+            gclip = np.minimum(gpos, ng - 1)
+            hit = (~owned) & (ghosts[gclip] == gcols)
+        else:
+            hit = np.zeros(len(gcols), bool)
+        keep = owned | hit  # drop hop-(s+1) references (hop-s rows only)
+        prow = gl_pad + grow[keep] - r0
+        offs = (gcols - grow)[keep]
+        per_shard.append((prow, offs, gvals[keep]))
+        all_offs.append(np.unique(offs))
+
+    union = np.unique(np.concatenate(all_offs)) if all_offs else np.array([0])
+    if len(union) > 64:
+        if strict:
+            raise ValueError(
+                f"extended window has {len(union)} distinct diagonals; "
+                "local_format='dia' powers plans are for banded operators")
+        return None
+    kd = max(len(union), 1)
+    dd = np.zeros((D, kd, L), dtype=dtype)
+    for sh, (prow, offs, vals) in enumerate(per_shard):
+        if len(prow) == 0:
+            continue
+        dsel = np.searchsorted(union, offs)
+        acc = np.bincount(dsel * np.int64(L) + prow, weights=vals,
+                          minlength=kd * L)
+        dd[sh] += acc.reshape(kd, L).astype(dd.dtype)
+    dia_data = (dd.reshape(D, kd, L // 128, 128)
+                .transpose(0, 2, 1, 3)
+                .reshape(D, L // 128, kd * 128))
+
+    ghost_pos = np.full((D, max(plan.nghost_pad, 1)), OOBi, np.int32)
+    for sh in range(D):
+        g = ghost_lists[sh]
+        if len(g):
+            ghost_pos[sh, : len(g)] = (gl_pad + g - int(ranges[sh])).astype(
+                np.int32)
+
+    return PowersPlan(
+        colind=jnp.zeros((D, 1, 1), jnp.int32),
+        values=jnp.zeros((D, 1, 1), jnp.asarray(dd).dtype),
+        plan=plan,
+        dia_data=jnp.asarray(dia_data),
+        ghost_pos=jnp.asarray(ghost_pos),
+        s=s,
+        next_pad=col_pad + plan.nghost_pad,
+        mesh=A.mesh,
+        axis_name=A.axis_name,
+        local_format="dia",
+        dia_offsets=tuple(int(o) for o in union),
+        gl_pad=gl_pad,
+        dia_rows=L,
     )
 
 
@@ -250,29 +378,84 @@ def chebyshev_powers_basis(pp: PowersPlan, x: jax.Array, c, e) -> jax.Array:
     tables = ((plan.ici_send_idx, plan.ici_recv_pos,
                plan.dcn_send_idx, plan.dcn_recv_pos)
               if two_tier else (plan.send_idx, plan.recv_pos))
+    on_tpu = pp.mesh.devices.flat[0].platform == "tpu"
+
+    def gather(xf, tabs):
+        if two_tier:
+            return halo_gather_two_tier(
+                xf, *tabs, plan.rounds_ici, plan.rounds_dcn,
+                plan.n_dcn, plan.n_ici, plan.nghost_pad, axes[0], axes[1])
+        return halo_gather(xf, tabs[0], tabs[1], plan.rounds,
+                           plan.n_devices, plan.nghost_pad, axes[0])
+
+    def recur(xe, apply_op):
+        cc = jnp.asarray(c, xe.dtype)
+        ee = jnp.asarray(e, xe.dtype)
+        vs = [xe, (apply_op(xe) - cc * xe) / ee]
+        for _ in range(1, pp.s):
+            vs.append(2 * (apply_op(vs[-1]) - cc * vs[-1]) / ee - vs[-2])
+        return vs
+
+    if pp.local_format == "dia":
+        from spmv_tpu.formats.dia import DiaMatrix
+        from spmv_tpu.ops.spmv_dia_pallas import (
+            dia_pallas_supported,
+            spmv_dia_pallas_2d,
+        )
+
+        def per_shard_dia(x_s, dd, gpos, nloc, *tabs):
+            dd, gpos, nloc = dd[0], gpos[0], nloc[0]
+            tabs = tuple(t[0] for t in tabs)
+            xf = x_s.reshape(-1)  # (col_pad,)
+            g = gather(xf, tabs)
+            xe = jnp.zeros((pp.dia_rows,), xf.dtype)
+            # owned block lands at the affine window position; the sorted
+            # ghost buffer scatters to pos(g) = gl_pad + g - r0 (padding
+            # slots drop). The owned write goes FIRST: its padding tail
+            # [nl, col_pad) overlaps the right-ghost region, which the
+            # scatter then overwrites with real values.
+            xe = jax.lax.dynamic_update_slice(xe, xf, (pp.gl_pad,))
+            if plan.nghost_pad:
+                xe = xe.at[gpos].set(g, mode="drop")
+            dm = DiaMatrix(data=dd, offsets=pp.dia_offsets,
+                           nrows=pp.dia_rows, ncols=pp.dia_rows)
+            if on_tpu and dia_pallas_supported(dm):
+                def apply_op(v):
+                    return spmv_dia_pallas_2d(
+                        dm, v.reshape(-1, 128)).reshape(-1)
+            else:
+                from spmv_tpu.ops.spmv_dia import spmv_dia
+
+                def apply_op(v):
+                    return spmv_dia(dm, v, method="xla")
+            vs = recur(xe, apply_op)
+            own = (jnp.arange(xf.shape[0]) < nloc).astype(xf.dtype)
+            V = jnp.stack([
+                jax.lax.dynamic_slice(v, (pp.gl_pad,), (xf.shape[0],)) * own
+                for v in vs])
+            return V.reshape((pp.s + 1,) + x_s.shape)
+
+        return jax.shard_map(
+            per_shard_dia,
+            mesh=pp.mesh,
+            in_specs=(spec, mspec3, P(pp.axis_name, None),
+                      P(pp.axis_name)) + (mspec3,) * len(tables),
+            out_specs=P(None, pp.axis_name, None),
+            check_vma=False,
+        )(x, pp.dia_data, pp.ghost_pos, plan.nlocal, *tables)
 
     def per_shard(x_s, ci, vals, *tabs):
         ci, vals = ci[0], vals[0]
         tabs = tuple(t[0] for t in tabs)
         xf = x_s.reshape(-1)  # (col_pad,)
-        if two_tier:
-            g = halo_gather_two_tier(
-                xf, *tabs, plan.rounds_ici, plan.rounds_dcn,
-                plan.n_dcn, plan.n_ici, plan.nghost_pad, axes[0], axes[1])
-        else:
-            g = halo_gather(xf, tabs[0], tabs[1], plan.rounds,
-                            plan.n_devices, plan.nghost_pad, axes[0])
+        g = gather(xf, tabs)
         xe = jnp.concatenate([xf, g])
 
         def ell(v):
             # gather + multiply-reduce: VPU ops, exact at storage precision
             return jnp.einsum("rk,rk->r", vals, jnp.take(v, ci, axis=0))
 
-        cc = jnp.asarray(c, xe.dtype)
-        ee = jnp.asarray(e, xe.dtype)
-        vs = [xe, (ell(xe) - cc * xe) / ee]
-        for _ in range(1, pp.s):
-            vs.append(2 * (ell(vs[-1]) - cc * vs[-1]) / ee - vs[-2])
+        vs = recur(xe, ell)
         V = jnp.stack([v[: xf.shape[0]] for v in vs])  # owned slices
         return V.reshape((pp.s + 1,) + x_s.shape)
 

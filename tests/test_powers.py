@@ -177,6 +177,83 @@ def test_powers_split_preconditioned_cacg():
     assert int(res.iterations) < int(plain.iterations)
 
 
+@pytest.mark.parametrize("n_dev,s", [(1, 4), (4, 3), (8, 4)])
+def test_powers_basis_dia_matches_ell(n_dev, s):
+    """DIA realization of the extended operator (the chip-speed path):
+    the affine-window DiaMatrix build equals the ELL build and the naive
+    recurrence exactly."""
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, n_devices=n_dev, local_format="dia")
+    pp = build_powers_plan(a, A, s=s)  # auto -> dia for DIA operators
+    assert pp.local_format == "dia"
+    ppe = build_powers_plan(a, A, s=s, local_format="ell")
+    assert ppe.local_format == "ell"
+    x = A.to_dist(gaussian_bump(a.nrows))
+    c, e = 4.0, 4.2
+    V = jax.jit(lambda p_, x_: chebyshev_powers_basis(p_, x_, c, e))(pp, x)
+    Ve = jax.jit(lambda p_, x_: chebyshev_powers_basis(p_, x_, c, e))(ppe, x)
+    Vn = jax.jit(lambda A_, x_: _naive_basis(A_, x_, c, e, s))(A, x)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(Ve), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(Vn), atol=1e-13)
+
+
+def test_powers_basis_dia_two_tier():
+    """DIA powers plan over a (dcn, ici) mesh: the deep ghosts ride the
+    two-tier schedule while the local applies run on the window DIA."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dcn", "ici"))
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, mesh=mesh, local_format="dia")
+    pp = build_powers_plan(a, A, s=4)
+    assert pp.local_format == "dia"
+    x = A.to_dist(gaussian_bump(a.nrows))
+    c, e = 4.0, 4.2
+    V = jax.jit(lambda p_, x_: chebyshev_powers_basis(p_, x_, c, e))(pp, x)
+    Vn = jax.jit(lambda A_, x_: _naive_basis(A_, x_, c, e, 4))(A, x)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(Vn), atol=1e-13)
+
+
+def test_powers_dia_strict_and_auto_fallback():
+    """Scrambled sparsity has too many distinct diagonals for a window
+    DIA: strict 'dia' raises, 'auto' on a DIA-local operator would fall
+    back to ELL (here the operator itself is ELL, so auto is ELL)."""
+    rng = np.random.default_rng(7)
+    n = 256
+    a = random_csr(n, n, 6, seed=11, symmetric=True, spd_shift=1.0)
+    A = build_dist_matrix(a, n_devices=4)
+    with pytest.raises(ValueError, match="distinct diagonals"):
+        build_powers_plan(a, A, s=2, local_format="dia")
+    pp = build_powers_plan(a, A, s=2)
+    assert pp.local_format == "ell"
+    x = A.to_dist(rng.standard_normal(n))
+    c, e = 2.0, 2.5
+    V = jax.jit(lambda p_, x_: chebyshev_powers_basis(p_, x_, c, e))(pp, x)
+    Vn = jax.jit(lambda A_, x_: _naive_basis(A_, x_, c, e, 2))(A, x)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(Vn), atol=1e-12)
+
+
+def test_powers_dia_cg_sstep_end_to_end():
+    """cg_sstep riding the DIA powers basis: converges to the same count
+    as the naive build."""
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, n_devices=8, local_format="dia")
+    pp = build_powers_plan(a, A, s=4)
+    assert pp.local_format == "dia"
+    b_host = gaussian_bump(a.nrows)
+    b = A.to_dist(b_host)
+    r1 = jax.jit(
+        lambda A_, p_, bb: cg_sstep(
+            A_.as_linear_operator(), bb, s=4, kmax=400, rtol=1e-10,
+            basis_builder=lambda r, c, e: chebyshev_powers_basis(p_, r, c, e))
+    )(A, pp, b)
+    assert bool(r1.converged)
+    x = A.from_dist(r1.x)
+    assert np.linalg.norm(a.matvec(x) - b_host) / np.linalg.norm(b_host) \
+        < 1e-9
+
+
 def test_powers_plan_validation():
     a = create_laplace_2d(8, 8)
     A = build_dist_matrix(a, n_devices=2)
