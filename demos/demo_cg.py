@@ -47,10 +47,11 @@ def main() -> int:
                          "for the nonsymmetric solvers; LEVEL=1 uses "
                          "pattern(A), 2 the denser pattern(|A|^2+|A|)")
     ap.add_argument("--sstep", type=int, default=0, metavar="S",
-                    help="s-step (communication-avoiding) CG: ONE global "
-                         "reduction per S iterations (plain CG pays 2-3 "
-                         "per iteration) — the pod-scale latency lever; "
-                         "shifted-Chebyshev Krylov basis, block Galerkin")
+                    help="s-step (communication-avoiding) Krylov: ONE "
+                         "global reduction per S iterations for CG (plain "
+                         "CG pays 2-3 per iteration), 4 per S Arnoldi "
+                         "steps with --solver gmres (CA-GMRES, "
+                         "nonsymmetric) — the pod-scale latency lever")
     ap.add_argument("--mpk", action="store_true",
                     help="with --sstep: build the Krylov basis through "
                          "the matrix-powers kernel (depth-S ghost plan) — "
@@ -287,10 +288,24 @@ def main() -> int:
         solve_args = (A, b, M)
     elif args.sstep:
         from spmv_tpu.solvers.cg_sstep import cg_sstep
+        from spmv_tpu.solvers.gmres_sstep import gmres_sstep
 
-        if args.solver != "cg" or args.jacobi:
-            ap.error("--sstep is unpreconditioned s-step CG; drop "
-                     "--solver/--jacobi")
+        if args.solver not in ("cg", "gmres") or args.jacobi:
+            ap.error("--sstep is unpreconditioned s-step CG (or s-step "
+                     "GMRES with --solver gmres); drop --solver/--jacobi")
+        # --solver gmres: communication-avoiding GMRES — 4 fused
+        # reductions per s Arnoldi steps (+ one deep exchange per block
+        # with --mpk); falls through to the common solve/report tail
+        restart = min(32, args.kmax)
+        cycles = -(-args.kmax // restart)
+
+        def sstep_solver(mv, bb, basis_builder=None):
+            if args.solver == "gmres":
+                return gmres_sstep(mv, bb, s=args.sstep, restart=restart,
+                                   max_cycles=cycles, rtol=args.rtol,
+                                   basis_builder=basis_builder)
+            return cg_sstep(mv, bb, s=args.sstep, kmax=args.kmax,
+                            rtol=args.rtol, basis_builder=basis_builder)
         if args.mpk:
             from spmv_tpu.parallel.powers import (
                 build_powers_plan,
@@ -306,18 +321,15 @@ def main() -> int:
                   f" vs depth-1 {st['nghost_pad_depth_1']} "
                   f"(growth {st['growth']:.1f}x)", file=sys.stderr)
             solve = jax.jit(
-                lambda A_, p_, bb: cg_sstep(
-                    A_.as_linear_operator(), bb, s=args.sstep,
-                    kmax=args.kmax, rtol=args.rtol,
+                lambda A_, p_, bb: sstep_solver(
+                    A_.as_linear_operator(), bb,
                     basis_builder=lambda r, c, e: chebyshev_powers_basis(
                         p_, r, c, e))
             )
             solve_args = (A, pp, b)
         else:
             solve = jax.jit(
-                lambda A_, bb: cg_sstep(A_.as_linear_operator(), bb,
-                                        s=args.sstep, kmax=args.kmax,
-                                        rtol=args.rtol)
+                lambda A_, bb: sstep_solver(A_.as_linear_operator(), bb)
             )
             solve_args = (A, b)
     else:

@@ -76,6 +76,7 @@ from spmv_tpu.ops.spmv_dia_pallas import (
 )
 from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.gmres import GMRESResult, gmres
+from spmv_tpu.solvers.gmres_sstep import gmres_sstep
 from spmv_tpu.solvers.lsqr import LSQRResult, lsqr
 from spmv_tpu.solvers.minres import MINRESResult, minres
 from spmv_tpu.solvers.lobpcg import LOBPCGResult, lane_block_ops, lobpcg
@@ -191,6 +192,7 @@ __all__ = [
     "bicgstab",
     "BiCGStabResult",
     "gmres",
+    "gmres_sstep",
     "lsqr",
     "LSQRResult",
     "minres",

@@ -194,6 +194,16 @@ def test_demo_cg_sstep_mpk():
     assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-8
 
 
+def test_demo_cg_sstep_gmres():
+    """--sstep S --solver gmres (+ --mpk): communication-avoiding GMRES
+    through the CLI converges on the SPD demo operator."""
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--sstep", "4", "--solver", "gmres", "--mpk", "--kmax", "200"])
+    assert "Converged: True" in stdout
+    assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-7
+
+
 def test_demo_eig_slq_logdet():
     """--logdet through the CLI: the SLQ estimate must land within its own
     Monte-Carlo error bars of the dense slogdet (deterministic seed)."""
