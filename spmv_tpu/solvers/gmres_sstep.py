@@ -101,6 +101,15 @@ def gmres_sstep(
     here to build each block's basis from ONE halo exchange — the fully
     communication-avoiding nonsymmetric configuration.
 
+    Preconditioning composes by OPERATOR COMPOSITION, not an argument
+    (the same stance as ``cg_sstep``'s split preconditioning): for a
+    fixed linear M ~ A^-1 solve the right-preconditioned system
+    ``A M u = b`` with ``matvec=lambda v: A(M(v))`` and recover
+    ``x = M u`` — zero extra reductions, the CA structure untouched
+    (``tests/test_gmres_sstep.py`` demonstrates with SPAI). A per-apply
+    VARIABLE preconditioner needs stored Z-directions (FGMRES) and
+    cannot ride an s-step basis — use ``gmres(flexible=True)``.
+
     Envelope: real (non-complex) operators; spectra far off the real
     axis degrade basis conditioning (use small s or ``gmres``). Like
     ``gmres``, a saved solution passed as ``x0`` is an exact warm
