@@ -126,6 +126,31 @@ def _expand_rows(rowptr: np.ndarray, rows: np.ndarray):
     return idx, cnt
 
 
+def _classify_ext_cols(a, ext_ids, r0, r1, ghosts, dtype):
+    """Expand the extended rows of ``a`` and classify each entry's column
+    against [r0, r1) ∪ ghosts. Entries referencing columns OUTSIDE the
+    extended space occur only on hop-s rows, whose values are never
+    validly read — ``keep`` drops them. Shared by the ELL and DIA
+    realizations so the hop-(s+1) drop logic has one implementation.
+
+    Returns (cnt, gcols, gvals, owned, gclip, keep): per-ext-row entry
+    counts, global columns/values, owned mask, the clipped ghost-list
+    position of each column, and the keep mask."""
+    ng = len(ghosts)
+    idx, cnt = _expand_rows(a.rowptr, ext_ids)
+    gcols = a.colind[idx].astype(np.int64)
+    gvals = a.values[idx].astype(dtype)
+    owned = (gcols >= r0) & (gcols < r1)
+    if ng:
+        gpos = np.searchsorted(ghosts, gcols)
+        gclip = np.minimum(gpos, ng - 1)
+        hit = (~owned) & (ghosts[gclip] == gcols)
+    else:
+        gclip = np.zeros(len(gcols), np.int64)
+        hit = np.zeros(len(gcols), bool)
+    return cnt, gcols, gvals, owned, gclip, owned | hit
+
+
 def build_powers_plan(a: CSRHost, A, s: int,
                       local_format: str = "auto") -> PowersPlan:
     """Compile the depth-``s`` matrix-powers plan for the square operator
@@ -211,22 +236,10 @@ def build_powers_plan(a: CSRHost, A, s: int,
             np.arange(r1 - r0, dtype=np.int64),
             col_pad + np.arange(ng, dtype=np.int64),
         ])
-        idx, cnt = _expand_rows(a.rowptr, ext_ids)
-        gcols = a.colind[idx].astype(np.int64)
-        gvals = a.values[idx].astype(dtype)
+        cnt, gcols, gvals, owned, gclip, keep = _classify_ext_cols(
+            a, ext_ids, r0, r1, ghosts, dtype)
         rows_rep = np.repeat(xe_pos, cnt)
-        owned = (gcols >= r0) & (gcols < r1)
-        lcols = np.where(owned, gcols - r0, 0)
-        if ng:
-            gpos = np.searchsorted(ghosts, gcols)
-            gclip = np.minimum(gpos, ng - 1)
-            hit = (~owned) & (ghosts[gclip] == gcols)
-            lcols = np.where(hit, col_pad + gclip, lcols)
-        else:
-            hit = np.zeros(len(gcols), bool)
-        # references beyond the extended space occur only on hop-s rows,
-        # whose values are never validly read — drop them
-        keep = owned | hit
+        lcols = np.where(owned, gcols - r0, col_pad + gclip)
         rows_rep, lcols, gvals = rows_rep[keep], lcols[keep], gvals[keep]
         kc = np.bincount(rows_rep, minlength=next_pad).astype(np.int64)
         K = max(K, int(kc.max()) if len(kc) else 1)
@@ -273,8 +286,12 @@ def _build_dia_powers(a, A, s, ranges, ghost_lists, plan, col_pad, dtype,
         gl_needed.append(int(r0 - g.min()) if len(g) and g.min() < r0 else 0)
         gr = int(g.max() + 1 - r1) if len(g) and g.max() >= r1 else 0
         right_span.append(r1 - r0 + gr)
+    # 1024-row alignment (8 sublanes x 128 lanes): dia_pallas_supported
+    # gates on nrows_pad % 1024 — 128-only alignment would silently drop
+    # every multi-shard geometry to the XLA apply
     gl_pad = _round_up(max(gl_needed), 128)
-    L = gl_pad + _round_up(max(max(right_span), col_pad), 128)
+    L = _round_up(gl_pad + _round_up(max(max(right_span), col_pad), 128),
+                  8 * 128)
 
     # entry lists in window coordinates; the affine pos(g) = gl_pad + g - r0
     # preserves diagonal offsets EXACTLY (pcol - prow = gcol - grow)
@@ -283,20 +300,10 @@ def _build_dia_powers(a, A, s, ranges, ghost_lists, plan, col_pad, dtype,
     for sh in range(D):
         r0, r1 = int(ranges[sh]), int(ranges[sh + 1])
         ghosts = ghost_lists[sh]
-        ng = len(ghosts)
         ext_ids = np.concatenate([np.arange(r0, r1, dtype=np.int64), ghosts])
-        idx, cnt = _expand_rows(a.rowptr, ext_ids)
+        cnt, gcols, gvals, _owned, _gclip, keep = _classify_ext_cols(
+            a, ext_ids, r0, r1, ghosts, dtype)
         grow = np.repeat(ext_ids, cnt)
-        gcols = a.colind[idx].astype(np.int64)
-        gvals = a.values[idx].astype(dtype)
-        owned = (gcols >= r0) & (gcols < r1)
-        if ng:
-            gpos = np.searchsorted(ghosts, gcols)
-            gclip = np.minimum(gpos, ng - 1)
-            hit = (~owned) & (ghosts[gclip] == gcols)
-        else:
-            hit = np.zeros(len(gcols), bool)
-        keep = owned | hit  # drop hop-(s+1) references (hop-s rows only)
         prow = gl_pad + grow[keep] - r0
         offs = (gcols - grow)[keep]
         per_shard.append((prow, offs, gvals[keep]))
@@ -315,8 +322,14 @@ def _build_dia_powers(a, A, s, ranges, ghost_lists, plan, col_pad, dtype,
         if len(prow) == 0:
             continue
         dsel = np.searchsorted(union, offs)
-        acc = np.bincount(dsel * np.int64(L) + prow, weights=vals,
-                          minlength=kd * L)
+        key = dsel * np.int64(L) + prow
+        if np.iscomplexobj(dd):
+            # bincount weights must be real — split like _csr_to_dia_host
+            acc = (np.bincount(key, weights=vals.real, minlength=kd * L)
+                   + 1j * np.bincount(key, weights=vals.imag,
+                                      minlength=kd * L))
+        else:
+            acc = np.bincount(key, weights=vals, minlength=kd * L)
         dd[sh] += acc.reshape(kd, L).astype(dd.dtype)
     dia_data = (dd.reshape(D, kd, L // 128, 128)
                 .transpose(0, 2, 1, 3)
@@ -331,7 +344,7 @@ def _build_dia_powers(a, A, s, ranges, ghost_lists, plan, col_pad, dtype,
 
     return PowersPlan(
         colind=jnp.zeros((D, 1, 1), jnp.int32),
-        values=jnp.zeros((D, 1, 1), jnp.asarray(dd).dtype),
+        values=jnp.zeros((D, 1, 1), dd.dtype),
         plan=plan,
         dia_data=jnp.asarray(dia_data),
         ghost_pos=jnp.asarray(ghost_pos),
@@ -350,13 +363,19 @@ def powers_ghost_stats(pp: PowersPlan, A) -> dict:
     """Cost visibility: depth-s ghost volume vs the operator's depth-1
     halo. A growth factor ~s means stencil-like sparsity (MPK sweet
     spot); much larger means the pattern defeats the trade."""
+    if pp.local_format == "dia":
+        ext_rows = pp.dia_rows
+        nnz_slots = len(pp.dia_offsets) * pp.dia_rows
+    else:
+        ext_rows = pp.next_pad
+        nnz_slots = int(pp.values.shape[1] * pp.values.shape[2])
     return {
         "s": pp.s,
         "nghost_pad_depth_s": pp.plan.nghost_pad,
         "nghost_pad_depth_1": A.plan.nghost_pad,
         "growth": (pp.plan.nghost_pad / max(A.plan.nghost_pad, 1)),
-        "ext_rows_pad": pp.next_pad,
-        "ext_nnz_slots": int(pp.values.shape[1] * pp.values.shape[2]),
+        "ext_rows_pad": ext_rows,
+        "ext_nnz_slots": nnz_slots,
     }
 
 

@@ -188,10 +188,12 @@ def gmres_sstep(
             Cp = _mm(Q, W.T)                 # (M+1, s) — one psum
             W = W - _mm(Cp.T, Q)
             C2 = C2 + Cp
-        # CholQR2 within the block; L_total = L2 @ L1 stays lower-tri
+        # CholQR2 within the block: W = L1 @ Qn1, Qn1 = L2 @ Qn2, so
+        # W = (L1 @ L2) @ Qn2 — the factor product composes in FIRST-pass-
+        # first order and stays lower triangular
         Qn, L1 = chol_qr(W)
         Qn, L2 = chol_qr(Qn)
-        L_total = _mm(L2, L1)
+        L_total = _mm(L1, L2)
 
         # coefficients of V in the orthonormal basis:
         #   Rbar[:, 0] = e_m;  Rbar[i, j>=1] = C2[i, j-1] (i <= m)

@@ -164,6 +164,40 @@ def test_gmres_sstep_spai_right_preconditioned():
     assert int(r1.iterations) < int(r0.iterations)
 
 
+def test_gmres_sstep_ill_conditioned_basis():
+    """A deliberately BAD basis interval (0, 0.5) on a spectrum reaching 8
+    makes the Chebyshev columns grow ~62x per step (~1e7 block condition
+    at s=4) — the regime CholQR2 exists for. Convergence must survive it;
+    this pins the L_total = L1 @ L2 factor order (the reversed product is
+    O(1) wrong exactly when L2 deviates from identity)."""
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, n_devices=4)
+    b_host = gaussian_bump(a.nrows)
+    b = A.to_dist(b_host)
+    r = jax.jit(
+        lambda A_, bb: gmres_sstep(A_.as_linear_operator(), bb, s=4,
+                                   restart=40, max_cycles=40, rtol=1e-8,
+                                   lambda_bounds=(0.0, 0.5))
+    )(A, b)
+    assert bool(r.converged)
+    x = A.from_dist(r.x)
+    assert np.linalg.norm(a.matvec(x) - b_host) / np.linalg.norm(b_host) \
+        < 1e-7
+
+
+def test_powers_dia_window_pallas_aligned():
+    """The DIA powers window is 1024-row aligned so dia_pallas_supported
+    accepts it on chip — 128-only alignment silently dropped multi-shard
+    geometries to the XLA apply."""
+    from spmv_tpu.ops.spmv_dia_pallas import LANES
+
+    a = create_laplace_2d(24, 24)
+    A = build_dist_matrix(a, n_devices=4, local_format="dia")
+    pp = build_powers_plan(a, A, s=3)
+    assert pp.local_format == "dia"
+    assert pp.dia_rows % (8 * LANES) == 0
+
+
 def test_gmres_sstep_validation():
     b = jnp.ones((8,))
     with pytest.raises(ValueError, match="s must be"):
