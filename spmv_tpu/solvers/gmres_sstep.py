@@ -111,9 +111,12 @@ def gmres_sstep(
     cannot ride an s-step basis — use ``gmres(flexible=True)``.
 
     Envelope: real (non-complex) operators; spectra far off the real
-    axis degrade basis conditioning (use small s or ``gmres``). Like
-    ``gmres``, a saved solution passed as ``x0`` is an exact warm
-    resume."""
+    axis degrade basis conditioning (use small s or ``gmres``). CholQR2
+    needs the block-basis condition SQUARED representable: kappa(basis)
+    up to ~1/sqrt(eps) per block (~3e3 at fp32, ~1e8 at f64) — keep
+    ``lambda_bounds`` roughly enclosing the spectrum at fp32 (the f64
+    tests survive a deliberately 1e7-conditioned basis). Like ``gmres``,
+    a saved solution passed as ``x0`` is an exact warm resume."""
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
     if jnp.iscomplexobj(b):
