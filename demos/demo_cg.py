@@ -57,6 +57,13 @@ def main() -> int:
                          "the matrix-powers kernel (depth-S ghost plan) — "
                          "ONE halo exchange + ONE reduction per S "
                          "iterations; ghost-growth stats printed")
+    ap.add_argument("--newton", type=int, default=0, metavar="M",
+                    help="with --sstep --solver gmres: harvest M-step "
+                         "Arnoldi Ritz values once and run the Leja-"
+                         "ordered NEWTON basis instead of shifted-"
+                         "Chebyshev — the conditioning fix for spectra "
+                         "with large imaginary extent (composes with "
+                         "--mpk)")
     ap.add_argument("--fsai", action="store_true",
                     help="FSAI (factorized sparse approximate inverse) SPD "
                          "preconditioning: M^-1 = G^T G with G ~ "
@@ -170,6 +177,9 @@ def main() -> int:
 
     if args.mpk and not args.sstep:
         ap.error("--mpk builds the s-step Krylov basis; it needs --sstep S")
+    if args.newton and not (args.sstep and args.solver == "gmres"):
+        ap.error("--newton is the CA-GMRES Newton basis; it needs "
+                 "--sstep S --solver gmres")
     if args.sstep and (args.amg or args.spai or args.fsai or args.deflated):
         ap.error("--sstep is unpreconditioned s-step CG; it cannot combine "
                  "with --amg/--spai/--fsai/--deflated")
@@ -299,10 +309,28 @@ def main() -> int:
         restart = min(32, args.kmax)
         cycles = -(-args.kmax // restart)
 
+        ritz = None
+        newton_ops = None
+        if args.newton:
+            # one-time Ritz harvest for the Leja-Newton basis — the
+            # off-axis-spectrum conditioning fix (solvers/newton_basis)
+            from spmv_tpu.solvers.arnoldi import arnoldi_ritz
+            from spmv_tpu.solvers.newton_basis import newton_basis_ops
+
+            t0 = time.perf_counter()
+            ritz = arnoldi_ritz(A.as_linear_operator(), b,
+                                m=args.newton).values
+            newton_ops = newton_basis_ops(ritz, args.sstep)
+            timer.add("0.RitzHarvest", time.perf_counter() - t0)
+            print(f"Newton basis: {args.newton}-step Ritz harvest, "
+                  f"max |Im| = {float(abs(ritz.imag).max()):.3g}",
+                  file=sys.stderr)
+
         def sstep_solver(mv, bb, basis_builder=None):
             if args.solver == "gmres":
                 return gmres_sstep(mv, bb, s=args.sstep, restart=restart,
                                    max_cycles=cycles, rtol=args.rtol,
+                                   shifts=ritz,
                                    basis_builder=basis_builder)
             return cg_sstep(mv, bb, s=args.sstep, kmax=args.kmax,
                             rtol=args.rtol, basis_builder=basis_builder)
@@ -310,6 +338,7 @@ def main() -> int:
             from spmv_tpu.parallel.powers import (
                 build_powers_plan,
                 chebyshev_powers_basis,
+                newton_powers_basis,
                 powers_ghost_stats,
             )
 
@@ -320,12 +349,20 @@ def main() -> int:
             print(f"MPK: depth-{args.sstep} ghosts {st['nghost_pad_depth_s']}"
                   f" vs depth-1 {st['nghost_pad_depth_1']} "
                   f"(growth {st['growth']:.1f}x)", file=sys.stderr)
-            solve = jax.jit(
-                lambda A_, p_, bb: sstep_solver(
-                    A_.as_linear_operator(), bb,
-                    basis_builder=lambda r, c, e: chebyshev_powers_basis(
-                        p_, r, c, e))
-            )
+            if args.newton:
+                solve = jax.jit(
+                    lambda A_, p_, bb: sstep_solver(
+                        A_.as_linear_operator(), bb,
+                        basis_builder=lambda r: newton_powers_basis(
+                            p_, r, newton_ops))
+                )
+            else:
+                solve = jax.jit(
+                    lambda A_, p_, bb: sstep_solver(
+                        A_.as_linear_operator(), bb,
+                        basis_builder=lambda r, c, e: chebyshev_powers_basis(
+                            p_, r, c, e))
+                )
             solve_args = (A, pp, b)
         else:
             solve = jax.jit(

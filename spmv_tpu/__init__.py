@@ -77,6 +77,12 @@ from spmv_tpu.ops.spmv_dia_pallas import (
 from spmv_tpu.solvers.bicgstab import BiCGStabResult, bicgstab
 from spmv_tpu.solvers.gmres import GMRESResult, gmres
 from spmv_tpu.solvers.gmres_sstep import gmres_sstep
+from spmv_tpu.solvers.newton_basis import (
+    modified_leja,
+    newton_basis_ops,
+    newton_recurrence_matrix,
+    newton_shifts_from_operator,
+)
 from spmv_tpu.solvers.lsqr import LSQRResult, lsqr
 from spmv_tpu.solvers.minres import MINRESResult, minres
 from spmv_tpu.solvers.lobpcg import LOBPCGResult, lane_block_ops, lobpcg
@@ -157,6 +163,7 @@ from spmv_tpu.parallel.powers import (
     PowersPlan,
     build_powers_plan,
     chebyshev_powers_basis,
+    newton_powers_basis,
     powers_ghost_stats,
 )
 
@@ -193,6 +200,10 @@ __all__ = [
     "BiCGStabResult",
     "gmres",
     "gmres_sstep",
+    "modified_leja",
+    "newton_basis_ops",
+    "newton_recurrence_matrix",
+    "newton_shifts_from_operator",
     "lsqr",
     "LSQRResult",
     "minres",
@@ -257,6 +268,7 @@ __all__ = [
     "PowersPlan",
     "build_powers_plan",
     "chebyshev_powers_basis",
+    "newton_powers_basis",
     "powers_ghost_stats",
     "WellMatrix",
     "csr_to_well",

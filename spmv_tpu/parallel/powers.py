@@ -388,6 +388,51 @@ def chebyshev_powers_basis(pp: PowersPlan, x: jax.Array, c, e) -> jax.Array:
     separate halo-exchanged matvecs (tests pin the equivalence). Use as
     ``cg_sstep(..., basis_builder=lambda r, c, e:
     chebyshev_powers_basis(pp, r, c, e))`` with matching ``s``."""
+
+    def recur(xe, apply_op):
+        cc = jnp.asarray(c, xe.dtype)
+        ee = jnp.asarray(e, xe.dtype)
+        vs = [xe, (apply_op(xe) - cc * xe) / ee]
+        for _ in range(1, pp.s):
+            vs.append(2 * (apply_op(vs[-1]) - cc * vs[-1]) / ee - vs[-2])
+        return vs
+
+    return _powers_basis(pp, x, recur)
+
+
+def newton_powers_basis(pp: PowersPlan, x: jax.Array, ops) -> jax.Array:
+    """The s+1 Leja-ordered NEWTON basis vectors of ``x`` — one halo
+    exchange total, same extended-operator machinery as
+    ``chebyshev_powers_basis`` but running the real Newton recurrence
+    ``v_{j+1} = (A v_j - alpha_j v_j + gamma_j v_{j-1}) / sigma_j`` from
+    the static ``ops`` of ``solvers/newton_basis.newton_basis_ops``
+    (``len(ops)`` must equal the plan depth ``s``). The off-axis-spectrum
+    CA-GMRES configuration: ``gmres_sstep(..., shifts=ritz,
+    basis_builder=lambda q: newton_powers_basis(pp, q, ops))``.
+
+    Validity is the same MPK garbage-propagation argument as Chebyshev
+    (module docstring) — shifted applies and the 3-term pair coupling
+    read at most one hop outward per step."""
+    if len(ops) != pp.s:
+        raise ValueError(
+            f"ops length {len(ops)} != plan depth s={pp.s}")
+
+    def recur(xe, apply_op):
+        vs = [xe]
+        for alpha, gamma, sigma in ops:
+            w = apply_op(vs[-1]) - jnp.asarray(alpha, xe.dtype) * vs[-1]
+            if gamma != 0.0:
+                w = w + jnp.asarray(gamma, xe.dtype) * vs[-2]
+            vs.append(w / jnp.asarray(sigma, xe.dtype))
+        return vs
+
+    return _powers_basis(pp, x, recur)
+
+
+def _powers_basis(pp: PowersPlan, x: jax.Array, recur) -> jax.Array:
+    """Shared MPK execution: one deep halo_gather, then ``recur(xe,
+    apply_op) -> [v_0..v_s]`` on extended-length vectors, owned slices
+    returned stacked as (s+1, *x.shape)."""
     spec = P(pp.axis_name, None)
     mspec3 = P(pp.axis_name, None, None)
     plan = pp.plan
@@ -406,14 +451,6 @@ def chebyshev_powers_basis(pp: PowersPlan, x: jax.Array, c, e) -> jax.Array:
                 plan.n_dcn, plan.n_ici, plan.nghost_pad, axes[0], axes[1])
         return halo_gather(xf, tabs[0], tabs[1], plan.rounds,
                            plan.n_devices, plan.nghost_pad, axes[0])
-
-    def recur(xe, apply_op):
-        cc = jnp.asarray(c, xe.dtype)
-        ee = jnp.asarray(e, xe.dtype)
-        vs = [xe, (apply_op(xe) - cc * xe) / ee]
-        for _ in range(1, pp.s):
-            vs.append(2 * (apply_op(vs[-1]) - cc * vs[-1]) / ee - vs[-2])
-        return vs
 
     if pp.local_format == "dia":
         from spmv_tpu.formats.dia import DiaMatrix

@@ -65,6 +65,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spmv_tpu.solvers.cg_sstep import _estimate_lmax, _mm
 from spmv_tpu.solvers.gmres import GMRESResult
@@ -80,6 +81,7 @@ def gmres_sstep(
     rtol: float = 1e-10,
     lambda_bounds: tuple | None = None,
     basis_builder: Callable | None = None,
+    shifts=None,
 ) -> GMRESResult:
     """Solve general ``A x = b`` with s-step GMRES(restart): 4 fused
     global reductions per ``s`` Arnoldi steps (module docstring) instead
@@ -110,8 +112,20 @@ def gmres_sstep(
     VARIABLE preconditioner needs stored Z-directions (FGMRES) and
     cannot ride an s-step basis — use ``gmres(flexible=True)``.
 
+    ``shifts``: STATIC complex shift candidates (numpy array-like, e.g.
+    Ritz values from ``arnoldi_ritz`` / ``newton_shifts_from_operator``)
+    switching the block basis from shifted-Chebyshev to the Leja-ordered
+    real NEWTON basis (``solvers/newton_basis``) — the conditioning fix
+    for spectra with large imaginary extent, where the Chebyshev basis
+    on a real interval blows up geometrically in s. When given,
+    ``lambda_bounds`` is ignored and ``basis_builder`` is called with
+    the single argument ``q`` (close it over
+    ``newton_powers_basis(pp, q, ops)`` with
+    ``ops = newton_basis_ops(shifts, s)`` for the MPK hookup).
+
     Envelope: real (non-complex) operators; spectra far off the real
-    axis degrade basis conditioning (use small s or ``gmres``). CholQR2
+    axis degrade the default Chebyshev basis conditioning (use
+    ``shifts`` — or small s, or ``gmres``). CholQR2
     needs the block-basis condition SQUARED representable: kappa(basis)
     up to ~1/sqrt(eps) per block (~3e3 at fp32, ~1e8 at f64) — keep
     ``lambda_bounds`` roughly enclosing the spectrum at fp32 (the f64
@@ -137,32 +151,57 @@ def gmres_sstep(
     r_init = (b - matvec(x0)).reshape(n)
     rnorm0 = jnp.sqrt(jnp.maximum(r_init @ r_init, 0.0))
 
-    if lambda_bounds is None:
-        lo = jnp.zeros((), rdtype)
-        hi = _estimate_lmax(mv, r_init) * jnp.asarray(1.1, rdtype)
+    if shifts is not None:
+        # Leja-ordered real Newton basis (solvers/newton_basis): static
+        # per-step ops (alpha, gamma, sigma); the recurrence matrix B is
+        # exact by construction. np.asarray rejects traced shift arrays
+        # with a clear ConcretizationTypeError — shifts are host data.
+        from spmv_tpu.solvers.newton_basis import (
+            newton_basis_ops,
+            newton_recurrence_matrix,
+        )
+
+        ops = newton_basis_ops(np.asarray(shifts), s)
+        B = jnp.asarray(newton_recurrence_matrix(ops, np.dtype(b.dtype)))
+
+        def build_basis(q):
+            if basis_builder is not None:
+                return basis_builder(q.reshape(vshape)).reshape(s + 1, n)
+            vs = [q]
+            for alpha, gamma, sigma in ops:
+                w = mv(vs[-1]) - jnp.asarray(alpha, b.dtype) * vs[-1]
+                if gamma != 0.0:
+                    w = w + jnp.asarray(gamma, b.dtype) * vs[-2]
+                vs.append(w / jnp.asarray(sigma, b.dtype))
+            return jnp.stack(vs)  # (s+1, n) rows
     else:
-        lo = jnp.asarray(lambda_bounds[0], rdtype)
-        hi = jnp.asarray(lambda_bounds[1], rdtype)
-    c = ((hi + lo) / 2).astype(b.dtype)
-    e = jnp.maximum((hi - lo) / 2, tiny).astype(b.dtype)
+        if lambda_bounds is None:
+            lo = jnp.zeros((), rdtype)
+            hi = _estimate_lmax(mv, r_init) * jnp.asarray(1.1, rdtype)
+        else:
+            lo = jnp.asarray(lambda_bounds[0], rdtype)
+            hi = jnp.asarray(lambda_bounds[1], rdtype)
+        c = ((hi + lo) / 2).astype(b.dtype)
+        e = jnp.maximum((hi - lo) / 2, tiny).astype(b.dtype)
 
-    # three-term recurrence matrix: A V[:s] (rows) = B^T V, i.e. for
-    # columns A V[:, :s] = V @ B with B (s+1, s):
-    #   A v_0 = c v_0 + e v_1;  A v_j = c v_j + e/2 (v_{j+1} + v_{j-1})
-    B = jnp.zeros((s + 1, s), b.dtype)
-    B = B.at[jnp.arange(s), jnp.arange(s)].set(c)
-    sub = jnp.where(jnp.arange(s) == 0, e, e / 2).astype(b.dtype)
-    B = B.at[jnp.arange(1, s + 1), jnp.arange(s)].set(sub)
-    if s > 1:
-        B = B.at[jnp.arange(s - 1), jnp.arange(1, s)].set(e / 2)
+        # three-term recurrence matrix: A V[:s] (rows) = B^T V, i.e. for
+        # columns A V[:, :s] = V @ B with B (s+1, s):
+        #   A v_0 = c v_0 + e v_1;  A v_j = c v_j + e/2 (v_{j+1} + v_{j-1})
+        B = jnp.zeros((s + 1, s), b.dtype)
+        B = B.at[jnp.arange(s), jnp.arange(s)].set(c)
+        sub = jnp.where(jnp.arange(s) == 0, e, e / 2).astype(b.dtype)
+        B = B.at[jnp.arange(1, s + 1), jnp.arange(s)].set(sub)
+        if s > 1:
+            B = B.at[jnp.arange(s - 1), jnp.arange(1, s)].set(e / 2)
 
-    def build_basis(q):
-        if basis_builder is not None:
-            return basis_builder(q.reshape(vshape), c, e).reshape(s + 1, n)
-        vs = [q, (mv(q) - c * q) / e]
-        for _ in range(1, s):
-            vs.append(2 * (mv(vs[-1]) - c * vs[-1]) / e - vs[-2])
-        return jnp.stack(vs)  # (s+1, n) rows
+        def build_basis(q):
+            if basis_builder is not None:
+                return basis_builder(q.reshape(vshape), c, e).reshape(
+                    s + 1, n)
+            vs = [q, (mv(q) - c * q) / e]
+            for _ in range(1, s):
+                vs.append(2 * (mv(vs[-1]) - c * vs[-1]) / e - vs[-2])
+            return jnp.stack(vs)  # (s+1, n) rows
 
     def chol_qr(W):
         """One CholQR pass: W = L @ Q with L lower triangular. The Gram

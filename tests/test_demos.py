@@ -204,6 +204,18 @@ def test_demo_cg_sstep_gmres():
     assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-7
 
 
+def test_demo_cg_sstep_gmres_newton():
+    """--sstep S --solver gmres --newton M (+ --mpk): CA-GMRES on the
+    Leja-Newton basis from an M-step Ritz harvest, end-to-end through
+    the CLI — converges, harvest line printed."""
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "16", "--cpu", "--devices", "2",
+         "--sstep", "4", "--solver", "gmres", "--newton", "16", "--mpk",
+         "--kmax", "200"])
+    assert "Converged: True" in stdout
+    assert float(stdout.split("r.norm = ")[1].split()[0]) < 1e-7
+
+
 def test_demo_eig_slq_logdet():
     """--logdet through the CLI: the SLQ estimate must land within its own
     Monte-Carlo error bars of the dense slogdet (deterministic seed)."""
