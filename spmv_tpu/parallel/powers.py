@@ -416,6 +416,10 @@ def newton_powers_basis(pp: PowersPlan, x: jax.Array, ops) -> jax.Array:
     if len(ops) != pp.s:
         raise ValueError(
             f"ops length {len(ops)} != plan depth s={pp.s}")
+    if ops and ops[0][1] != 0.0:
+        raise ValueError("ops[0] must have gamma == 0 (a conjugate pair "
+                         "cannot START the recurrence); got "
+                         f"gamma={ops[0][1]!r}")
 
     def recur(xe, apply_op):
         vs = [xe]

@@ -82,6 +82,7 @@ def gmres_sstep(
     lambda_bounds: tuple | None = None,
     basis_builder: Callable | None = None,
     shifts=None,
+    newton_ops=None,
 ) -> GMRESResult:
     """Solve general ``A x = b`` with s-step GMRES(restart): 4 fused
     global reductions per ``s`` Arnoldi steps (module docstring) instead
@@ -119,9 +120,19 @@ def gmres_sstep(
     for spectra with large imaginary extent, where the Chebyshev basis
     on a real interval blows up geometrically in s. When given,
     ``lambda_bounds`` is ignored and ``basis_builder`` is called with
-    the single argument ``q`` (close it over
-    ``newton_powers_basis(pp, q, ops)`` with
-    ``ops = newton_basis_ops(shifts, s)`` for the MPK hookup).
+    the single argument ``q``.
+
+    ``newton_ops``: a PRECOMPUTED ops tuple from ``newton_basis_ops``
+    (alternative to ``shifts``; takes precedence). This is the safe MPK
+    hookup: compute ``ops = newton_basis_ops(ritz, s)`` ONCE and pass
+    the SAME object both here and to the builder's
+    ``newton_powers_basis(pp, q, ops)`` closure — the Hessenberg
+    recovery matrix B is derived from exactly the ops the builder runs.
+    (With ``shifts`` + ``basis_builder`` instead, the internal
+    ``newton_basis_ops(shifts, s)`` must match what the builder closed
+    over — same s, same un-truncated shifts — or the recovered
+    Hessenberg is silently wrong and surfaces only as non-convergence
+    via the true-residual guard.)
 
     Envelope: real (non-complex) operators; spectra far off the real
     axis degrade the default Chebyshev basis conditioning (use
@@ -151,7 +162,7 @@ def gmres_sstep(
     r_init = (b - matvec(x0)).reshape(n)
     rnorm0 = jnp.sqrt(jnp.maximum(r_init @ r_init, 0.0))
 
-    if shifts is not None:
+    if shifts is not None or newton_ops is not None:
         # Leja-ordered real Newton basis (solvers/newton_basis): static
         # per-step ops (alpha, gamma, sigma); the recurrence matrix B is
         # exact by construction. np.asarray rejects traced shift arrays
@@ -161,7 +172,13 @@ def gmres_sstep(
             newton_recurrence_matrix,
         )
 
-        ops = newton_basis_ops(np.asarray(shifts), s)
+        if newton_ops is not None:
+            ops = tuple(newton_ops)
+            if len(ops) != s:
+                raise ValueError(
+                    f"newton_ops length {len(ops)} != s={s}")
+        else:
+            ops = newton_basis_ops(np.asarray(shifts), s)
         B = jnp.asarray(newton_recurrence_matrix(ops, np.dtype(b.dtype)))
 
         def build_basis(q):

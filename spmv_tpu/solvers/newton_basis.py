@@ -157,15 +157,25 @@ def newton_basis_ops(shifts, s: int) -> tuple:
             seq.append(("p2", float(p.real), float(abs(p.imag))))
         k += 1
     seq = seq[:s]
-    # capacity sigmas over the actual point sequence (conjugate on p2)
+    # capacity sigmas over the actual point sequence (conjugate on p2).
+    # Coincident points (cyclic repetition when the shift harvest is
+    # shorter than s) are EXCLUDED from the geometric mean — flooring
+    # them instead collapses sigma to ~1e-12*scale and the basis column
+    # norms explode as (1/sigma)^j (advisor round-3 finding; covered by
+    # tests/test_newton_basis.py repeated-shift cases). A point whose
+    # predecessors all coincide with it reuses the previous sigma.
     zp = np.array([a + 1j * b if kind == "p1"
                    else a - 1j * b if kind == "p2"
                    else a + 0j for kind, a, b in seq])
     floor = scale * 1e-12
     sig = [max(abs(zp[0]), floor)]
     for j in range(1, s):
-        d = np.maximum(np.abs(zp[:j] - zp[j]), floor)
-        sig.append(float(np.exp(np.mean(np.log(d)))))
+        d = np.abs(zp[:j] - zp[j])
+        d = d[d > 1e-10 * scale]
+        if d.size == 0:
+            sig.append(sig[-1])
+        else:
+            sig.append(max(float(np.exp(np.mean(np.log(d)))), floor))
     ops = []
     for j, (kind, a, b) in enumerate(seq):
         gamma = (b * b / sig[j - 1]) if kind == "p2" else 0.0
@@ -178,6 +188,13 @@ def newton_recurrence_matrix(ops, dtype) -> np.ndarray:
     basis generated by ``ops`` (``newton_basis_ops``). Column j:
     ``A v_j = alpha_j v_j + sigma_j v_{j+1} - gamma_j v_{j-1}``."""
     s = len(ops)
+    if s and ops[0][1] != 0.0:
+        # gamma couples v_{j-1}; at j=0 there is no previous vector and
+        # B[-1, 0] would silently wrap to the LAST row. newton_basis_ops
+        # never emits this, but ops is public API.
+        raise ValueError("ops[0] must have gamma == 0 (a conjugate pair "
+                         "cannot START the recurrence); got "
+                         f"gamma={ops[0][1]!r}")
     B = np.zeros((s + 1, s), dtype=np.float64)
     for j, (alpha, gamma, sigma) in enumerate(ops):
         B[j, j] = alpha

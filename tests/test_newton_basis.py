@@ -230,6 +230,76 @@ def test_gmres_sstep_newton_mpk_end_to_end():
             / np.linalg.norm(b_host)) < 1e-7
 
 
+def test_newton_basis_repeated_shifts_stay_conditioned():
+    """Cyclic repetition (fewer distinct shifts than s) must NOT collapse
+    the capacity sigmas: coincident distances are excluded from the
+    geometric mean, so column norms stay O(1) and the basis cond small
+    (advisor round-3 finding — flooring the zero distances gave
+    sigma ~ 1e-12 and column norms ~ 1e36)."""
+    # one real shift repeated over s=4 slots
+    ops = newton_basis_ops(np.array([1.0 + 0j]), 4)
+    assert all(abs(sig - 1.0) < 1e-12 for _, _, sig in ops)
+    n = 64
+    rng = np.random.default_rng(2)
+    Ad = np.diag(np.linspace(0.5, 1.5, n)) + 0.05 * rng.standard_normal(
+        (n, n))
+    q = rng.standard_normal(n)
+    q /= np.linalg.norm(q)
+    V = _newton_basis_dense(Ad, q, ops)
+    norms = np.linalg.norm(V, axis=0)
+    assert np.max(norms) < 1e2 and np.min(norms) > 1e-2
+    assert np.linalg.cond(V) < 1e6
+    # one conjugate pair repeated over s=6 slots (the sigma~2e-6 case)
+    ops6 = newton_basis_ops(np.array([2.0 + 10.0j, 2.0 - 10.0j]), 6)
+    sigs = np.array([sig for _, _, sig in ops6])
+    assert np.min(sigs) > 1.0  # distances to the conjugate are ~2*beta
+    a = _skew_transport(n, 2.0, 5.0)
+    V6 = _newton_basis_dense(a.to_dense(), q, ops6)
+    assert np.all(np.isfinite(V6))
+    assert np.linalg.cond(V6) < 1e8
+
+
+def test_newton_recurrence_matrix_rejects_leading_gamma():
+    """gamma != 0 at j=0 would wrap B[-1, 0] to the last row and silently
+    corrupt B — public-API ops must be validated."""
+    bad = ((1.0, 0.5, 1.0), (1.0, 0.0, 1.0))
+    with pytest.raises(ValueError, match="gamma == 0"):
+        newton_recurrence_matrix(bad, np.float64)
+    a = _skew_transport(64, 2.0, 1.0)
+    A = build_dist_matrix(a, n_devices=1)
+    pp = build_powers_plan(a, A, s=2)
+    x = A.to_dist(np.ones(a.nrows))
+    with pytest.raises(ValueError, match="gamma == 0"):
+        newton_powers_basis(pp, x, bad)
+
+
+def test_gmres_sstep_newton_ops_param():
+    """Precomputed ``newton_ops`` is the safe MPK hookup: B derives from
+    exactly the ops the builder closed over. Result matches the shifts=
+    path bitwise (same ops object end to end) and converges."""
+    a = _skew_transport(256, 2.0, 5.0)
+    A = build_dist_matrix(a, n_devices=4)
+    rng = np.random.default_rng(1)
+    b_host = a.matvec(rng.standard_normal(a.nrows))
+    b = A.to_dist(b_host)
+    s = 4
+    ritz = arnoldi_ritz(A.as_linear_operator(), b, m=24).values
+    ops = newton_basis_ops(ritz, s)
+    pp = build_powers_plan(a, A, s=s)
+    r_ops = jax.jit(
+        lambda p_, A_, bb: gmres_sstep(
+            A_.as_linear_operator(), bb, s=s, restart=48, max_cycles=20,
+            rtol=1e-8, newton_ops=ops,
+            basis_builder=lambda q: newton_powers_basis(p_, q, ops))
+    )(pp, A, b)
+    assert bool(r_ops.converged)
+    x = A.from_dist(r_ops.x)
+    assert (np.linalg.norm(a.matvec(x) - b_host)
+            / np.linalg.norm(b_host)) < 1e-7
+    with pytest.raises(ValueError, match="newton_ops length"):
+        gmres_sstep(A.as_linear_operator(), b, s=3, newton_ops=ops)
+
+
 def test_newton_basis_validation():
     with pytest.raises(ValueError, match="at least one finite"):
         modified_leja(np.array([np.nan + 0j]))
