@@ -14,7 +14,24 @@ import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "spmv_host.cpp")
-_SO = os.path.join(_HERE, "libspmv_host.so")
+
+
+def _so_path() -> str:
+    """Cache the built .so next to the source when the package dir is
+    writable (source checkout, `pip install -e .`), else under
+    ~/.cache/spmv_tpu (regular installs land in a read-only
+    site-packages)."""
+    if os.access(_HERE, os.W_OK):
+        return os.path.join(_HERE, "libspmv_host.so")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "spmv_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libspmv_host.so")
+
+
+_SO = _so_path()
 
 _lock = threading.Lock()
 _lib = None
