@@ -105,6 +105,17 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, i32p, vp, pp,
         ]
         fn.restype = ctypes.c_int
+    lib.spmv_rcm_symmetrize.argtypes = [
+        i64p, i32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p]
+    lib.spmv_rcm_symmetrize.restype = ctypes.c_int64
+    lib.spmv_rcm_order.argtypes = [i64p, i32p, ctypes.c_int64, i64p]
+    lib.spmv_rcm_order.restype = ctypes.c_int
+    lib.spmv_permute_csr_f64.argtypes = [
+        i64p, i32p, f64p, ctypes.c_int64, i64p, i64p, i32p, f64p]
+    lib.spmv_permute_csr_f64.restype = ctypes.c_int
+    lib.spmv_permute_csr_f32.argtypes = [
+        i64p, i32p, f32p, ctypes.c_int64, i64p, i64p, i32p, f32p]
+    lib.spmv_permute_csr_f32.restype = ctypes.c_int
     lib.spmv_laplace2d_f64.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p]
     lib.spmv_laplace2d_f64.restype = ctypes.c_int

@@ -630,3 +630,197 @@ int spmv_laplace3d_f32(int64_t nx, int64_t ny, int64_t nz, int64_t* rowptr,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// RCM pipeline (spmv_tpu/reorder.py's native tier). The numpy realization is
+// sort-bound at scale (global int64-key sorts over 2*nnz entries: 53 s at
+// 10M rows / 56M nnz); the native pipeline replaces every global sort with
+// counting passes + tiny per-row sorts, all O(nnz) with small constants.
+// Semantics are BITWISE identical to the numpy path (regression-tested in
+// tests/test_reorder.py): same classic-CM tie-breaking (min-degree start
+// nodes with index ties, per-parent neighbor groups in ascending-degree
+// order, adjacency order within equal degree), same reversal.
+
+namespace {
+
+// Counting sort of nodes by (degree, index) — stable, replaces argsort.
+void sort_by_degree(const int64_t* deg, int64_t n, int64_t maxdeg,
+                    int64_t* out) {
+  std::vector<int64_t> cnt(static_cast<size_t>(maxdeg) + 2, 0);
+  for (int64_t i = 0; i < n; ++i) ++cnt[static_cast<size_t>(deg[i]) + 1];
+  for (size_t d = 1; d < cnt.size(); ++d) cnt[d] += cnt[d - 1];
+  for (int64_t i = 0; i < n; ++i) out[cnt[static_cast<size_t>(deg[i])]++] = i;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Symmetrize a CSR pattern: sym = pattern(A + A^T), sorted cols, deduped.
+// sym_colind must have capacity 2*nnz; returns the actual symmetrized nnz
+// (or -1 on bad input). sym_rowptr has n+1 entries.
+int64_t spmv_rcm_symmetrize(const int64_t* rowptr, const int32_t* colind,
+                            int64_t n, int64_t nnz, int64_t* sym_rowptr,
+                            int32_t* sym_colind) {
+  if (n < 0 || nnz < 0 || rowptr[n] != nnz) return -1;
+  // degree count of the symmetrized multigraph (duplicates included)
+  std::vector<int64_t> off(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) off[static_cast<size_t>(i) + 1] += rowptr[i + 1] - rowptr[i];
+  for (int64_t p = 0; p < nnz; ++p) ++off[static_cast<size_t>(colind[p]) + 1];
+  for (int64_t i = 0; i < n; ++i) off[static_cast<size_t>(i) + 1] += off[static_cast<size_t>(i)];
+  // scatter both edge directions into the caller's 2*nnz buffer; the
+  // transpose-direction write chases cur[colind[p]] (two dependent random
+  // accesses), so prefetch both levels ahead of the loop position
+  std::vector<int64_t> cur(off.begin(), off.end() - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t p = rowptr[i]; p < rowptr[i + 1]; ++p) {
+      if (p + 32 < nnz)
+        __builtin_prefetch(&cur[static_cast<size_t>(colind[p + 32])]);
+      if (p + 16 < nnz)
+        __builtin_prefetch(
+            &sym_colind[cur[static_cast<size_t>(colind[p + 16])]], 1);
+      const int32_t j = colind[p];
+      sym_colind[cur[static_cast<size_t>(i)]++] = j;
+      sym_colind[cur[static_cast<size_t>(j)]++] = static_cast<int32_t>(i);
+    }
+  }
+  // per-row sort + dedup, compacting forward in place (the write head never
+  // passes a row's scatter segment: previous rows only shrink)
+  int64_t w = 0;
+  sym_rowptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t* b = sym_colind + off[static_cast<size_t>(i)];
+    int32_t* e = sym_colind + off[static_cast<size_t>(i) + 1];
+    std::sort(b, e);
+    int64_t m = 0;
+    for (int32_t* q = b; q != e; ++q)
+      if (m == 0 || *q != b[m - 1]) b[m++] = *q;
+    std::memmove(sym_colind + w, b, static_cast<size_t>(m) * sizeof(int32_t));
+    w += m;
+    sym_rowptr[i + 1] = w;
+  }
+  return w;
+}
+
+// Classic Cuthill-McKee on a (symmetrized) pattern, REVERSED on output.
+// order_out[i] = old index of new row i. Matches reorder.py's tie-breaking.
+int spmv_rcm_order(const int64_t* rowptr, const int32_t* colind, int64_t n,
+                   int64_t* order_out) {
+  if (n < 0) return 1;
+  if (n == 0) return 0;
+  std::vector<int64_t> deg(static_cast<size_t>(n));
+  int64_t maxdeg = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    deg[static_cast<size_t>(i)] = rowptr[i + 1] - rowptr[i];
+    maxdeg = std::max(maxdeg, deg[static_cast<size_t>(i)]);
+  }
+  std::vector<int64_t> starts(static_cast<size_t>(n));
+  sort_by_degree(deg.data(), n, maxdeg, starts.data());
+  std::vector<uint8_t> visited(static_cast<size_t>(n), 0);
+  std::vector<int64_t> nbrbuf;
+  int64_t head = 0, tail = 0, sptr = 0;
+  while (tail < n) {
+    while (visited[static_cast<size_t>(starts[static_cast<size_t>(sptr)])]) ++sptr;
+    const int64_t s = starts[static_cast<size_t>(sptr)];
+    visited[static_cast<size_t>(s)] = 1;
+    order_out[tail++] = s;
+    while (head < tail) {
+      const int64_t u = order_out[head++];
+      nbrbuf.clear();
+      for (int64_t p = rowptr[u]; p < rowptr[u + 1]; ++p) {
+        const int32_t v = colind[p];
+        if (!visited[static_cast<size_t>(v)]) {
+          visited[static_cast<size_t>(v)] = 1;
+          nbrbuf.push_back(v);
+        }
+      }
+      std::stable_sort(nbrbuf.begin(), nbrbuf.end(),
+                       [&](int64_t a, int64_t b) {
+                         return deg[static_cast<size_t>(a)] <
+                                deg[static_cast<size_t>(b)];
+                       });
+      for (int64_t v : nbrbuf) order_out[tail++] = v;
+    }
+  }
+  std::reverse(order_out, order_out + n);
+  return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+// Simultaneous row+col permutation B[i,j] = A[order[i], order[j]], cols
+// sorted per row — reorder.py permute_symmetric without the global argsort.
+// Hot-loop notes: inv is int32 (halves the random-gather footprint), the
+// per-row (col, val) pairs go through ONE hoisted buffer (a per-row
+// std::vector allocation measured ~2x the whole kernel), and short rows
+// take an insertion sort (sparse rows are ~5-10 entries).
+template <typename T>
+int permute_csr_impl(const int64_t* rowptr, const int32_t* colind,
+                     const T* values, int64_t n, const int64_t* order,
+                     int64_t* new_rowptr, int32_t* new_colind,
+                     T* new_values) {
+  if (n < 0) return 1;
+  std::vector<int32_t> inv(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i)
+    inv[static_cast<size_t>(order[i])] = static_cast<int32_t>(i);
+  new_rowptr[0] = 0;
+  struct Ent { int32_t c; T v; };
+  std::vector<Ent> buf;
+  for (int64_t i = 0; i < n; ++i) {
+    // two-level prefetch: rowptr[order[i+16]] now so that at i+8 the
+    // row's colind/values start can itself be prefetched
+    if (i + 16 < n) __builtin_prefetch(&rowptr[order[i + 16]]);
+    if (i + 8 < n) {
+      const int64_t rb = rowptr[order[i + 8]];
+      __builtin_prefetch(&colind[rb]);
+      __builtin_prefetch(&values[rb]);
+    }
+    const int64_t r = order[i];
+    const int64_t b = rowptr[r], cnt = rowptr[r + 1] - b;
+    if (static_cast<int64_t>(buf.size()) < cnt)
+      buf.resize(static_cast<size_t>(cnt));
+    Ent* e = buf.data();
+    for (int64_t k = 0; k < cnt; ++k)
+      e[k] = Ent{inv[static_cast<size_t>(colind[b + k])], values[b + k]};
+    if (cnt <= 24) {  // insertion sort: branch-cheap on short rows
+      for (int64_t k = 1; k < cnt; ++k) {
+        Ent x = e[k];
+        int64_t j = k - 1;
+        for (; j >= 0 && e[j].c > x.c; --j) e[j + 1] = e[j];
+        e[j + 1] = x;
+      }
+    } else {
+      std::sort(e, e + cnt, [](const Ent& x, const Ent& y) {
+        return x.c < y.c;
+      });
+    }
+    int32_t* oc = new_colind + new_rowptr[i];
+    T* ov = new_values + new_rowptr[i];
+    for (int64_t k = 0; k < cnt; ++k) { oc[k] = e[k].c; ov[k] = e[k].v; }
+    new_rowptr[i + 1] = new_rowptr[i] + cnt;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int spmv_permute_csr_f64(const int64_t* rowptr, const int32_t* colind,
+                         const double* values, int64_t n,
+                         const int64_t* order, int64_t* new_rowptr,
+                         int32_t* new_colind, double* new_values) {
+  return permute_csr_impl(rowptr, colind, values, n, order, new_rowptr,
+                          new_colind, new_values);
+}
+int spmv_permute_csr_f32(const int64_t* rowptr, const int32_t* colind,
+                         const float* values, int64_t n,
+                         const int64_t* order, int64_t* new_rowptr,
+                         int32_t* new_colind, float* new_values) {
+  return permute_csr_impl(rowptr, colind, values, n, order, new_rowptr,
+                          new_colind, new_values);
+}
+
+}  // extern "C"

@@ -8,14 +8,30 @@ first-class assembly step: RCM here typically shrinks an unstructured
 matrix's bandwidth by orders of magnitude, which directly shrinks the
 kernels' x-windows (and for near-banded matrices unlocks the DIA path).
 
-All host-side, vectorized numpy: per-BFS-level frontier expansion uses
-repeat/cumsum multi-slice gathers, no per-node Python loops.
+All host-side. Two tiers with BITWISE-identical outputs (regression-tested
+in tests/test_reorder.py): a native C++ pipeline (spmv_tpu.native — counting
+passes + tiny per-row sorts, O(nnz); 53 s -> ~5 s at 10M rows / 56M nnz,
+the numpy path is global-sort-bound) and a vectorized numpy fallback
+(per-BFS-level frontier expansion via repeat/cumsum multi-slice gathers,
+no per-node Python loops).
 """
 from __future__ import annotations
+
+import ctypes
 
 import numpy as np
 
 from spmv_tpu.formats.csr import CSRHost
+
+_I64P = None  # bound lazily with the lib
+
+
+def _c64(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _c32(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
 def bandwidth(a: CSRHost) -> int:
@@ -44,15 +60,28 @@ def _neighbors_of(
     return nbr, parent
 
 
-def reverse_cuthill_mckee(a: CSRHost) -> np.ndarray:
+def reverse_cuthill_mckee(a: CSRHost, native: bool = True) -> np.ndarray:
     """RCM ordering of a structurally symmetric square matrix's graph.
 
     Returns ``order`` such that new row i is old row ``order[i]``. Matrices
     with non-symmetric structure still get a valid permutation (BFS runs on
     the out-edges); symmetrize first (A + A^T pattern) for best bandwidth.
+    ``native=False`` forces the numpy tier (same output bitwise).
     """
     if a.nrows != a.ncols:
         raise ValueError("RCM needs a square matrix")
+    if native:
+        from spmv_tpu.native.lib import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+            colind = np.ascontiguousarray(a.colind, dtype=np.int32)
+            order = np.empty(a.nrows, dtype=np.int64)
+            rc = lib.spmv_rcm_order(_c64(rowptr), _c32(colind),
+                                    ctypes.c_int64(a.nrows), _c64(order))
+            if rc == 0:
+                return order
     n = a.nrows
     rowptr64 = np.ascontiguousarray(a.rowptr, dtype=np.int64)
     colind64 = np.ascontiguousarray(a.colind, dtype=np.int64)
@@ -89,12 +118,40 @@ def reverse_cuthill_mckee(a: CSRHost) -> np.ndarray:
     return order[::-1].copy()  # the "reverse" in RCM
 
 
-def permute_symmetric(a: CSRHost, order: np.ndarray) -> CSRHost:
+def permute_symmetric(a: CSRHost, order: np.ndarray,
+                      native: bool = True) -> CSRHost:
     """B[i, j] = A[order[i], order[j]] — simultaneous row+col permutation
     (preserves symmetry/SPD-ness, so CG on B solves the permuted system).
 
-    Single-key sort (row*ncols + col as one int64) instead of from_coo's
-    two-pass lexsort — measured 66 s -> ~20 s at 10M rows / 56M nnz."""
+    Native tier: counting by new row + per-row sorts, no global argsort
+    (~20 s -> ~2 s at 10M rows / 56M nnz). numpy fallback: single-key sort
+    (row*ncols + col as one int64) instead of from_coo's two-pass lexsort."""
+    if native and a.values.dtype in (np.float32, np.float64):
+        from spmv_tpu.native.lib import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+            colind = np.ascontiguousarray(a.colind, dtype=np.int32)
+            values = np.ascontiguousarray(a.values)
+            order64 = np.ascontiguousarray(order, dtype=np.int64)
+            new_rowptr = np.empty(a.nrows + 1, dtype=np.int64)
+            new_colind = np.empty(a.nnz, dtype=np.int32)
+            new_values = np.empty(a.nnz, dtype=values.dtype)
+            fn = (lib.spmv_permute_csr_f64
+                  if values.dtype == np.float64
+                  else lib.spmv_permute_csr_f32)
+            vp = values.ctypes.data_as(ctypes.POINTER(
+                ctypes.c_double if values.dtype == np.float64
+                else ctypes.c_float))
+            ovp = new_values.ctypes.data_as(ctypes.POINTER(
+                ctypes.c_double if values.dtype == np.float64
+                else ctypes.c_float))
+            rc = fn(_c64(rowptr), _c32(colind), vp,
+                    ctypes.c_int64(a.nrows), _c64(order64),
+                    _c64(new_rowptr), _c32(new_colind), ovp)
+            if rc == 0:
+                return CSRHost(new_rowptr, new_colind, new_values, a.ncols)
     inv = np.empty(len(order), dtype=np.int64)
     inv[order] = np.arange(len(order), dtype=np.int64)
     rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz())
@@ -108,12 +165,30 @@ def permute_symmetric(a: CSRHost, order: np.ndarray) -> CSRHost:
                    a.ncols)
 
 
-def rcm_reorder(a: CSRHost) -> tuple[CSRHost, np.ndarray]:
+def rcm_reorder(a: CSRHost,
+                native: bool = True) -> tuple[CSRHost, np.ndarray]:
     """Convenience: symmetrize the pattern, compute RCM on it, and return
     (permuted matrix, order). ``order`` maps new->old; apply to vectors with
     x_new = x_old[order], and undo with y_old = y_new[inverse]."""
     if a.nrows != a.ncols:
         raise ValueError("rcm_reorder needs a square matrix")
+    if native:
+        from spmv_tpu.native.lib import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
+            colind = np.ascontiguousarray(a.colind, dtype=np.int32)
+            sym_rowptr = np.empty(a.nrows + 1, dtype=np.int64)
+            sym_colind = np.empty(max(2 * a.nnz, 1), dtype=np.int32)
+            m = lib.spmv_rcm_symmetrize(
+                _c64(rowptr), _c32(colind), ctypes.c_int64(a.nrows),
+                ctypes.c_int64(a.nnz), _c64(sym_rowptr), _c32(sym_colind))
+            if m >= 0:
+                sym = CSRHost(sym_rowptr, sym_colind[:m],
+                              np.ones(m, dtype=np.int8), a.ncols)
+                order = reverse_cuthill_mckee(sym)
+                return permute_symmetric(a, order), order
     rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz())
     cols = a.colind.astype(np.int64)
     # pattern-only symmetrization via ONE sorted-unique pass over packed
@@ -133,5 +208,5 @@ def rcm_reorder(a: CSRHost) -> tuple[CSRHost, np.ndarray]:
     np.cumsum(np.bincount(sym_rows, minlength=a.nrows), out=rowptr[1:])
     sym = CSRHost(rowptr, (keys % n64).astype(np.int32),
                   np.ones(len(keys), dtype=np.int8), a.ncols)
-    order = reverse_cuthill_mckee(sym)
-    return permute_symmetric(a, order), order
+    order = reverse_cuthill_mckee(sym, native=native)
+    return permute_symmetric(a, order, native=native), order

@@ -56,3 +56,40 @@ def test_rcm_disconnected_components():
 def test_rcm_rejects_rectangular():
     with pytest.raises(ValueError):
         reverse_cuthill_mckee(random_csr(10, 20, 2, seed=5))
+
+
+def test_native_rcm_bitwise_matches_numpy():
+    """The native C++ RCM pipeline (symmetrize, CM order, permute) must be
+    BITWISE identical to the numpy tier — same tie-breaking, same reversal,
+    same per-row column order."""
+    from spmv_tpu.native.lib import native_available
+
+    if not native_available():
+        pytest.skip("native tier unavailable (no toolchain)")
+    rng = np.random.default_rng(7)
+    cases = []
+    # random non-symmetric pattern (exercises the symmetrization)
+    cases.append(random_csr(300, 300, 5, seed=1))
+    # scrambled banded (the RCM showcase), f32 values
+    a = random_csr(256, 256, 3, seed=2, symmetric=True)
+    cases.append(
+        CSRHost(a.rowptr, a.colind, a.values.astype(np.float32), a.ncols))
+    # disconnected components + empty rows + duplicate-prone self loops
+    i = np.array([0, 0, 1, 5, 5, 6, 9])
+    j = np.array([0, 1, 0, 6, 5, 5, 9])
+    cases.append(CSRHost.from_coo(i, j, np.ones(7, float), 10, 10))
+    for k, m in enumerate(cases):
+        bn, on = rcm_reorder(m, native=True)
+        bp, op = rcm_reorder(m, native=False)
+        np.testing.assert_array_equal(on, op, err_msg=f"case {k} order")
+        np.testing.assert_array_equal(bn.rowptr, bp.rowptr)
+        np.testing.assert_array_equal(bn.colind, bp.colind)
+        np.testing.assert_array_equal(bn.values, bp.values)
+        # the standalone entry points agree too
+        np.testing.assert_array_equal(
+            reverse_cuthill_mckee(m, native=True),
+            reverse_cuthill_mckee(m, native=False))
+        pn = permute_symmetric(m, on, native=True)
+        pp = permute_symmetric(m, on, native=False)
+        np.testing.assert_array_equal(pn.colind, pp.colind)
+        np.testing.assert_array_equal(pn.values, pp.values)
