@@ -105,6 +105,25 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, i32p, vp, pp,
         ]
         fn.restype = ctypes.c_int
+    lib.spmv_from_coo_f64.argtypes = [
+        i64p, i64p, f64p, ctypes.c_int64, ctypes.c_int64,
+        i64p, i32p, f64p, ctypes.c_int32]
+    lib.spmv_from_coo_f64.restype = ctypes.c_int64
+    lib.spmv_from_coo_f32.argtypes = [
+        i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64,
+        i64p, i32p, f32p, ctypes.c_int32]
+    lib.spmv_from_coo_f32.restype = ctypes.c_int64
+    lib.spmv_pairwise_pass.argtypes = [
+        i64p, i64p, f64p, ctypes.c_int64, ctypes.c_int64, f64p, i64p]
+    lib.spmv_pairwise_pass.restype = ctypes.c_int64
+    lib.spmv_spgemm_f64.argtypes = [
+        i64p, i32p, f64p, ctypes.c_int64,
+        i64p, i32p, f64p, ctypes.c_int64,
+        i64p, i32p, f64p, ctypes.c_int64]
+    lib.spmv_spgemm_f64.restype = ctypes.c_int64
+    lib.spmv_strongest_neighbor.argtypes = [
+        i64p, i64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.spmv_strongest_neighbor.restype = ctypes.c_int
     lib.spmv_rcm_symmetrize.argtypes = [
         i64p, i32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p]
     lib.spmv_rcm_symmetrize.restype = ctypes.c_int64

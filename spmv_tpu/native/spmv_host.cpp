@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cmath>
 #include <vector>
 #include <algorithm>
 #include <utility>
@@ -22,6 +23,24 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <malloc.h>
+#include <climits>
+
+namespace {
+
+// This host's dominant "cost" for big fresh allocations is first-touch
+// page-fault servicing (BENCH_NOTES "first-touch fault regime": 0.03-0.4
+// GB/s on cold pages). Keep large blocks on the glibc heap and never trim,
+// so scratch buffers (SpGEMM accumulators, from_coo key arrays, numpy
+// temporaries — mallopt is process-wide) REUSE warm pages across calls.
+struct MallocTuner {
+  MallocTuner() {
+    mallopt(M_MMAP_THRESHOLD, INT_MAX);
+    mallopt(M_TRIM_THRESHOLD, INT_MAX);
+  }
+} g_malloc_tuner;
+
+}  // namespace
 
 namespace {
 
@@ -821,6 +840,279 @@ int spmv_permute_csr_f32(const int64_t* rowptr, const int32_t* colind,
                          int32_t* new_colind, float* new_values) {
   return permute_csr_impl(rowptr, colind, values, n, order, new_rowptr,
                           new_colind, new_values);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host SpGEMM + AMG setup kernels. The numpy ESC SpGEMM (expand/lexsort/
+// compress in formats/csr.csr_matmul) is global-sort-bound: AMG setup at 1M
+// rows spent 48 s in it (82 s total). Gustavson with a dense accumulator is
+// O(flops) with no sorts beyond tiny per-row ones.
+
+extern "C" {
+
+// C = A @ B, CSR inputs, f64 values. c_colind/c_vals must have capacity
+// `cap` >= nnz(C); pass the ESC expansion bound sum_k |B row a_col[k]|
+// (cheap to compute in numpy). Returns nnz(C), or -1 if cap was too small
+// (c_rowptr then holds the exact per-row sizes up to the failing row).
+// Output columns are sorted per row; values accumulate in first-seen
+// order (ULP-level difference from the numpy coalesce is expected).
+int64_t spmv_spgemm_f64(const int64_t* a_rowptr, const int32_t* a_colind,
+                        const double* a_vals, int64_t a_rows,
+                        const int64_t* b_rowptr, const int32_t* b_colind,
+                        const double* b_vals, int64_t b_cols,
+                        int64_t* c_rowptr, int32_t* c_colind, double* c_vals,
+                        int64_t cap) {
+  if (a_rows < 0 || b_cols < 0) return -1;
+  std::vector<double> acc(static_cast<size_t>(b_cols), 0.0);
+  std::vector<int64_t> mark(static_cast<size_t>(b_cols), -1);
+  std::vector<int32_t> live;
+  int64_t w = 0;
+  c_rowptr[0] = 0;
+  for (int64_t i = 0; i < a_rows; ++i) {
+    live.clear();
+    for (int64_t p = a_rowptr[i]; p < a_rowptr[i + 1]; ++p) {
+      const int32_t k = a_colind[p];
+      const double av = a_vals[p];
+      for (int64_t q = b_rowptr[k]; q < b_rowptr[k + 1]; ++q) {
+        const int32_t j = b_colind[q];
+        if (mark[static_cast<size_t>(j)] != i) {
+          mark[static_cast<size_t>(j)] = i;
+          acc[static_cast<size_t>(j)] = av * b_vals[q];
+          live.push_back(j);
+        } else {
+          acc[static_cast<size_t>(j)] += av * b_vals[q];
+        }
+      }
+    }
+    std::sort(live.begin(), live.end());
+    if (w + static_cast<int64_t>(live.size()) > cap) return -1;
+    for (int32_t j : live) {
+      c_colind[w] = j;
+      c_vals[w++] = acc[static_cast<size_t>(j)];
+    }
+    c_rowptr[i + 1] = w;
+  }
+  return w;
+}
+
+// argmax_j (w, prio[cols]) per row over COO edges (unsorted), last
+// occurrence winning exact ties — the exact tie-breaking of the numpy
+// lexsort formulation in solvers/amg._strongest_neighbor.
+int spmv_strongest_neighbor(const int64_t* rows, const int64_t* cols,
+                            const double* w, const double* prio,
+                            int64_t nedges, int64_t n, int64_t* cand) {
+  if (n < 0 || nedges < 0) return 1;
+  std::vector<double> bw(static_cast<size_t>(n)),
+      bp(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) cand[i] = -1;
+  for (int64_t e = 0; e < nedges; ++e) {
+    const int64_t i = rows[e];
+    const double we = w[e], pe = prio[static_cast<size_t>(cols[e])];
+    if (cand[i] < 0 || we > bw[static_cast<size_t>(i)] ||
+        (we == bw[static_cast<size_t>(i)] &&
+         pe >= bp[static_cast<size_t>(i)])) {
+      bw[static_cast<size_t>(i)] = we;
+      bp[static_cast<size_t>(i)] = pe;
+      cand[i] = cols[e];
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// COO -> CSR assembly (formats/csr.CSRHost.from_coo's native tier). The
+// numpy tier lexsorts the whole triplet set (O(nnz log nnz), the dominant
+// cost of AMG setup / shard classification at scale); here: counting
+// scatter by row + per-row stable sort + optional duplicate-sum, O(nnz).
+// Stability trick: within a row, pack (col, seq) into one int64 key
+// (col << 32 | seq) — a plain sort of the keys is then stable by col, and
+// seq recovers the value. Duplicate sums accumulate in double in original
+// occurrence order, matching numpy's bincount(weights) bitwise.
+
+namespace {
+
+template <typename T>
+int64_t from_coo_impl(const int64_t* rows, const int64_t* cols,
+                      const T* vals, int64_t nnz, int64_t nrows,
+                      int64_t* rowptr, int32_t* out_cols, T* out_vals,
+                      int32_t sum_dups) {
+  std::vector<int64_t> cnt(static_cast<size_t>(nrows) + 1, 0);
+  for (int64_t p = 0; p < nnz; ++p) {
+    const int64_t r = rows[p];
+    if (r < 0 || r >= nrows || cols[p] < 0) return -1;
+    ++cnt[static_cast<size_t>(r) + 1];
+  }
+  for (int64_t i = 0; i < nrows; ++i)
+    cnt[static_cast<size_t>(i) + 1] += cnt[static_cast<size_t>(i)];
+  // scatter keys + values into row segments (input order within a row)
+  std::vector<int64_t> keys(static_cast<size_t>(nnz));
+  std::vector<T> sv(static_cast<size_t>(nnz));
+  {
+    std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
+    for (int64_t p = 0; p < nnz; ++p) {
+      const int64_t r = rows[p];
+      const int64_t pos = cur[static_cast<size_t>(r)]++;
+      const int64_t seq = pos - cnt[static_cast<size_t>(r)];
+      keys[static_cast<size_t>(pos)] =
+          (cols[p] << 32) | (seq & 0xffffffffLL);
+      sv[static_cast<size_t>(pos)] = vals[p];
+    }
+  }
+  std::vector<T> rowbuf;
+  int64_t w = 0;
+  rowptr[0] = 0;
+  for (int64_t i = 0; i < nrows; ++i) {
+    const int64_t b = cnt[static_cast<size_t>(i)],
+                  e = cnt[static_cast<size_t>(i) + 1];
+    std::sort(keys.begin() + b, keys.begin() + e);
+    if (static_cast<int64_t>(rowbuf.size()) < e - b)
+      rowbuf.resize(static_cast<size_t>(e - b));
+    for (int64_t p = b; p < e; ++p)
+      rowbuf[static_cast<size_t>(p - b)] =
+          sv[static_cast<size_t>(b) +
+             (keys[static_cast<size_t>(p)] & 0xffffffffLL)];
+    if (sum_dups) {
+      int64_t p = b;
+      while (p < e) {
+        const int32_t c = static_cast<int32_t>(
+            keys[static_cast<size_t>(p)] >> 32);
+        double acc = 0.0;
+        while (p < e && static_cast<int32_t>(
+                            keys[static_cast<size_t>(p)] >> 32) == c)
+          acc += static_cast<double>(rowbuf[static_cast<size_t>(p++ - b)]);
+        out_cols[w] = c;
+        out_vals[w++] = static_cast<T>(acc);
+      }
+    } else {
+      for (int64_t p = b; p < e; ++p) {
+        out_cols[w] = static_cast<int32_t>(
+            keys[static_cast<size_t>(p)] >> 32);
+        out_vals[w++] = rowbuf[static_cast<size_t>(p - b)];
+      }
+    }
+    rowptr[i + 1] = w;
+  }
+  return w;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t spmv_from_coo_f64(const int64_t* rows, const int64_t* cols,
+                          const double* vals, int64_t nnz, int64_t nrows,
+                          int64_t* rowptr, int32_t* out_cols,
+                          double* out_vals, int32_t sum_dups) {
+  return from_coo_impl(rows, cols, vals, nnz, nrows, rowptr, out_cols,
+                       out_vals, sum_dups);
+}
+int64_t spmv_from_coo_f32(const int64_t* rows, const int64_t* cols,
+                          const float* vals, int64_t nnz, int64_t nrows,
+                          int64_t* rowptr, int32_t* out_cols,
+                          float* out_vals, int32_t sum_dups) {
+  return from_coo_impl(rows, cols, vals, nnz, nrows, rowptr, out_cols,
+                       out_vals, sum_dups);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// One AMG pairwise-matching pass (solvers/amg._pairwise_pass native tier).
+// The numpy tier materializes the symmetrized edge list (2*nnz int64 x3
+// temporaries) and lexsorts for the strongest-neighbor argmax; here two
+// filtered scans reproduce the exact concatenation order + last-occurrence
+// tie-breaking, and the unique/relabel is a flag + prefix-sum pass.
+
+namespace {
+
+// strongest-neighbor update scans matching the numpy concatenated order:
+// all (rows->cols) edges first, then all (cols->rows); >= keeps the LAST
+// occurrence among exact (w, prio) ties, matching the stable lexsort.
+inline void sn_update(int64_t i, int64_t j, double we, const double* prio,
+                      double* bw, double* bp, int64_t* cand) {
+  const double pe = prio[static_cast<size_t>(j)];
+  if (cand[i] < 0 || we > bw[i] || (we == bw[i] && pe >= bp[i])) {
+    bw[i] = we;
+    bp[i] = pe;
+    cand[i] = j;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns nc (number of aggregates) and fills agg_out (n, int64) with
+// dense aggregate ids in [0, nc); -1 on bad input. `prio` is the host RNG
+// permutation (kept in Python so the aggregate structure is seed-stable
+// with the numpy tier).
+int64_t spmv_pairwise_pass(const int64_t* rows, const int64_t* cols,
+                           const double* vals, int64_t nnz, int64_t n,
+                           const double* prio, int64_t* agg_out) {
+  if (n < 0 || nnz < 0) return -1;
+  std::vector<double> bw(static_cast<size_t>(n)), bp(static_cast<size_t>(n));
+  std::vector<int64_t> cand(static_cast<size_t>(n), -1);
+  for (int64_t e = 0; e < nnz; ++e) {
+    if (rows[e] == cols[e]) continue;
+    sn_update(rows[e], cols[e], std::abs(vals[e]), prio, bw.data(),
+              bp.data(), cand.data());
+  }
+  for (int64_t e = 0; e < nnz; ++e) {
+    if (rows[e] == cols[e]) continue;
+    sn_update(cols[e], rows[e], std::abs(vals[e]), prio, bw.data(),
+              bp.data(), cand.data());
+  }
+  // mutual strongest pairs merge; rep = min(i, mate) for matched nodes
+  std::vector<int64_t> rep(static_cast<size_t>(n));
+  std::vector<uint8_t> matched(static_cast<size_t>(n), 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t m = cand[static_cast<size_t>(i)] >= 0
+                          ? cand[static_cast<size_t>(i)]
+                          : i;
+    const int64_t mm = cand[static_cast<size_t>(m)] >= 0
+                           ? cand[static_cast<size_t>(m)]
+                           : m;
+    if (mm == i && m != i) {
+      matched[static_cast<size_t>(i)] = 1;
+      rep[static_cast<size_t>(i)] = std::min(i, m);
+    } else {
+      rep[static_cast<size_t>(i)] = i;
+    }
+  }
+  // attach leftover singletons to their strongest MATCHED neighbor
+  // (same two-scan order, edges filtered on a matched target)
+  std::vector<int64_t> att(static_cast<size_t>(n), -1);
+  std::fill(bw.begin(), bw.end(), 0.0);
+  std::fill(bp.begin(), bp.end(), 0.0);
+  for (int64_t e = 0; e < nnz; ++e) {
+    if (rows[e] == cols[e]) continue;
+    if (matched[static_cast<size_t>(cols[e])])
+      sn_update(rows[e], cols[e], std::abs(vals[e]), prio, bw.data(),
+                bp.data(), att.data());
+  }
+  for (int64_t e = 0; e < nnz; ++e) {
+    if (rows[e] == cols[e]) continue;
+    if (matched[static_cast<size_t>(rows[e])])
+      sn_update(cols[e], rows[e], std::abs(vals[e]), prio, bw.data(),
+                bp.data(), att.data());
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (!matched[static_cast<size_t>(i)] && att[static_cast<size_t>(i)] >= 0)
+      rep[static_cast<size_t>(i)] =
+          rep[static_cast<size_t>(att[static_cast<size_t>(i)])];
+  // dense relabel == np.unique(rep, return_inverse): sorted unique ids
+  std::vector<int64_t> newid(static_cast<size_t>(n), -1);
+  for (int64_t i = 0; i < n; ++i) newid[static_cast<size_t>(rep[i])] = 0;
+  int64_t nc = 0;
+  for (int64_t v = 0; v < n; ++v)
+    if (newid[static_cast<size_t>(v)] == 0) newid[static_cast<size_t>(v)] = nc++;
+  for (int64_t i = 0; i < n; ++i)
+    agg_out[i] = newid[static_cast<size_t>(rep[i])];
+  return nc;
 }
 
 }  // extern "C"

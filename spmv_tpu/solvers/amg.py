@@ -68,7 +68,29 @@ LANES = 128
 def _strongest_neighbor(rows, cols, w, prio, n):
     """cand[i] = argmax_j w(i,j), ties broken by a random priority so that
     constant-weight graphs (e.g. uniform Laplacians) still produce mutual
-    pairs instead of everyone chasing the same direction."""
+    pairs instead of everyone chasing the same direction. Native tier: one
+    O(nnz) scan with the lexsort tie-breaking reproduced exactly (last
+    occurrence wins equal (w, prio)); numpy fallback below."""
+    from spmv_tpu.native.lib import get_lib
+
+    lib = get_lib()
+    if lib is not None and len(rows):
+        import ctypes
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        r64 = np.ascontiguousarray(rows, np.int64)
+        c64 = np.ascontiguousarray(cols, np.int64)
+        w64 = np.ascontiguousarray(w, np.float64)
+        p64 = np.ascontiguousarray(prio, np.float64)
+        cand = np.empty(n, np.int64)
+        rc = lib.spmv_strongest_neighbor(
+            r64.ctypes.data_as(i64p), c64.ctypes.data_as(i64p),
+            w64.ctypes.data_as(f64p), p64.ctypes.data_as(f64p),
+            ctypes.c_int64(len(r64)), ctypes.c_int64(n),
+            cand.ctypes.data_as(i64p))
+        if rc == 0:
+            return cand
     order = np.lexsort((prio[cols], w, rows))
     r_sorted = rows[order]
     if len(r_sorted) == 0:
@@ -82,10 +104,32 @@ def _strongest_neighbor(rows, cols, w, prio, n):
 def _pairwise_pass(rows, cols, vals, n, seed):
     """One matching pass: mutual strongest-neighbor pairs merge, remaining
     singletons attach to their strongest matched neighbor. Returns
-    ``agg`` (n,) int64 in [0, nc) and nc."""
+    ``agg`` (n,) int64 in [0, nc) and nc. Native tier: one C++ call with
+    identical matching/tie-breaking/relabel semantics (regression-tested);
+    the numpy tier below materializes 2*nnz symmetrized edge temporaries."""
     idx = np.arange(n, dtype=np.int64)
     if len(rows) == 0:
         return idx.copy(), n
+    from spmv_tpu.native.lib import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        r64 = np.ascontiguousarray(rows, np.int64)
+        c64 = np.ascontiguousarray(cols, np.int64)
+        v64 = np.ascontiguousarray(vals, np.float64)
+        prio = np.random.default_rng(seed).permutation(n).astype(np.float64)
+        agg = np.empty(n, np.int64)
+        nc = lib.spmv_pairwise_pass(
+            r64.ctypes.data_as(i64p), c64.ctypes.data_as(i64p),
+            v64.ctypes.data_as(f64p), ctypes.c_int64(len(r64)),
+            ctypes.c_int64(n), prio.ctypes.data_as(f64p),
+            agg.ctypes.data_as(i64p))
+        if nc >= 0:
+            return agg, int(nc)
     off = rows != cols
     rows, cols, vals = rows[off], cols[off], vals[off]
     # symmetrize the strength graph (coalescing not needed for argmax)
