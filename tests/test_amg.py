@@ -215,3 +215,34 @@ def test_amg_general_spd_unstructured():
     assert bool(res.converged)
     rel = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
     assert rel < 1e-5, rel
+
+
+def test_native_pairwise_pass_matches_numpy():
+    """The native matching pass must reproduce the numpy tier exactly:
+    same aggregates, same count — including on constant-weight graphs
+    where only the (prio, last-occurrence) tie-breaking decides."""
+    import spmv_tpu.native.lib as NL
+    from spmv_tpu.solvers.amg import _pairwise_pass
+
+    if not NL.native_available():
+        pytest.skip("native tier unavailable")
+
+    def coo(a):
+        rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz())
+        return rows, a.colind.astype(np.int64), a.values.astype(np.float64)
+
+    cases = [coo(create_laplace_2d(32)),
+             coo(random_csr(500, 500, 5, seed=3, symmetric=True))]
+    r3, c3, v3 = coo(create_laplace_2d(20))
+    cases.append((r3, c3, np.ones_like(v3)))  # pure tie-breaking stress
+    for k, (r, c, v) in enumerate(cases):
+        n = int(max(r.max(), c.max())) + 1
+        an, ncn = _pairwise_pass(r, c, v, n, seed=42)
+        orig = NL.get_lib
+        NL.get_lib = lambda: None
+        try:
+            ap, ncp = _pairwise_pass(r, c, v, n, seed=42)
+        finally:
+            NL.get_lib = orig
+        assert ncn == ncp, (k, ncn, ncp)
+        np.testing.assert_array_equal(an, ap, err_msg=f"case {k}")

@@ -332,3 +332,59 @@ def test_csr_matmul_matches_dense():
     np.testing.assert_allclose(m.to_dense(), d @ d @ d.T, atol=1e-10)
     with pytest.raises(ValueError, match="shape mismatch"):
         csr_matmul(a, a)
+
+
+def test_native_from_coo_bitwise_matches_numpy():
+    """Native counting-scatter from_coo vs the numpy lexsort tier: same
+    rowptr/colind/values BITWISE (stability within duplicate (row, col)
+    groups and the f64 duplicate-accumulation order both preserved)."""
+    import spmv_tpu.native.lib as NL
+
+    if not NL.native_available():
+        pytest.skip("native tier unavailable")
+    rng = np.random.default_rng(3)
+    for sd in (True, False):
+        for dt in (np.float64, np.float32):
+            n = 400
+            rows = rng.integers(0, n, 5000)
+            cols = rng.integers(0, n, 5000)
+            vals = rng.standard_normal(5000).astype(dt)
+            for r, c, v in [
+                (rows, cols, vals),
+                (np.concatenate([rows] * 3), np.concatenate([cols] * 3),
+                 rng.standard_normal(15000).astype(dt)),
+                (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, dt)),
+            ]:
+                a = CSRHost.from_coo(r, c, v, n, n, sum_duplicates=sd)
+                orig = NL.get_lib
+                NL.get_lib = lambda: None
+                try:
+                    b = CSRHost.from_coo(r, c, v, n, n, sum_duplicates=sd)
+                finally:
+                    NL.get_lib = orig
+                np.testing.assert_array_equal(a.rowptr, b.rowptr)
+                np.testing.assert_array_equal(a.colind, b.colind)
+                np.testing.assert_array_equal(a.values, b.values)
+
+
+def test_native_spgemm_matches_numpy_and_dense():
+    """Gustavson SpGEMM vs the numpy ESC tier: identical structure, values
+    to 1e-13 (accumulation order differs by design), and both match the
+    dense product."""
+    import spmv_tpu.native.lib as NL
+    from spmv_tpu.formats.csr import csr_matmul
+
+    if not NL.native_available():
+        pytest.skip("native tier unavailable")
+    for (m, k, n, per) in [(50, 40, 30, 4), (200, 200, 200, 7), (1, 5, 9, 2)]:
+        a = random_csr(m, k, per, seed=1)
+        b = random_csr(k, n, per, seed=2)
+        cn = csr_matmul(a, b, native=True)
+        cp = csr_matmul(a, b, native=False)
+        np.testing.assert_array_equal(cn.rowptr, cp.rowptr)
+        np.testing.assert_array_equal(cn.colind, cp.colind)
+        np.testing.assert_allclose(cn.values, cp.values, rtol=1e-13,
+                                   atol=1e-13)
+        np.testing.assert_allclose(cn.to_dense(),
+                                   a.to_dense() @ b.to_dense(), atol=1e-10)
