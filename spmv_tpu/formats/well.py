@@ -531,6 +531,14 @@ def csr_to_well(
     would inflate every group's storage). ``pair=True`` enables the
     paired-slot merge (module doc): ~25% less storage at ~4% more
     wall-clock — for HBM-capacity-bound or occupancy-gated cases."""
+    if np.iscomplexobj(a.values) or (dtype is not None
+                                     and np.issubdtype(np.dtype(dtype),
+                                                       np.complexfloating)):
+        raise ValueError(
+            "WELL has no complex device kernel; complex operators run on "
+            "the ELL/DIA XLA path (local_format='ell' or 'dia'), or split "
+            "re/im into two real operators (README 'Complex dtypes')"
+        )
     values, pos, w0, wseg, nseg_x, paired = _build_arrays(
         a, tile_groups, max_k, dtype, pair=pair)
     return WellMatrix(

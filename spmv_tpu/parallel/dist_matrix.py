@@ -1420,6 +1420,16 @@ def _assemble(
     if local_format in ("well", "well_ds"):
         from spmv_tpu.formats.well import _build_arrays, split_window
 
+        eff_dtype = np.dtype(dtype) if dtype is not None \
+            else np.dtype(shards[0].local.dtype)
+        if np.issubdtype(eff_dtype, np.complexfloating):
+            raise ValueError(
+                "WELL has no complex device kernel; complex operators run "
+                "on the ELL/DIA XLA path (local_format='ell' or 'dia'), or "
+                "split re/im into two real operators (README 'Complex "
+                "dtypes')"
+            )
+
         max_groups = max(-(-(s.row_range[1] - s.row_range[0]) // 128)
                          for s in shards)
         tg = (well_tile_groups if well_tile_groups is not None else
