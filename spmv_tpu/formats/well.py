@@ -461,9 +461,10 @@ def _build_arrays_native(a: CSRHost, tile_groups: int, max_k: int, dtype):
     from spmv_tpu.native.lib import get_lib
 
     out_dtype = np.dtype(dtype or a.dtype)
-    if out_dtype != a.values.dtype or out_dtype not in (
-        np.dtype(np.float32), np.dtype(np.float64)
-    ):
+    if out_dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    if np.dtype(a.values.dtype) not in (np.dtype(np.float32),
+                                        np.dtype(np.float64)):
         return None
     lib = get_lib()
     if lib is None:
@@ -472,7 +473,10 @@ def _build_arrays_native(a: CSRHost, tile_groups: int, max_k: int, dtype):
     n_tiles = gpad // tile_groups
     rowptr = np.ascontiguousarray(a.rowptr, dtype=np.int64)
     colind = np.ascontiguousarray(a.colind, dtype=np.int32)
-    values = np.ascontiguousarray(a.values)
+    # cast once up front (e.g. f64 host assembly -> f32 device values, the
+    # AMG coarse-grid case): elementwise IEEE cast, so the packed planes
+    # stay bitwise-identical to the numpy tier's post-pack cast
+    values = np.ascontiguousarray(a.values, dtype=out_dtype)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     w0 = np.zeros(n_tiles, dtype=np.int32)

@@ -1399,6 +1399,7 @@ def _assemble(
     well_wseg_cap: int = 512,
     well_max_k: int = 64,
     well_tile_groups: int | None = None,
+    dia_max_diags: int = 64,
 ) -> DistMatrix:
     """Shared assembly tail: compile the (column-side) CommPlan, stack the
     ELL/DIA blocks, and upload everything sharded in one device_put each."""
@@ -1604,10 +1605,12 @@ def _assemble(
             per_shard.append((rows, offs, vals))
             all_offs.append(np.unique(offs))
         union = np.unique(np.concatenate(all_offs)) if all_offs else np.array([0])
-        if len(union) > 64:
+        if len(union) > dia_max_diags:
             raise ValueError(
-                f"local blocks have {len(union)} distinct diagonals; "
-                "local_format='dia' is for banded/stencil operators"
+                f"local blocks have {len(union)} distinct diagonals "
+                f"(> dia_max_diags={dia_max_diags}); local_format='dia' is "
+                "for banded/stencil operators — raise dia_max_diags only "
+                "when the band is dense (storage is ndiags * nrows)"
             )
         kd = max(len(union), 1)
         dd_dtype = np.float64 if local_format == "dia_ds" else (
@@ -1954,6 +1957,7 @@ def build_dist_matrix(
     well_wseg_cap: int = 512,
     well_max_k: int = 64,
     well_tile_groups: int | None = None,
+    dia_max_diags: int = 64,
 ) -> DistMatrix:
     """Assemble a DistMatrix from a global host CSR.
 
@@ -1988,7 +1992,7 @@ def build_dist_matrix(
     A = _assemble(
         shards, col_ranges, a.nrows, a.ncols, a.nnz, mesh, axis_name,
         symmetric, dtype, row_align, local_format, well_wseg_cap,
-        well_max_k, well_tile_groups,
+        well_max_k, well_tile_groups, dia_max_diags,
     )
     # side data for transposed(): the assembly-time host matrix + rebuild
     # args. Plain attributes, NOT pytree fields — they vanish across
