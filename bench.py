@@ -64,12 +64,19 @@ def interleaved_trial_seconds(loops_and_args, trials, k):
     """Per-trial seconds/iteration for each device loop, measured
     INTERLEAVED (a,b,c,a,b,c,...) with the first round (compile) discarded.
     Returns times[i] = list of ``trials`` samples for loop i. Same-trial
-    ratios sample the same chip conditions."""
+    ratios sample the same chip conditions.
+
+    The trailing argument of every loop is its input VECTOR; it is
+    perturbed by (1 + 1e-6*trial) so no two timed calls present the same
+    (executable, args) pair — the tunnel can serve exact repeats from an
+    execution cache (measured: a repeated 10M-row solve "ran" in 0.00 s)."""
     n = len(loops_and_args)
     times = [[] for _ in range(n)]
     for trial in range(trials + 1):
         for i, (fn, args) in enumerate(loops_and_args):
-            dt = _timed_call(fn, args, k)
+            scale = args[-1].dtype.type(1.0 + 1e-6 * trial)
+            targs = (*args[:-1], args[-1] * scale)
+            dt = _timed_call(fn, targs, k)
             if trial > 0:
                 times[i].append(dt)
             print(f"#   loop{i} trial {trial}: {dt*1e3:.3f} ms/iter",
@@ -99,12 +106,142 @@ def _build_well_matrix(n, rng):
                             np.concatenate(vals).astype(np.float32), n, n)
 
 
+def _solver_metrics(a, smoke: bool, rtol: float = 1e-6) -> dict:
+    """Solver-level driver metrics (VERDICT r3 item 4): distributed-CG
+    iterations/sec on the headline operator (BASELINE configs 2/5 role:
+    the reference's own CG harness, reference demos/cg.cpp:64-117) and
+    AMG-PCG setup + solve wall-clock (the optimal-order preconditioning
+    capability at the headline scale). Medians with spread."""
+    import jax
+
+    from spmv_tpu.gen import gaussian_bump
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.amg import amg_setup
+    from spmv_tpu.solvers.cg import cg
+
+    out = {}
+    t0 = time.perf_counter()
+    A = build_dist_matrix(a, n_devices=1, local_format="dia",
+                          dtype=np.float32)
+    b = A.to_dist(gaussian_bump(a.nrows, dtype=np.float32))
+    out["cg_assemble_s"] = round(time.perf_counter() - t0, 1)
+
+    # Timing discipline (both required on the axon tunnel, see
+    # .claude/skills/verify): (1) sync by PULLING a device scalar — a bare
+    # block_until_ready under-reports; (2) PERTURB the input per trial —
+    # repeated identical (executable, args) pairs can be served from the
+    # tunnel's execution cache (measured: a repeated 10M-row AMG solve
+    # "returned" in 0.00 s).
+    niter = 5 if smoke else 100
+    rate = jax.jit(lambda A_, bb: cg(A_.as_linear_operator(), bb,
+                                     kmax=niter, rtol=0.0))
+    float(rate(A, b).rnorm)  # compile round
+    ts = []
+    for t in range(2 if smoke else 4):
+        bt = b * np.float32(1.0 + 1e-6 * (t + 1))
+        t0 = time.perf_counter()
+        _ = float(rate(A, bt).rnorm)
+        ts.append(time.perf_counter() - t0)
+    its = [niter / t for t in ts]
+    out["cg_iters_per_s"] = round(statistics.median(its), 1)
+    out["cg_iters_per_s_spread"] = [round(min(its), 1), round(max(its), 1)]
+
+    t0 = time.perf_counter()
+    h = amg_setup(a, A, aggregate="interval", interval_size=4,
+                  local_format="dia")
+    out["amg_pcg_setup_s"] = round(time.perf_counter() - t0, 1)
+    solve = jax.jit(lambda A_, bb, h_: cg(
+        A_.as_linear_operator(), bb, kmax=60 if smoke else 200, rtol=rtol,
+        preconditioner=h_.as_preconditioner()))
+    float(solve(A, b, h).rnorm)  # compile round
+    ws = []
+    for t in range(2 if smoke else 3):
+        bt = b * np.float32(1.0 + 1e-6 * (t + 1))
+        t0 = time.perf_counter()
+        r = solve(A, bt, h)
+        _ = float(r.rnorm)
+        ws.append(time.perf_counter() - t0)
+    out["amg_pcg_solve_s"] = round(statistics.median(ws), 2)
+    out["amg_pcg_solve_s_spread"] = [round(min(ws), 2), round(max(ws), 2)]
+    out["amg_pcg_iters"] = int(r.iterations)
+    out["amg_pcg_converged"] = bool(r.converged)
+    out["amg_pcg_rtol"] = rtol
+    return out
+
+
+def _corpus_summary(smoke: bool, trials: int) -> dict:
+    """One-line corpus summary (VERDICT r3 item 2): the general-sparsity
+    path on structurally diverse operators (spmv_tpu.corpus) through the
+    real user workflow — RCM -> auto format select -> sustained SpMV.
+    Full per-matrix detail: tools/exp_corpus_chip.py + BENCH_NOTES."""
+    import jax
+    import jax.numpy as jnp
+
+    from spmv_tpu.corpus import circuit_network, fem_p1_2d, powerlaw_laplacian
+    from spmv_tpu.gen import gaussian_bump
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.reorder import rcm_reorder
+
+    kind = jax.devices()[0].device_kind
+    roof = HBM_SPEC_GBS.get(kind)
+    cases = [
+        ("fem2d", fem_p1_2d, {"n_nodes": 3000 if smoke else 800_000}),
+        ("powerlaw", powerlaw_laplacian, {"n": 3000 if smoke else 500_000}),
+        ("circuit", circuit_network, {"nx": 50 if smoke else 800}),
+    ]
+    k = 3 if smoke else 60
+    fracs, formats = {}, {}
+    for tag, fn, kw in cases:
+        a = fn(**kw)
+        row_sums = np.zeros(a.nrows)
+        np.add.at(row_sums, np.repeat(np.arange(a.nrows), a.row_nnz()),
+                  np.abs(a.values))
+        a.values *= np.float32(0.9 / max(row_sums.max(), 1e-30))
+        a, _ = rcm_reorder(a)
+        A = build_dist_matrix(a, n_devices=1, local_format="auto",
+                              dtype=np.float32)
+        b = A.to_dist(gaussian_bump(a.nrows, dtype=np.float32))
+
+        @jax.jit
+        def loop(A_, v, k=k):
+            mv = A_.as_linear_operator()
+            return jax.lax.fori_loop(0, k, lambda i, u: mv(u), v)
+
+        ts = []
+        for t in range(trials + 1):
+            bt = b * np.float32(1.0 + 1e-6 * t)  # defeat the tunnel cache
+            t0 = time.perf_counter()
+            out = loop(A, bt)
+            _ = float(out.reshape(-1)[7])
+            if t > 0:
+                ts.append((time.perf_counter() - t0) / k)
+        traffic = A.format_size_bytes() + 2 * a.nrows * 4
+        sec = statistics.median(ts)
+        formats[tag] = A.local_format
+        if roof is not None:
+            fracs[tag] = round(traffic / sec / (roof * 1e9), 4)
+        print(f"#   corpus {tag}: n={a.nrows} fmt={A.local_format} "
+              f"{sec*1e3:.3f} ms/apply"
+              + (f" {fracs[tag]*100:.1f}% stored roofline" if roof else ""),
+              file=sys.stderr)
+    out = {"corpus_formats": formats}
+    if fracs:
+        out["corpus_stored_roofline_frac"] = fracs
+        out["corpus_stored_roofline_median"] = round(
+            statistics.median(fracs.values()), 4)
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + Pallas interpreter (CI dry run)")
     ap.add_argument("--trials", type=int, default=6,
                     help="measured interleaved trials (after compile round)")
+    ap.add_argument("--no-solvers", action="store_true",
+                    help="skip the CG/AMG solver metrics")
+    ap.add_argument("--no-corpus", action="store_true",
+                    help="skip the corpus summary")
     args = ap.parse_args(argv)
 
     import jax
@@ -256,6 +393,23 @@ def main(argv=None) -> int:
     except Exception as e:  # noqa: BLE001 — auxiliary metric only
         print(f"# WELL SpMM metric skipped: {e!r}", file=sys.stderr)
 
+    solver_keys: dict = {}
+    if not args.no_solvers:
+        try:
+            solver_keys = _solver_metrics(a, args.smoke)
+            print(f"# solver metrics: {solver_keys}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — guarded auxiliary metrics
+            print(f"# solver metrics skipped: {e!r}", file=sys.stderr)
+            solver_keys = {"solver_metrics_error": repr(e)[:200]}
+
+    corpus_keys: dict = {}
+    if not args.no_corpus:
+        try:
+            corpus_keys = _corpus_summary(args.smoke, max(trials - 3, 1))
+        except Exception as e:  # noqa: BLE001 — guarded auxiliary metrics
+            print(f"# corpus summary skipped: {e!r}", file=sys.stderr)
+            corpus_keys = {"corpus_error": repr(e)[:200]}
+
     print(
         f"# {kind}: spec roofline {spec_gbs:.0f} GB/s, measured copy "
         f"{statistics.median(copy_gbs):.0f} GB/s | n={a.nrows} nnz={a.nnz} | "
@@ -293,6 +447,8 @@ def main(argv=None) -> int:
                     "well_spmm_ms_per_col": round(spmm_ms_col, 4),
                     "well_spmm_speedup_vs_percol": round(spmm_speedup, 3),
                 }),
+                **solver_keys,
+                **corpus_keys,
             }
         )
     )

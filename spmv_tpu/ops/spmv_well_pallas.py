@@ -27,6 +27,7 @@ per-thread row loops.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -55,7 +56,18 @@ def _well_kernel(
     paired: bool,
     compute_dtype=jnp.float32,
     exact_gather: bool = False,
+    trace_phases: bool = False,
+    gather_terms: int = 3,
 ):
+    # trace_phases: wrap each compute phase in jax.named_scope — Mosaic
+    # lowers scope boundaries to tpu.trace_start/stop ops (level 10), which
+    # libtpu records as intra-kernel timeline events in the xplane trace
+    # (tools/exp_well_timeline.py). Instrumentation-only: off on the
+    # production path.
+    def scope(name):
+        return jax.named_scope(name) if trace_phases else (
+            contextlib.nullcontext())
+
     i = pl.program_id(0)
 
     def dma(slot, tile):
@@ -75,17 +87,20 @@ def _well_kernel(
     def _():
         dma(_mod2(i + 1), i + 1).start()
 
-    dma(_mod2(i), i).wait()
-    xw = xwin[_mod2(i)].astype(compute_dtype)  # (wseg, 128)
+    with scope("xwin_wait"):
+        dma(_mod2(i), i).wait()
+        xw = xwin[_mod2(i)].astype(compute_dtype)  # (wseg, 128)
 
     b = k * tg
-    pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
-    lane = jax.lax.bitwise_and(pos, jnp.int32(LANES - 1))
-    # paired slots (formats/well.py): the two leg segments live at the
-    # ENDPOINT lanes of pos — two free static slices (>> 7 strips the lane
-    # bits). Cross-lane min/max reductions were measured at +0.7 ms here
-    # (2x the kernel) — Mosaic lowers them poorly; do not revisit.
-    sa = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
+    with scope("pos_decode"):
+        pos = p_ref[...].reshape(b, LANES).astype(jnp.int32)
+        lane = jax.lax.bitwise_and(pos, jnp.int32(LANES - 1))
+        # paired slots (formats/well.py): the two leg segments live at the
+        # ENDPOINT lanes of pos — two free static slices (>> 7 strips the
+        # lane bits). Cross-lane min/max reductions were measured at
+        # +0.7 ms here (2x the kernel) — Mosaic lowers them poorly; do not
+        # revisit.
+        sa = jax.lax.shift_right_logical(pos[:, 0:1], jnp.int32(7))
 
     if exact_gather:
         # interpret / reference-executor path: a REAL row gather. The MXU
@@ -107,26 +122,42 @@ def _well_kernel(
         # the window into three bf16 terms (8 mantissa bits each -> 24 bits
         # total) reconstructs the f32 gather exactly, at native bf16 MXU
         # rate (faster than an f32 matmul pass, exact unlike it).
-        x_hi = xw.astype(jnp.bfloat16)
-        r1 = xw - x_hi.astype(jnp.float32)
-        x_mid = r1.astype(jnp.bfloat16)
-        x_lo = (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        # one (b, wseg) @ (wseg, 3*128) matmul instead of three: same FLOPs,
-        # one MXU pass; recombine with two lane-slice adds (the measured-
-        # fast round-2 form — a (b, 3*wseg) one-hot is 2x slower on chip)
-        x3 = jnp.concatenate([x_hi, x_mid, x_lo], axis=1)  # (wseg, 3*128)
+        # ``gather_terms`` trades mantissa bits of the GATHERED x for MXU
+        # work: 3 = exact f32 (default), 2 = ~2^-16 relative gather error,
+        # 1 = bf16 gather (~2^-8) — the reduced-op prototypes of
+        # BENCH_NOTES "WELL reduced-op A/B"; values stay f32 either way.
+        with scope("bf16_split"):
+            x_hi = xw.astype(jnp.bfloat16)
+            terms = [x_hi]
+            if gather_terms >= 2:
+                r1 = xw - x_hi.astype(jnp.float32)
+                x_mid = r1.astype(jnp.bfloat16)
+                terms.append(x_mid)
+                if gather_terms >= 3:
+                    terms.append(
+                        (r1 - x_mid.astype(jnp.float32)).astype(jnp.bfloat16))
+            # one (b, wseg) @ (wseg, T*128) matmul instead of T: same
+            # FLOPs, one MXU pass; recombine with T-1 lane-slice adds (the
+            # measured-fast round-2 form — a (b, T*wseg) one-hot is 2x
+            # slower on chip)
+            x3 = (jnp.concatenate(terms, axis=1) if len(terms) > 1
+                  else terms[0])  # (wseg, T*128)
         iota = jax.lax.broadcasted_iota(jnp.int32, (b, wseg), 1)
 
         def gather_leg(sc):
-            oh = (sc == iota).astype(jnp.bfloat16)
-            rows3 = jnp.dot(oh, x3, preferred_element_type=jnp.float32)
-            rows = (rows3[:, :LANES] + rows3[:, LANES:2 * LANES]
-                    + rows3[:, 2 * LANES:])  # (b, 128)
+            with scope("onehot"):
+                oh = (sc == iota).astype(jnp.bfloat16)
+            with scope("mxu_pass"):
+                rows3 = jnp.dot(oh, x3, preferred_element_type=jnp.float32)
+            with scope("term_recombine"):
+                rows = rows3[:, :LANES]
+                for tt in range(1, gather_terms):
+                    rows = rows + rows3[:, tt * LANES:(tt + 1) * LANES]
             # under x64, take_along_axis picks int64 index dtype (upstream
             # int_dtype_for_dim receives a shape, not a dim, and falls back
             # to the default int) and Mosaic has no 64-bit types — scope
             # x64 off for the trace of this one op
-            with jax.enable_x64(False):
+            with scope("lane_gather"), jax.enable_x64(False):
                 return jnp.take_along_axis(rows, lane, axis=1)
     else:
         # fp64 path (CPU/interpret — the TPU MXU has no f64; TPU callers use
@@ -150,23 +181,27 @@ def _well_kernel(
         gathered = jnp.where(segd == sa, ga, gb)
     else:
         gathered = ga
-    contrib = v_ref[...].reshape(b, LANES).astype(compute_dtype) * gathered
+    with scope("mult_reduce"):
+        contrib = v_ref[...].reshape(b, LANES).astype(compute_dtype) * gathered
 
-    acc = jnp.zeros((tg, LANES), compute_dtype)
-    for kk in range(k):  # slot-major layout: each chunk is contiguous rows
-        acc = acc + contrib[kk * tg : (kk + 1) * tg, :]
-    y_ref[:, :] = acc.astype(y_ref.dtype)
+        acc = jnp.zeros((tg, LANES), compute_dtype)
+        for kk in range(k):  # slot-major layout: chunks are contiguous rows
+            acc = acc + contrib[kk * tg : (kk + 1) * tg, :]
+        y_ref[:, :] = acc.astype(y_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wseg", "tg", "k", "n_tiles", "paired", "interpret"),
+    static_argnames=("wseg", "tg", "k", "n_tiles", "paired", "interpret",
+                     "trace_phases", "gather_terms"),
 )
 def _spmv_well_2d(
     values, pos, w0, x2,
     wseg: int, tg: int, k: int, n_tiles: int,
     paired: bool = False,
     interpret: bool = False,
+    trace_phases: bool = False,
+    gather_terms: int = 3,
 ):
     g = values.shape[1]
     compute_dtype = (jnp.float64 if values.dtype == jnp.float64
@@ -175,6 +210,7 @@ def _spmv_well_2d(
         _well_kernel, wseg=wseg, tg=tg, k=k, n_tiles=n_tiles,
         paired=paired, compute_dtype=compute_dtype,
         exact_gather=interpret,
+        trace_phases=trace_phases, gather_terms=gather_terms,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -230,15 +266,23 @@ def well_to_2d(a: WellMatrix, x: jax.Array) -> jax.Array:
 
 
 def spmv_well_pallas_2d(
-    a: WellMatrix, x2: jax.Array, interpret: bool = False
+    a: WellMatrix, x2: jax.Array, interpret: bool = False,
+    trace_phases: bool = False, gather_terms: int = 3,
 ) -> jax.Array:
     """SpMV in lane layout: x2 (ncols_pad/128, 128) -> y (nrows_pad/128, 128).
     Output element (g, j) is row 128g + j, matching the DIA kernel's layout
-    so formats compose inside solvers."""
+    so formats compose inside solvers.
+
+    ``gather_terms``: bf16 terms in the exact-gather window split — 3 is
+    exact f32 (default), 2 trades to ~2^-16 relative gather error, 1 to a
+    bf16-class gather (~2^-8); reduced-op modes for bf16-tolerant solves
+    (BENCH_NOTES "WELL reduced-op A/B"). ``trace_phases`` wraps kernel
+    phases in named scopes for intra-kernel xplane timelines."""
     return _spmv_well_2d(
         a.values, a.pos, a.w0, x2,
         wseg=a.wseg, tg=a.tile_groups, k=a.k_slots, n_tiles=a.n_tiles,
         paired=bool(a.paired), interpret=interpret,
+        trace_phases=trace_phases, gather_terms=gather_terms,
     )
 
 
