@@ -522,6 +522,44 @@ def _build_arrays_native(a: CSRHost, tile_groups: int, max_k: int, dtype):
     return vals_out, pos_out, w0, wseg, nseg_x, False
 
 
+def _equalize_square_pads(values, pos, w0, nseg_x: int, tile_groups: int):
+    """For SQUARE operators, pad the group axis and x-segment count to a
+    COMMON value so nrows_pad == ncols_pad: kernel outputs then chain
+    directly into the next apply (solver hot loops, matrix-powers bases)
+    with no pad/slice relayout between applies. The relayout is not free —
+    the xplane timeline (tools/exp_well_timeline.py) measured the 4M-row
+    WELL custom-call at 0.496 ms/apply while the chained loop ran 0.593:
+    ~0.10 ms/apply (17%) was the pad between mismatched layouts. Cost of
+    the equalization: at most tile_groups-1 extra zero row groups
+    (~0.5 MB at the bench shape); zero-valued slots contribute nothing."""
+    k, g, _ = values.shape
+    target = -(-max(g, nseg_x) // tile_groups) * tile_groups
+    if target != g:
+        padg = target - g
+        values = np.pad(values, ((0, 0), (0, padg), (0, 0)))
+        pos = np.pad(pos, ((0, 0), (0, padg), (0, 0)))
+        w0 = np.concatenate(
+            [w0, np.zeros(padg // tile_groups, w0.dtype)])
+    return values, pos, w0, target
+
+
+def _pad_well_to(w: WellMatrix, target_groups: int) -> WellMatrix:
+    """Pad an already-built (square-equalized) WellMatrix to a larger
+    common group/segment count — used to put the two triangles of the
+    symmetric dual-WELL form on one layout. ``target_groups`` must be a
+    multiple of ``w.tile_groups`` (the max of two equalized counts is)."""
+    if w.ngroups == target_groups and w.nseg == target_groups:
+        return w
+    padg = target_groups - w.ngroups
+    return dataclasses.replace(
+        w,
+        values=jnp.pad(w.values, ((0, 0), (0, padg), (0, 0))),
+        pos=jnp.pad(w.pos, ((0, 0), (0, padg), (0, 0))),
+        w0=jnp.pad(w.w0, (0, padg // w.tile_groups)),
+        nseg=target_groups,
+    )
+
+
 def csr_to_well(
     a: CSRHost,
     tile_groups: int = 16,
@@ -545,6 +583,9 @@ def csr_to_well(
         )
     values, pos, w0, wseg, nseg_x, paired = _build_arrays(
         a, tile_groups, max_k, dtype, pair=pair)
+    if a.nrows == a.ncols:
+        values, pos, w0, nseg_x = _equalize_square_pads(
+            values, pos, w0, nseg_x, tile_groups)
     return WellMatrix(
         values=jnp.asarray(values),
         pos=jnp.asarray(pos),
@@ -642,6 +683,10 @@ def csr_to_well_sym(
     near_u, far_u = split_window(upper_full, tile_groups, wseg_cap)
     wl = csr_to_well(near_l, tile_groups, max_k, dtype)
     wu = csr_to_well(near_u, tile_groups, max_k, dtype)
+    # both triangles at ONE common pad so the sym apply's yl + yu (and the
+    # diag axpy) need no relayout (see _equalize_square_pads)
+    tgt = max(wl.ngroups, wu.ngroups)
+    wl, wu = _pad_well_to(wl, tgt), _pad_well_to(wu, tgt)
     np_pad = max(wl.nrows_pad, wu.nrows_pad)
     dpad = np.zeros(np_pad, dtype=dtype or a.dtype)
     dpad[: len(diag)] = diag

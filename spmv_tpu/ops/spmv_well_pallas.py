@@ -379,11 +379,15 @@ def csr_to_well_ds(a, tile_groups: int = 16, max_k: int = 64,
                    pair: bool = False) -> WellDsMatrix:
     """f64 host CSR -> double-single WELL (one packing, two value planes;
     the split stays in numpy until upload — see csr_to_dia_ds)."""
-    from spmv_tpu.formats.well import _build_arrays
+    from spmv_tpu.formats.well import _build_arrays, _equalize_square_pads
 
     v64, pos, w0, wseg, nseg_x, paired = _build_arrays(
         a, tile_groups, max_k, np.float64, pair=pair
     )
+    if a.nrows == a.ncols:
+        # square operators chain pad-free (formats/well._equalize_square_pads)
+        v64, pos, w0, nseg_x = _equalize_square_pads(
+            v64, pos, w0, nseg_x, tile_groups)
     hi, lo = ds_from_f64(v64)
     return WellDsMatrix(
         values_hi=jnp.asarray(hi),
@@ -645,6 +649,22 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _pad_well_ds_to(w: WellDsMatrix, target_groups: int) -> WellDsMatrix:
+    """DS twin of formats/well._pad_well_to: pad both value planes + pos +
+    w0 to a larger common group/segment count."""
+    if w.ngroups == target_groups and w.nseg == target_groups:
+        return w
+    padg = target_groups - w.ngroups
+    return dataclasses.replace(
+        w,
+        values_hi=jnp.pad(w.values_hi, ((0, 0), (0, padg), (0, 0))),
+        values_lo=jnp.pad(w.values_lo, ((0, 0), (0, padg), (0, 0))),
+        pos=jnp.pad(w.pos, ((0, 0), (0, padg), (0, 0))),
+        w0=jnp.pad(w.w0, (0, padg // w.tile_groups)),
+        nseg=target_groups,
+    )
+
+
 def _far_ell_ds(far, nrows_pad):
     """Far-remainder CSR -> (colind, vh, vl) ELL rectangle (None if empty)."""
     if far.nnz == 0:
@@ -680,6 +700,9 @@ def csr_to_well_sym_ds(
     near_u, far_u = split_window(upper_full, tile_groups, wseg_cap)
     wl = csr_to_well_ds(near_l, tile_groups, max_k)
     wu = csr_to_well_ds(near_u, tile_groups, max_k)
+    # one common layout for both triangles (formats/well._pad_well_to)
+    tgt = max(wl.ngroups, wu.ngroups)
+    wl, wu = _pad_well_ds_to(wl, tgt), _pad_well_ds_to(wu, tgt)
     npad = max(wl.nrows_pad, wu.nrows_pad)
     d64 = np.zeros(npad, np.float64)
     d64[: len(diag)] = diag

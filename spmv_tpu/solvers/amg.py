@@ -565,6 +565,7 @@ def amg_setup(
     smooth: bool = True,
     filter_theta: float = 0.05,
     coarse_iters: int = 24,
+    galerkin_budget: float = 12.0,
     seed: int = 0,
     local_format: str = "ell",
     transfer_format: str | None = None,
@@ -593,6 +594,15 @@ def amg_setup(
     are assembled at f32 (``dtype``) regardless of the fine operator's
     precision — preconditioning accuracy does not limit the outer solve's
     attainable residual.
+
+    ``galerkin_budget``: per-level stencil-growth cap — when the Galerkin
+    triple product's partial-product count would exceed
+    ``galerkin_budget * nnz(level)``, the level falls back to the
+    unsmoothed P0 (same mechanism as ``smooth_levels``, but driven by the
+    measured pattern instead of a fixed depth). Keeps deep coarse
+    operators bounded in both storage and per-cycle cost; at 10M-row
+    scale the unguarded default was 213 ms/V-cycle in 2-D and an
+    out-of-memory SpGEMM in 3-D.
 
     ``aggregate="interval"`` (for BANDED / RCM-ordered operators): each
     shard aggregates ``interval_size`` consecutive rows instead of graph
@@ -667,6 +677,20 @@ def amg_setup(
             theta = 0.0 if aggregate == "interval" else filter_theta
             p_host = _smoothed_prolongator(cur, agg_g, ncg, dinv_h, lmax,
                                            theta=theta)
+            # densification guard: bound the Galerkin product BEFORE
+            # running it. Partial-product count of cur @ P (the SpGEMM ESC
+            # expansion bound, formats/csr.csr_matmul) relative to this
+            # level's nnz measures stencil growth; past the budget, fall
+            # back to the unsmoothed P0 for this level — bounded stencil,
+            # 1.7 over-relaxed correction. Without this, deep smoothed
+            # levels densify without bound (2-D interval: ndiag 19 -> 71
+            # -> 163 -> 297; 3-D at 216^3 the expansion bound alone
+            # reached 76e9 partial products = a 283 GiB allocation).
+            pp_nnz = np.diff(p_host.rowptr).astype(np.int64)
+            flops_ap = int(pp_nnz[cur.colind.astype(np.int64)].sum())
+            if flops_ap > galerkin_budget * max(cur.nnz, 1):
+                sm_l = False
+        if sm_l:
             coarse = _spgemm(p_host.transpose(), _spgemm(cur, p_host))
             A_c = _build_op(coarse, cur_A.mesh, local_format, dtype)
             if aggregate == "interval":
