@@ -125,9 +125,21 @@ class WellMatrix:
         return int(self._nnz)
 
     @property
+    def ngroups_data(self) -> int:
+        """Row groups needed by the matrix's own rows (excludes the
+        zero-filled groups _equalize_square_pads appends for pad-free
+        solver chaining)."""
+        g = _round_up(max(-(-self.nrows // LANES), 1), self.tile_groups)
+        return min(g, self.ngroups)
+
+    @property
     def occupancy(self) -> float:
-        """Fraction of stored value slots that hold real nonzeros."""
-        return self._nnz / max(self.values.size, 1)
+        """Fraction of DATA-group value slots holding real nonzeros —
+        the per-row slot-inflation measure `well_occupancy` predicts and
+        the conversion gate acts on. Square-pad equalization groups
+        (zero-filled, see _equalize_square_pads) are excluded; true
+        storage incl. equalization is format_size_bytes()."""
+        return self._nnz / max(self.k_slots * self.ngroups_data * LANES, 1)
 
     def format_size_bytes(self) -> int:
         return (
@@ -530,8 +542,12 @@ def _equalize_square_pads(values, pos, w0, nseg_x: int, tile_groups: int):
     the xplane timeline (tools/exp_well_timeline.py) measured the 4M-row
     WELL custom-call at 0.496 ms/apply while the chained loop ran 0.593:
     ~0.10 ms/apply (17%) was the pad between mismatched layouts. Cost of
-    the equalization: at most tile_groups-1 extra zero row groups
-    (~0.5 MB at the bench shape); zero-valued slots contribute nothing."""
+    the equalization: up to ~wseg extra zero row groups (nseg_x =
+    w0.max()+wseg can overhang the group count by up to wseg segments for
+    end-of-matrix windows, _pack line ~345) plus tile_groups-1 rounding —
+    a few MB and a few idle kernel tiles at bench scale; zero-valued
+    slots contribute nothing numerically. `WellMatrix.occupancy` counts
+    data groups only, so the gate metric is unaffected."""
     k, g, _ = values.shape
     target = -(-max(g, nseg_x) // tile_groups) * tile_groups
     if target != g:
@@ -550,6 +566,9 @@ def _pad_well_to(w: WellMatrix, target_groups: int) -> WellMatrix:
     multiple of ``w.tile_groups`` (the max of two equalized counts is)."""
     if w.ngroups == target_groups and w.nseg == target_groups:
         return w
+    assert target_groups % w.tile_groups == 0, (
+        f"target_groups={target_groups} must be a multiple of "
+        f"tile_groups={w.tile_groups}")
     padg = target_groups - w.ngroups
     return dataclasses.replace(
         w,

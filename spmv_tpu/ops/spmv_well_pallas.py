@@ -654,6 +654,9 @@ def _pad_well_ds_to(w: WellDsMatrix, target_groups: int) -> WellDsMatrix:
     w0 to a larger common group/segment count."""
     if w.ngroups == target_groups and w.nseg == target_groups:
         return w
+    assert target_groups % w.tile_groups == 0, (
+        f"target_groups={target_groups} must be a multiple of "
+        f"tile_groups={w.tile_groups}")
     padg = target_groups - w.ngroups
     return dataclasses.replace(
         w,
