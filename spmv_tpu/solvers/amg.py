@@ -231,6 +231,32 @@ def _smoothed_prolongator(a: CSRHost, agg_g: np.ndarray, ncg: int,
                             pv[keep] * scale[pr[keep]], p.nrows, ncg)
 
 
+def _detect_stride(a: CSRHost, sample: int = 2_000_000) -> int:
+    """Grid stride (x-extent of a row-major grid) detected algebraically:
+    the most frequent column offset > 1 among (sampled) entries. For a
+    5/9-point 2-D stencil in lexicographic order this is nx; for a 1-D or
+    pattern-free operator returns 1. Sampling keeps this O(sample) — no
+    nnz-sized temporaries at the 70M-nnz headline scale."""
+    nnz = a.nnz
+    if nnz == 0:
+        return 1
+    if nnz > sample:
+        step = nnz // sample
+        idx = np.arange(0, nnz, step, dtype=np.int64)
+    else:
+        idx = np.arange(nnz, dtype=np.int64)
+    rows = np.searchsorted(a.rowptr, idx, side="right") - 1
+    d = a.colind[idx].astype(np.int64) - rows
+    d = d[d > 1]
+    if len(d) == 0:
+        return 1
+    vals_u, counts = np.unique(d, return_counts=True)
+    # demand a real plurality: the grid offset appears in ~every row
+    if counts.max() < 0.05 * len(idx):
+        return 1
+    return int(vals_u[np.argmax(counts)])
+
+
 def _gershgorin_scaled(rows, cols, vals, diag):
     """max_i sum_j |a_ij| / |a_ii| — an upper bound on lambda_max(D^-1 A)
     (rows with zero diagonal — padding — are excluded; the smoother leaves
@@ -272,13 +298,19 @@ class AMGLevel:
     omega_p: float = 0.0     # prolongator smoothing weight (0 = unsmoothed)
     omega_c: float = 0.0     # per-level coarse-correction over-relaxation
     #                          (0 = use the hierarchy-wide omega)
+    smoothed: bool = True    # False: this level fell back to unsmoothed P0
+    #                          (smooth_levels cutoff or galerkin_budget trip)
+    stride: int = 1          # interval mode: detected grid x-extent
+    #                          (1 = consecutive-row 1-D aggregates; >1 =
+    #                          2-D interval x interval grid-block
+    #                          aggregates, composed reshape transfers)
 
 
 jax.tree_util.register_dataclass(
     AMGLevel,
     data_fields=["A", "dinv", "restrict_tab", "prolong_tab", "P", "R"],
     meta_fields=["lmax", "lmin", "nc_pad", "degree", "interval", "omega_p",
-                 "omega_c"],
+                 "omega_c", "smoothed", "stride"],
 )
 
 
@@ -362,45 +394,91 @@ def _relayout(x: jax.Array, pad_out: int, Aref: DistMatrix) -> jax.Array:
     )(x)
 
 
+def _interval2d_sizes(rp: int, size: int, stride: int):
+    """Device pipeline sizes for the composed 2-D block transfer: the
+    y stage sums ``size`` rows spaced ``stride`` apart, the x stage sums
+    ``size`` consecutive entries of the intermediate."""
+    nb1 = -(-rp // (size * stride))     # y blocks
+    mid = nb1 * stride                  # intermediate length
+    nb2 = -(-mid // size)               # x blocks = coarse slots
+    return nb1, mid, nb2
+
+
 def _restrict_interval(lvl: AMGLevel, r: jax.Array) -> jax.Array:
-    """R r = P0^T (I - omega_p A D^-1) r with P0^T = interval-block sums
-    (a per-shard reshape-reduce — no gather, no table). Requires a
-    symmetric level operator so that R = P^T exactly."""
+    """R r = P0^T (I - omega_p A D^-1) r with P0^T = aggregate-block sums
+    (per-shard reshape-reduces — no gather, no table). Requires a
+    symmetric level operator so that R = P^T exactly.
+
+    ``stride == 1``: aggregates are ``interval`` consecutive local rows
+    (1-D x-coarsening). ``stride > 1`` (interval2d): 2-D grid-block
+    aggregation — interval x interval patches of the row-major grid with
+    x-extent ``stride`` — composed as TWO reshape-sums: first ``interval``
+    rows spaced ``stride`` apart (y), then ``interval`` consecutive
+    entries of the intermediate (x). Coarsening BOTH directions in one
+    level is what keeps the smoothed Galerkin stencil BOUNDED (a bounded
+    9-point forever: smoothing triples each direction's extent, the
+    block coarsening divides it by ``interval`` >= 3); one-direction
+    semicoarsening grew the uncoarsened direction x3 per level
+    unboundedly (measured 138 nnz/row by level 3 at 2048^2)."""
     A = lvl.A
     if lvl.omega_p != 0.0:
         r = r - lvl.omega_p * A.matvec(lvl.dinv * r)
     size = lvl.interval
+    stride = max(lvl.stride, 1)
     nc_pad = lvl.nc_pad
     rp = A.row_pad
     spec = P(A.axis_name, None)
 
     def per_shard(r_s):
         v = r_s.reshape(-1)
-        need = nc_pad * size
-        v = jnp.pad(v, (0, need - rp)) if need > rp else v[:need]
-        return v.reshape(nc_pad, size).sum(axis=1).reshape(
-            nc_pad // LANES, LANES)
+        if stride > 1:
+            nb1, mid, nb2 = _interval2d_sizes(rp, size, stride)
+            v = jnp.pad(v, (0, nb1 * size * stride - rp))
+            v = v.reshape(nb1, size, stride).sum(axis=1).reshape(-1)  # y
+            v = jnp.pad(v, (0, nb2 * size - mid))
+            vc = v.reshape(nb2, size).sum(axis=1)                      # x
+        else:
+            nb = -(-rp // size)
+            v = jnp.pad(v, (0, nb * size - rp))
+            vc = v.reshape(nb, size).sum(axis=1)
+        vc = (jnp.pad(vc, (0, nc_pad - vc.shape[0]))
+              if nc_pad > vc.shape[0] else vc[:nc_pad])
+        return vc.reshape(nc_pad // LANES, LANES)
 
     return jax.shard_map(per_shard, mesh=A.mesh, in_specs=(spec,),
                          out_specs=spec)(r)
 
 
 def _prolong_interval(lvl: AMGLevel, xc: jax.Array) -> jax.Array:
-    """P xc = (I - omega_p D^-1 A) P0 xc with P0 = interval repeat. Fine
-    padding rows are masked by dinv's zero pattern (structural padding has
-    zero diagonal) so junk never leaks into the outer solve's dot
-    products."""
+    """P xc = (I - omega_p D^-1 A) P0 xc with P0 = aggregate-block repeat
+    (the reverse of _restrict_interval's reshape-sums: broadcast x, then
+    broadcast y for the 2-D block mode). Fine padding rows are masked by
+    dinv's zero pattern (structural padding has zero diagonal) so junk
+    never leaks into the outer solve's dot products."""
     A = lvl.A
     size = lvl.interval
+    stride = max(lvl.stride, 1)
     nc_pad = lvl.nc_pad
     rp = A.row_pad
     spec = P(A.axis_name, None)
 
     def per_shard(xc_s):
-        v = jnp.repeat(xc_s.reshape(-1), size, total_repeat_length=nc_pad * size)
-        v = jnp.pad(v, (0, rp - nc_pad * size)) if rp > nc_pad * size \
-            else v[:rp]
-        return v.reshape(rp // LANES, LANES)
+        v = xc_s.reshape(-1)
+        if stride > 1:
+            nb1, mid, nb2 = _interval2d_sizes(rp, size, stride)
+            v = jnp.pad(v, (0, nb2 - nc_pad)) if nb2 > nc_pad else v[:nb2]
+            v = jnp.broadcast_to(v[:, None], (nb2, size)).reshape(-1)  # x
+            v = v[:mid]
+            vf = jnp.broadcast_to(
+                v.reshape(nb1, 1, stride), (nb1, size, stride)
+            ).reshape(-1)                                              # y
+        else:
+            nb = -(-rp // size)
+            v = jnp.pad(v, (0, nb - nc_pad)) if nb > nc_pad else v[:nb]
+            vf = jnp.broadcast_to(v[:, None], (nb, size)).reshape(-1)
+        vf = vf[:rp] if vf.shape[0] >= rp else jnp.pad(
+            vf, (0, rp - vf.shape[0]))
+        return vf.reshape(rp // LANES, LANES)
 
     xf = jax.shard_map(per_shard, mesh=A.mesh, in_specs=(spec,),
                        out_specs=spec)(xc)
@@ -611,17 +689,32 @@ def amg_setup(
     transfers become pure reshape ops: P0 = repeat, P0^T = interval block
     sums, with the prolongator smoothing factor (I - omega_p D^-1 A)
     applied implicitly through the level's own kernel. Nothing
-    rectangular is stored, gathered, or exchanged. The cost is mild
-    mesh-dependence (index runs semicoarsen the strongest direction last;
-    measured 1024^2 Laplacian: 16 -> 26 PCG iterations vs matching) paid
-    back ~10x in per-cycle wall-clock on chip. Use ``cycle=2`` to claw
-    iterations back (measured 6 at 512^2) at ~3x cycle cost.
+    rectangular is stored, gathered, or exchanged. The cost is REAL
+    mesh-dependence — pure 1-D semicoarsening with point smoothers
+    doubles the PCG count per mesh doubling (measured 22 -> 44 -> 97 at
+    256^2 -> 1024^2, non-convergent by 3163^2) — so for 2-D/3-D
+    grid-like operators use ``aggregate="interval2d"`` instead.
+
+    ``aggregate="interval2d"`` (grid-like operators — the headline
+    config): per level, the grid stride (x-extent) is detected
+    algebraically (most frequent column offset > 1, sampled) and
+    aggregates are ``interval_size`` x ``interval_size`` grid BLOCKS —
+    full 2-D coarsening every level, as two composed reshape-sums
+    (y-strided then x-consecutive, _restrict_interval). This restores
+    mesh-INDEPENDENT counts AND bounds the smoothed Galerkin stencil (a
+    9-point forever: smoothing triples each direction's extent, block
+    coarsening divides by interval_size >= 3 — one-direction
+    semicoarsening densified without bound, 138 nnz/row by level 3 at
+    2048^2), while keeping everything the interval mode buys: banded
+    DIA-packable coarse operators, reshape-only transfers, implicit
+    prolongator smoothing. Falls back to consecutive-row coarsening
+    automatically when no grid stride is detected (1-D operators).
     """
     if a.nrows != a.ncols:
         raise ValueError("AMG requires a square (SPD) operator")
-    if aggregate not in ("match", "interval"):
+    if aggregate not in ("match", "interval", "interval2d"):
         raise ValueError(f"unknown aggregate mode {aggregate!r}")
-    if aggregate == "interval" and interval_size < 2:
+    if aggregate.startswith("interval") and interval_size < 2:
         raise ValueError("interval_size must be >= 2")
     if transfer_format is None:
         # transfers are rectangular — DIA cannot store them
@@ -640,13 +733,40 @@ def amg_setup(
 
     while (len(levels) < max_levels - 1
            and cur.nrows > max(coarse_max, nd * LANES)):
-        if aggregate == "interval":
+        lvl_stride = 1
+        if aggregate in ("interval", "interval2d"):
+            if aggregate == "interval2d":
+                # 2-D grid-block aggregation (interval x interval patches
+                # of the detected grid): coarsening BOTH directions per
+                # level keeps the smoothed Galerkin stencil bounded AND
+                # the hierarchy isotropic — the fix for 1-D
+                # semicoarsening's mesh-DEPENDENT counts (measured
+                # 22 -> 44 -> 97 PCG iterations at 256^2 -> 1024^2,
+                # non-convergent at 3163^2; see _restrict_interval).
+                s_d = _detect_stride(cur)
+                if s_d > 1 and cur.nrows // s_d >= interval_size:
+                    lvl_stride = s_d
             ranges_l = owner_ranges(cur.nrows, nd)
             nlocs = np.diff(ranges_l)
-            ncs = [max(int(-(-nl // interval_size)), 1) for nl in nlocs]
+            if lvl_stride > 1:
+                blk = interval_size * lvl_stride
+
+                def _n2(nl):
+                    nb1 = -(-nl // blk)
+                    return max(-(-(nb1 * lvl_stride) // interval_size), 1)
+
+                ncs = [_n2(int(nl)) for nl in nlocs]
+                aggs = [
+                    ((np.arange(nl, dtype=np.int64) // blk) * lvl_stride
+                     + (np.arange(nl, dtype=np.int64) % lvl_stride))
+                    // interval_size
+                    for nl in nlocs
+                ]
+            else:
+                ncs = [max(int(-(-nl // interval_size)), 1) for nl in nlocs]
+                aggs = [np.arange(nl, dtype=np.int64) // interval_size
+                        for nl in nlocs]
             ncs_max = max(ncs)
-            aggs = [np.arange(nl, dtype=np.int64) // interval_size
-                    for nl in nlocs]
             agg_g = (np.concatenate(
                 [s * ncs_max + aggs[s] for s in range(nd)])
                 if cur.nrows else np.zeros(0, np.int64))
@@ -674,7 +794,8 @@ def amg_setup(
                                where=diag != 0)
             # interval mode applies P implicitly — assembly must use the
             # UNFILTERED smoothed P so apply and Galerkin product agree
-            theta = 0.0 if aggregate == "interval" else filter_theta
+            theta = (0.0 if aggregate.startswith("interval")
+                     else filter_theta)
             p_host = _smoothed_prolongator(cur, agg_g, ncg, dinv_h, lmax,
                                            theta=theta)
             # densification guard: bound the Galerkin product BEFORE
@@ -686,14 +807,27 @@ def amg_setup(
             # levels densify without bound (2-D interval: ndiag 19 -> 71
             # -> 163 -> 297; 3-D at 216^3 the expansion bound alone
             # reached 76e9 partial products = a 283 GiB allocation).
-            pp_nnz = np.diff(p_host.rowptr).astype(np.int64)
-            flops_ap = int(pp_nnz[cur.colind.astype(np.int64)].sum())
+            # flops = sum_ij pp_nnz[colind] — computed as an ncols-sized
+            # histogram instead of an nnz-sized int64 gather (~1 GB
+            # transient at the 70M-nnz headline scale otherwise)
+            pp_nnz = np.diff(p_host.rowptr).astype(np.float64)
+            col_hist = np.bincount(cur.colind, minlength=cur.ncols)
+            flops_ap = int(pp_nnz @ col_hist[: len(pp_nnz)])
             if flops_ap > galerkin_budget * max(cur.nnz, 1):
                 sm_l = False
+                import warnings
+
+                warnings.warn(
+                    f"amg_setup: level {len(levels)} "
+                    f"(n={cur.nrows}) falls back to unsmoothed P0 — "
+                    f"Galerkin expansion {flops_ap} > budget "
+                    f"{galerkin_budget} * nnz ({cur.nnz}); raise "
+                    "galerkin_budget to force smoothing here",
+                    stacklevel=2)
         if sm_l:
             coarse = _spgemm(p_host.transpose(), _spgemm(cur, p_host))
             A_c = _build_op(coarse, cur_A.mesh, local_format, dtype)
-            if aggregate == "interval":
+            if aggregate.startswith("interval"):
                 omega_p = 4.0 / (3.0 * max(lmax, 1e-30))
             else:
                 Pop = _build_op(p_host, cur_A.mesh, transfer_format, dtype)
@@ -708,7 +842,7 @@ def amg_setup(
                 agg_g[rows_g], agg_g[cur.colind.astype(np.int64)],
                 cur.values.astype(np.float64), ncg, ncg)
             A_c = _build_op(coarse, cur_A.mesh, local_format, dtype)
-            if aggregate != "interval":
+            if not aggregate.startswith("interval"):
                 restrict, prolong = _build_tables(
                     aggs, ncs, cur_A.row_pad, A_c.row_pad, nd)
             if smooth:  # unsmoothed P0 only because of the depth cutoff
@@ -716,8 +850,10 @@ def amg_setup(
         levels.append(_make_level(
             cur_A, diag, lmax, restrict, prolong, Pop, Rop, A_c.row_pad,
             degree, band,
-            interval=interval_size if aggregate == "interval" else 0,
-            omega_p=omega_p, omega_c=omega_c))
+            interval=(interval_size if aggregate.startswith("interval")
+                      else 0),
+            omega_p=omega_p, omega_c=omega_c, smoothed=bool(sm_l),
+            stride=lvl_stride))
         cur, cur_A = coarse, A_c
 
     # coarsest: dense inverse (identity on padding rows) when small enough
@@ -819,7 +955,7 @@ def _dinv_dist(A: DistMatrix, diag: np.ndarray) -> jax.Array:
 
 def _make_level(A, diag, lmax, restrict, prolong, Pop, Rop, nc_pad,
                 degree, band, interval=0, omega_p=0.0,
-                omega_c=0.0) -> AMGLevel:
+                omega_c=0.0, smoothed=True, stride=1) -> AMGLevel:
     spec2 = P(A.axis_name, None, None)
     return AMGLevel(
         A=A,
@@ -837,6 +973,8 @@ def _make_level(A, diag, lmax, restrict, prolong, Pop, Rop, nc_pad,
         interval=interval,
         omega_p=float(omega_p),
         omega_c=float(omega_c),
+        smoothed=bool(smoothed),
+        stride=int(stride),
     )
 
 

@@ -304,6 +304,93 @@ def test_amg_interval_adjoint_and_galerkin_consistency():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+# ---------------------------------------------------------------------------
+# interval2d: 2-D grid-block aggregation (the headline bench config) —
+# composed reshape transfers, bounded coarse stencils, mesh-independence
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_amg_interval2d_pcg(n_dev):
+    a = create_laplace_2d(73, 71, dtype=np.float32)  # odd, non-square grid
+    A = build_dist_matrix(a, n_devices=n_dev, dtype=np.float32)
+    b = gaussian_bump(a.nrows, dtype=np.float32)
+    h = amg_setup(a, A, aggregate="interval2d", local_format="dia",
+                  coarse_max=1200)
+    assert h.levels[0].stride > 1  # grid detected -> 2-D blocks
+    res, x = _solve(A, b, h, rtol=1e-6)
+    assert bool(res.converged)
+    rel = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
+    assert rel < 2e-4, rel  # fp32 recomputed true residual
+
+
+def test_amg_interval2d_adjoint_and_galerkin_consistency():
+    """R = P^T exactly and the assembled coarse operator equals
+    P^T A P with the SAME implicit P the cycle applies — for the
+    composed 2-D (y-strided then x-consecutive) reshape transfers."""
+    a = create_laplace_2d(26, 26, dtype=np.float32)
+    A = build_dist_matrix(a, n_devices=4, dtype=np.float32)
+    h = amg_setup(a, A, aggregate="interval2d", coarse_max=8)
+    lvl = h.levels[0]
+    assert lvl.stride > 1 and lvl.omega_p > 0
+    A_c = h.levels[1].A if len(h.levels) > 1 else h.coarse_A
+    nc = A_c.nrows_global
+    rng = np.random.default_rng(6)
+    r_h = rng.standard_normal(a.nrows).astype(np.float32)
+    xc_h = rng.standard_normal(nc).astype(np.float32)
+    Rr = A_c.from_dist(jax.jit(
+        lambda h_, v: _restrict(h_.levels[0], v))(h, lvl.A.to_dist(r_h)))
+    Pxc = lvl.A.from_dist(jax.jit(
+        lambda h_, v: _prolong(h_.levels[0], v))(h, A_c.to_dist(xc_h)))
+    lhs = float(np.dot(Rr.astype(np.float64), xc_h))
+    rhs = float(np.dot(r_h.astype(np.float64), Pxc))
+    assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), 1.0), (lhs, rhs)
+
+    p = np.zeros((a.nrows, nc))
+    mv = jax.jit(lambda h_, v: _prolong(h_.levels[0], v))
+    eye = np.eye(nc, dtype=np.float32)
+    for j in range(nc):
+        p[:, j] = lvl.A.from_dist(mv(h, A_c.to_dist(eye[:, j])))[: a.nrows]
+    want = p.T @ a.to_dense().astype(np.float64) @ p
+    got = _dist_to_dense(A_c)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_amg_interval2d_bounded_stencil():
+    """Coarsening both directions per level keeps every Galerkin coarse
+    operator's stencil bounded (~9-point) — the property one-direction
+    semicoarsening lacked (measured 138 nnz/row by level 3)."""
+    a = create_laplace_2d(256, 256, dtype=np.float32)
+    A = build_dist_matrix(a, n_devices=1, local_format="dia",
+                          dtype=np.float32)
+    h = amg_setup(a, A, aggregate="interval2d", interval_size=4,
+                  local_format="dia")
+    for lvl in h.levels[1:]:
+        nnz_per_row = lvl.A.nnz_global / lvl.A.nrows_global
+        assert nnz_per_row <= 15, nnz_per_row
+    assert all(lvl.smoothed for lvl in h.levels)  # budget never trips
+
+
+def test_amg_interval2d_mesh_independent_1024():
+    """VERDICT r4 item 3 'Done' criterion: mesh-independence of the EXACT
+    bench config (interval2d, interval_size=4, cycle=2, dia) up to
+    1024^2 — iteration counts must stay flat, not double per refinement
+    (the round-4 interval config measured 22 -> 44 -> 97 here)."""
+    iters = {}
+    for nx in (256, 1024):
+        a = create_laplace_2d(nx, nx, dtype=np.float32)
+        A = build_dist_matrix(a, n_devices=1, local_format="dia",
+                              dtype=np.float32)
+        h = amg_setup(a, A, aggregate="interval2d", interval_size=4,
+                      cycle=2, local_format="dia")
+        res, _ = _solve(A, gaussian_bump(a.nrows, dtype=np.float32), h,
+                        rtol=1e-6, kmax=60)
+        assert bool(res.converged), nx
+        iters[nx] = int(res.iterations)
+    assert iters[1024] <= iters[256] + 4, iters
+    assert iters[1024] <= 16, iters
+
+
 def test_amg_interval_hybrid_smooth_levels():
     """smooth_levels caps prolongator smoothing depth: deeper levels use
     the unsmoothed P0 (bounded stencil) with a 1.7 over-relaxed

@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -47,8 +47,10 @@ def main():
 
     out = []
     for mode in args.modes.split(","):
-        kw = (dict(aggregate="interval", interval_size=4)
-              if mode == "interval" else dict(aggregate="match"))
+        kw = (dict(aggregate=mode, interval_size=4)
+              if mode.startswith("interval") else dict(aggregate="match"))
+        if mode == "interval2d":
+            kw["cycle"] = 2  # the bench config
         for nd in map(int, args.devices.split(",")):
             t0 = time.perf_counter()
             A = build_dist_matrix(a, n_devices=nd, local_format="ell",
