@@ -13,12 +13,13 @@ Usage: python tools/exp_amg_chip.py [--nx 3200] [--n3 216] [--skip-3d]
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args):

@@ -2,12 +2,13 @@
 """Quick chip probe: interval-AMG PCG vs plain CG at moderate size,
 to gauge setup wall-clock and convergence on the real TPU before the
 full 10M-row experiment (tools/exp_amg_chip.py)."""
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -19,7 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import spmv_tpu as st
 from spmv_tpu.formats.csr import CSRHost
 from spmv_tpu.formats.well import well_occupancy

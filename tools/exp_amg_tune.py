@@ -18,12 +18,13 @@ Usage: python tools/exp_amg_tune.py [--nx 3200]
 """
 import argparse
 import statistics
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

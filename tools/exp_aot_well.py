@@ -5,6 +5,7 @@ chips needed — so kernel-lowering regressions (e.g. Mosaic rejecting an
 op layout) surface in seconds instead of a tunnel round-trip. Exits 0
 when every variant compiles.
 """
+import os
 import sys
 import functools
 
@@ -16,7 +17,7 @@ jax.config.update("jax_enable_x64", False)
 from jax.experimental import topologies
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

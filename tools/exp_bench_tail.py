@@ -3,6 +3,7 @@
 rows): does the per-iteration scale epilogue, the start-vector content, or
 the symmetric tile size explain the vanilla 78.9%-vs-63.6% and symmetric
 65.6%-vs-54.2% stored-fraction spread seen across bench/exp runs?"""
+import os
 import sys
 import time
 
@@ -10,7 +11,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spmv_tpu.formats.dia import csr_to_dia  # noqa: E402
 from spmv_tpu.gen import create_laplace_2d  # noqa: E402

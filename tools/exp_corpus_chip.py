@@ -15,12 +15,13 @@ One process; the axon d2h warmup (~4 min, measured) is paid once up front.
 import argparse
 import json
 import statistics
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_SPEC = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v5": 2765.0,
             "TPU v5p": 2765.0, "TPU v4": 1228.0, "TPU v6 lite": 1640.0}

@@ -2,6 +2,7 @@
 """DIA kernel loss attribution: compare (a) the real kernel, (b) a variant
 with no x window at all (streams data tiles + writes y: the pipelined-path
 ceiling), (c) window DMA at background priority."""
+import os
 import sys
 import time
 import functools
@@ -12,7 +13,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 30
 LANES = 128

@@ -2,6 +2,7 @@
 """Ceiling test for a row-interleaved DIA layout: data (R, K*128) so each
 grid tile is ONE contiguous chunk, vs the current (K, R, 128) K-strided
 blocks. Both without window logic (pure streaming + per-diagonal FMA)."""
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 30
 LANES = 128

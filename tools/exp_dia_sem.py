@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Pipelined-streaming ceiling vs grid dimension_semantics: the no-window
 DIA kernel (data tiles + y only) under 'arbitrary' vs 'parallel'."""
+import os
 import sys
 import time
 
@@ -10,7 +11,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 30
 LANES = 128

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """DIA kernel perf tail: sweep tile sizes / VMEM budgets on the 10M-row
 bench config to push 87% -> 92%+ of roofline (NEXT.md section 4)."""
+import os
 import sys
 import time
 
@@ -8,7 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 30
 

@@ -1,13 +1,14 @@
 #!/usr/bin/env python
 """Double-single DIA kernel on chip: correctness vs f64 oracle + throughput
 vs the XLA f64 path (same operator, same-run comparisons)."""
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp
 
 K = 10

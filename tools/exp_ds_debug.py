@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Which error-free transformation breaks under Mosaic? Run each primitive
 in a tiny Pallas kernel on chip and compare against exact f64 on host."""
+import os
 import sys
 
 import numpy as np
@@ -9,7 +10,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spmv_tpu.ds import two_sum, two_prod, split, ds_mul_f32, ds_add
 
 

@@ -1,13 +1,14 @@
 #!/usr/bin/env python
 """Isolate which lo-plane the compiled DS kernel drops: inject large values
 into data_lo / x_lo separately and check whether the output responds."""
+import os
 import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spmv_tpu.gen import create_laplace_2d
 from spmv_tpu.ops.spmv_dia_ds_pallas import (
     csr_to_dia_ds, spmv_dia_ds_pallas_2d,

@@ -2,13 +2,14 @@
 """fp64 DIA SpMV on TPU: current 1-D XLA formulation vs a 2-D lane-layout
 XLA formulation (shifts decomposed into row-shifts + lane roll/select, like
 the Pallas kernel but in pure jnp — XLA TPU emulates f64 elementwise)."""
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 

@@ -3,13 +3,14 @@
 has no f64 vectors, the MXU no f64) vs the fp32 Pallas kernel, and check
 end-to-end fp64 CG correctness on chip. Documents the fp64 story
 (VERDICT round-1 item: 'measure and document')."""
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp

@@ -5,6 +5,7 @@ d/y index maps (the symmetric carry kernel processes tiles last-to-first;
 if reversal alone explains its stored-fraction gap, the fix is a
 forward-order carry variant with delayed y writes)."""
 import functools
+import os
 import sys
 import time
 
@@ -14,7 +15,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spmv_tpu.formats.dia import csr_to_dia  # noqa: E402
 from spmv_tpu.gen import create_laplace_2d  # noqa: E402

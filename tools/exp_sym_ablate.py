@@ -11,6 +11,7 @@ config (10.24M-row 2-D Laplacian, fp32):
              (same slice count, no roll/select chains; wrong values)
 """
 import functools
+import os
 import sys
 import time
 
@@ -20,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spmv_tpu.formats.dia import DiaMatrix  # noqa: E402
 from spmv_tpu.gen import create_laplace_2d  # noqa: E402

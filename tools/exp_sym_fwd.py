@@ -3,6 +3,7 @@
 chip: is the residual stored-fraction gap (59%% vs vanilla 80%%) compute
 (transpose scatter chain) or structure?"""
 import functools
+import os
 import sys
 import time
 
@@ -12,7 +13,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spmv_tpu.formats.dia import csr_to_dia  # noqa: E402
 from spmv_tpu.gen import create_laplace_2d  # noqa: E402

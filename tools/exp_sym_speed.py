@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Same-run: symmetric (3-diagonal lower-tri) vs vanilla (5-diagonal) DIA
 kernel at 10.24M rows with the interleaved layout."""
+import os
 import sys
 import time
 
@@ -8,7 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 30
 

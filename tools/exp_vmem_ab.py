@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Same-run A/B: DIA kernel tr=1024 with default vs explicit 128MB
 vmem_limit_bytes."""
+import os
 import sys
 import time
 import functools
@@ -11,7 +12,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 30
 LANES = 128

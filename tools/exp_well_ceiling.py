@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """WELL loss attribution: (a) full kernel, (b) streaming ceiling (values+pos
 tiles + y only, no window/matmul/gather), (c) no-lane-gather variant."""
+import os
 import sys
 import time
 import functools
@@ -11,7 +12,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 20
 LANES = 128

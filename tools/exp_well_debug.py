@@ -2,6 +2,7 @@
 """Debug the WELL kernel on TPU: tiny deterministic case, dump intermediates
 (window, one-hot matmul rows, lane-gathered rows, final y) per tile and
 compare each against numpy."""
+import os
 import sys
 
 import numpy as np
@@ -10,7 +11,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spmv_tpu.formats.csr import CSRHost
 from spmv_tpu.formats.well import csr_to_well, LANES
 

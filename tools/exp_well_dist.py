@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """On-chip validation: distributed WELL path (shard_map + Pallas kernel on a
 1-device mesh) and the RCM -> WELL pipeline on a scrambled stencil."""
+import os
 import sys
 
 import numpy as np
 import jax
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

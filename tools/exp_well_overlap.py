@@ -19,6 +19,7 @@ the loop carry) so the fori_loop cannot be hoisted (BENCH_NOTES
 "MEASUREMENT TRAP").
 """
 import functools
+import os
 import sys
 import time
 
@@ -28,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spmv_tpu.ops.spmv_dia_pallas import _idx32, _mod2
 from spmv_tpu.formats.well import LANES

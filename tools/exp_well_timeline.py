@@ -22,12 +22,13 @@ Usage: python tools/exp_well_timeline.py [--n 4000000] [--trials 5]
 import argparse
 import glob
 import statistics
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_SPEC = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v5": 2765.0,
             "TPU v5p": 2765.0, "TPU v4": 1228.0, "TPU v6 lite": 1640.0}
@@ -38,8 +39,24 @@ PHASES = ["xwin_wait", "pos_decode", "bf16_split", "onehot", "mxu_pass",
 
 def parse_xplane(logdir):
     """Load every .xplane.pb under logdir -> list of (plane, line, event
-    name, offset_ps, dur_ps)."""
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    name, offset_ps, dur_ps). The xplane proto moved across TF versions;
+    try the known homes and, failing all, print the logdir so the
+    captured trace is still usable by hand (ADVICE r4: the chip run must
+    not be lost to an ImportError in the parse half)."""
+    xplane_pb2 = None
+    for mod in ("tensorflow.tsl.profiler.protobuf",
+                "tsl.profiler.protobuf",
+                "tensorboard_plugin_profile.protobuf"):
+        try:
+            xplane_pb2 = __import__(mod + ".xplane_pb2",
+                                    fromlist=["xplane_pb2"])
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        print(f"xplane proto unavailable — raw trace kept at {logdir}; "
+              "parse offline with tensorboard_plugin_profile")
+        return []
 
     rows = []
     for path in glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True):
