@@ -223,7 +223,9 @@ def _corpus_summary(smoke: bool, trials: int) -> dict:
             np.add.at(row_sums, np.repeat(np.arange(a.nrows), a.row_nnz()),
                       np.abs(a.values))
             a.values *= np.float32(0.9 / max(row_sums.max(), 1e-30))
-            a, _ = rcm_reorder(a)
+            # keep_best: RCM can DESTROY already-structured orderings
+            # (grid + random edges measured p90 bandwidth 800 -> 103854)
+            a, _ = rcm_reorder(a, keep_best=True)
             A = build_dist_matrix(a, n_devices=1, local_format="auto",
                                   dtype=np.float32)
             b = A.to_dist(gaussian_bump(a.nrows, dtype=np.float32))

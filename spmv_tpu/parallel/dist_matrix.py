@@ -205,14 +205,18 @@ class DistMatrix:
     # fallback to K=16k (an observed 33 GB colind allocation on a 500k-row
     # power-law graph; the reference's CSR row loop is indifferent to
     # skew, reference spmv/csr_kernels.cpp:42-50, cuda/csr_kernels.cuda.cu:
-    # 106-151). The few hub rows are stored as their OWN small ELL block
-    # over PADDED-GLOBAL columns and applied gather-side against an
-    # all-gathered x (hub rows intrinsically read the whole vector): one
-    # (H, Kh) gather + row-reduce + an H-sized scatter — no O(nnz)
-    # scatter-add. Composes with any local_format; see _hub_apply.
-    hub_rownum: jax.Array | None = None  # (D, H) int32 local row ids
-    hub_colind: jax.Array | None = None  # (D, H, Kh) int32 padded-global
-    hub_values: jax.Array | None = None  # (D, H, Kh)
+    # 106-151). Hub entries are stored COMPACT (per-entry COO over
+    # PADDED-GLOBAL columns) and applied against an all-gathered x (hub
+    # rows intrinsically read the whole vector): one hub_nnz-sized gather
+    # + one hub_nnz-sized scatter-add onto the few hub rows. Compactness
+    # matters: every XLA gather/scatter runs at the measured ~0.15
+    # Gelem/s floor REGARDLESS of shape (BENCH_NOTES r5 "gather floor"),
+    # so a padded (H, Kmax) layout would pay for its padding (34M padded
+    # vs 0.55M real elements on the 500k-row power-law matrix).
+    # Composes with any local_format; see _hub_apply.
+    hub_rownum: jax.Array | None = None  # (D, F) int32 local row per entry
+    hub_colind: jax.Array | None = None  # (D, F) int32 padded-global col
+    hub_values: jax.Array | None = None  # (D, F)
     hub_nnz: int = 0                     # static: total real hub entries
 
     # ----- static geometry -----
@@ -369,10 +373,11 @@ class DistMatrix:
         """Hub-row term (degree-skew split, see the hub_* field comment):
         y_hub = H @ x where H holds the few rows too long for the
         row-uniform formats. Per shard: all-gather x (hub rows read the
-        whole vector by nature), ONE (H, Kh) gather + row-reduce on the
-        padded hub ELL block, then an H-sized scatter into y — gathers,
-        not per-element scatters (TPU has fast gathers and no atomics).
-        Composes with every local_format as a separate additive term."""
+        whole vector by nature), gather exactly hub_nnz elements, multiply,
+        and scatter-add onto the few hub rows. Compact per-entry arrays —
+        the measured chip floor charges ~7 ns per gathered/scattered
+        ELEMENT, so padding is the only thing to optimize away. Composes
+        with every local_format as a separate additive term."""
         spec = P(self.axis_name, None)
         rp = self.row_pad
         axes = self.comm_axes
@@ -384,28 +389,25 @@ class DistMatrix:
                 for ax in reversed(axes):  # inner (fast) axis first ->
                     # dcn-major concat = shard order
                     xg = jax.lax.all_gather(xg, axis_name=ax, tiled=True)
-                g = jnp.take(xg, hc_.reshape(-1), axis=0).reshape(hc_.shape)
-                rows = jnp.einsum("hk,hk->h", hv_.astype(g.dtype), g)
+                g = hv_.astype(xg.dtype) * jnp.take(xg, hc_, axis=0)
                 y = jnp.zeros((rp,), x_s.dtype).at[hr_].add(
-                    rows, mode="promise_in_bounds")
+                    g, mode="promise_in_bounds")
                 return y.reshape(rp // 128, 128)
             xblk = jnp.stack(
                 [x_s[:, r * 128:(r + 1) * 128].reshape(-1)
                  for r in range(nrhs)], axis=1)  # (cp, nrhs)
             for ax in reversed(axes):
                 xblk = jax.lax.all_gather(xblk, axis_name=ax, tiled=True)
-            g = jnp.take(xblk, hc_.reshape(-1), axis=0).reshape(
-                *hc_.shape, nrhs)
-            rows = jnp.einsum("hk,hkn->hn", hv_.astype(g.dtype), g)
+            g = hv_.astype(xblk.dtype)[:, None] * jnp.take(
+                xblk, hc_, axis=0)  # (F, nrhs)
             y = jnp.zeros((rp, nrhs), x_s.dtype).at[hr_].add(
-                rows, mode="promise_in_bounds")
+                g, mode="promise_in_bounds")
             return jnp.concatenate(
                 [y[:, r].reshape(-1, 128) for r in range(nrhs)], axis=1)
 
         return jax.shard_map(
             per_shard, mesh=self.mesh,
-            in_specs=(spec, spec, P(self.axis_name, None, None),
-                      P(self.axis_name, None, None)),
+            in_specs=(spec, spec, spec, spec),
             out_specs=spec, check_vma=False,
         )(x, self.hub_rownum, self.hub_colind, self.hub_values)
 
@@ -421,9 +423,9 @@ class DistMatrix:
         def per_shard(x_s, hr, hc, hv):
             hr_, hc_, hv_ = hr[0], hc[0], hv[0]
             xf = x_s.reshape(-1)
-            contrib = hv_ * xf[hr_][:, None]
-            yg = jnp.zeros((nd * cp,), x_s.dtype).at[hc_.reshape(-1)].add(
-                contrib.reshape(-1), mode="promise_in_bounds")
+            contrib = hv_ * jnp.take(xf, hr_, axis=0)
+            yg = jnp.zeros((nd * cp,), x_s.dtype).at[hc_].add(
+                contrib, mode="promise_in_bounds")
             for ax in axes:  # outer (slow) axis first: keep the d-major
                 # chunk, then the ici chunk within it
                 yg = jax.lax.psum_scatter(yg, ax, scatter_dimension=0,
@@ -432,8 +434,7 @@ class DistMatrix:
 
         return jax.shard_map(
             per_shard, mesh=self.mesh,
-            in_specs=(spec, spec, P(self.axis_name, None, None),
-                      P(self.axis_name, None, None)),
+            in_specs=(spec, spec, spec, spec),
             out_specs=spec, check_vma=False,
         )(x, self.hub_rownum, self.hub_colind, self.hub_values)
 
@@ -1967,14 +1968,15 @@ def _hub_split(a: CSRHost, hub_cap):
     exceeds the cap leave ``a`` entirely; their entries return as global
     COO. Returns (body, hubs) with hubs = (rows_g, cols_g, vals) or None.
 
-    ``hub_cap="auto"`` picks the power-of-two cap minimizing the combined
-    stored footprint nrows*cap (the row-uniform body at worst-case ELL) +
-    n_hub_rows*kmax (the padded hub block), and skips the split entirely
-    for near-uniform degree distributions (kmax <= max(64, 4*p99)). The
-    reference's CSR row loop is skew-indifferent
-    (reference spmv/csr_kernels.cpp:42-50); this is the TPU-native
-    equivalent — row-uniform formats for the body, a dense-gather side
-    block for the hubs."""
+    ``hub_cap="auto"`` picks the power-of-two cap minimizing the RUNTIME
+    touched-element count — nrows*cap padded body-ELL gathers plus
+    2*hub_nnz compact hub gather+scatter elements (every XLA
+    gather/scatter costs ~7 ns/element on chip regardless of shape, the
+    measured floor) — and skips the split entirely for near-uniform
+    degree distributions (kmax <= max(64, 4*p99)). The reference's CSR
+    row loop is skew-indifferent (reference spmv/csr_kernels.cpp:42-50);
+    this is the TPU-native equivalent — row-uniform formats for the
+    body, a compact gather-side term for the hubs."""
     if a.nnz == 0:
         return a, None
     d = a.row_nnz()
@@ -1983,12 +1985,15 @@ def _hub_split(a: CSRHost, hub_cap):
         p99 = float(np.percentile(d, 99)) if a.nrows else 0.0
         if kmax <= max(64, 4 * p99):
             return a, None
+        # hub_nnz(c) for every candidate in one histogram pass
+        hist = np.bincount(np.minimum(d, 1 << 20))
+        nnz_le = np.cumsum(hist * np.arange(len(hist), dtype=np.int64))
         best_cost, cap = None, None
-        for c in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+        for c in (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
             if c >= kmax:
                 break
-            h = int((d > c).sum())
-            cost = a.nrows * c + h * kmax
+            hub_nnz = a.nnz - int(nnz_le[min(c, len(nnz_le) - 1)])
+            cost = a.nrows * c + 2 * hub_nnz
             if best_cost is None or cost < best_cost:
                 best_cost, cap = cost, c
         if cap is None:
@@ -2007,11 +2012,13 @@ def _hub_split(a: CSRHost, hub_cap):
 
 
 def _attach_hubs(A: DistMatrix, hubs, dtype) -> DistMatrix:
-    """Stack the hub COO into per-shard (H, Kh) ELL blocks over
+    """Pack the hub COO into per-shard COMPACT (F,) entry arrays over
     PADDED-GLOBAL columns (shard*col_pad + local col) and attach them to
-    an assembled DistMatrix. Gather-side by construction: the hub apply
-    all-gathers x and runs one (H, Kh) gather + row-reduce per shard
-    (_hub_apply) — no per-element scatter."""
+    an assembled DistMatrix. Per-entry compactness is the point: XLA
+    gathers/scatters cost ~7 ns per ELEMENT regardless of shape (the
+    measured chip floor), so the apply touches exactly hub_nnz elements
+    each way (_hub_apply) — a padded (H, Kmax) layout measured 60x more
+    elements on the power-law corpus matrix."""
     rows_g, cols_g, vals = hubs
     nd = A.n_devices
     cp = A.col_pad
@@ -2022,42 +2029,27 @@ def _attach_hubs(A: DistMatrix, hubs, dtype) -> DistMatrix:
     cshard = np.searchsorted(col_ranges, cols_g, side="right") - 1
     pg_cols = cshard * np.int64(cp) + (cols_g - col_ranges[cshard])
     rshard = np.searchsorted(row_ranges, rows_g, side="right") - 1
-    # per-shard hub-row tables
-    per_rownum, per_ci, per_v = [], [], []
-    h_max, kh = 1, 1
+    f_max = max(int(np.bincount(rshard, minlength=nd).max())
+                if len(rshard) else 0, 1)
+    rownum = np.zeros((nd, f_max), dtype=np.int32)
+    colind = np.zeros((nd, f_max), dtype=np.int32)
+    values = np.zeros((nd, f_max), dtype=dtype or vals.dtype)
     for s in range(nd):
         sel = rshard == s
-        rs, cs, vs = rows_g[sel], pg_cols[sel], vals[sel]
-        uniq, inv = np.unique(rs, return_inverse=True)
-        cnt = np.bincount(inv) if len(uniq) else np.zeros(0, np.int64)
-        h_max = max(h_max, len(uniq))
-        kh = max(kh, int(cnt.max()) if len(cnt) else 0)
-        per_rownum.append((uniq - row_ranges[s]).astype(np.int32))
-        per_ci.append((inv, cs, vs, cnt))
-    rownum = np.zeros((nd, h_max), dtype=np.int32)
-    colind = np.zeros((nd, h_max, kh), dtype=np.int32)
-    values = np.zeros((nd, h_max, kh),
-                      dtype=dtype or vals.dtype)
-    for s in range(nd):
-        rn = per_rownum[s]
-        inv, cs, vs, cnt = per_ci[s]
-        rownum[s, : len(rn)] = rn
-        if len(inv):
-            off = np.zeros(len(cnt) + 1, np.int64)
-            np.cumsum(cnt, out=off[1:])
-            order = np.argsort(inv, kind="stable")
-            slot = np.arange(len(inv)) - off[inv[order]]
-            colind[s, inv[order], slot] = cs[order]
-            values[s, inv[order], slot] = vs[order]
+        ns = int(sel.sum())
+        if ns:
+            rownum[s, :ns] = (rows_g[sel] - row_ranges[s]).astype(np.int32)
+            colind[s, :ns] = pg_cols[sel].astype(np.int32)
+            values[s, :ns] = vals[sel]
+        # padding entries stay (row 0, col 0, val 0): they add 0.0
     spec2 = P(A.axis_name, None)
-    spec3 = P(A.axis_name, None, None)
 
     def put(arr, spec):
         return jax.device_put(jnp.asarray(arr), NamedSharding(A.mesh, spec))
 
     A.hub_rownum = put(rownum, spec2)
-    A.hub_colind = put(colind, spec3)
-    A.hub_values = put(values, spec3)
+    A.hub_colind = put(colind, spec2)
+    A.hub_values = put(values, spec2)
     A.hub_nnz = int(len(rows_g))
     A.nnz_global += int(len(rows_g))
     # hub rows' diagonal entries live in the hub block, not the local

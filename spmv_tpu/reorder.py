@@ -165,13 +165,43 @@ def permute_symmetric(a: CSRHost, order: np.ndarray,
                    a.ncols)
 
 
-def rcm_reorder(a: CSRHost,
-                native: bool = True) -> tuple[CSRHost, np.ndarray]:
+def bandwidth_quantile(a: CSRHost, q: float = 90.0,
+                       sample: int = 2_000_000) -> float:
+    """q-th percentile of |col - row| over (sampled) entries — the
+    window-locality figure the TPU formats care about (a handful of
+    outliers belong in far/hub side terms; the BULK must be near the
+    diagonal, which max-bandwidth cannot see)."""
+    if a.nnz == 0:
+        return 0.0
+    if a.nnz > sample:
+        idx = np.arange(0, a.nnz, a.nnz // sample, dtype=np.int64)
+    else:
+        idx = np.arange(a.nnz, dtype=np.int64)
+    rows = np.searchsorted(a.rowptr, idx, side="right") - 1
+    return float(np.percentile(
+        np.abs(a.colind[idx].astype(np.int64) - rows), q))
+
+
+def rcm_reorder(a: CSRHost, native: bool = True,
+                keep_best: bool = False) -> tuple[CSRHost, np.ndarray]:
     """Convenience: symmetrize the pattern, compute RCM on it, and return
     (permuted matrix, order). ``order`` maps new->old; apply to vectors with
-    x_new = x_old[order], and undo with y_old = y_new[inverse]."""
+    x_new = x_old[order], and undo with y_old = y_new[inverse].
+
+    ``keep_best=True``: compare the bulk window locality
+    (``bandwidth_quantile`` p90) before and after and return the IDENTITY
+    ordering when RCM made it worse — BFS orderings can DESTROY an
+    already-structured matrix whose long-range edges span the graph
+    (measured: an 800^2 grid + 5% random edges went from p90 bandwidth
+    800 / 1.8% outside a 512-segment window to p90 103854 / 48% outside
+    under RCM). The raw RCM stays available with the default."""
     if a.nrows != a.ncols:
         raise ValueError("rcm_reorder needs a square matrix")
+    if keep_best:
+        b, order = rcm_reorder(a, native=native, keep_best=False)
+        if bandwidth_quantile(b) < bandwidth_quantile(a):
+            return b, order
+        return a, np.arange(a.nrows, dtype=np.int64)
     if native:
         from spmv_tpu.native.lib import get_lib
 

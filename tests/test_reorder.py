@@ -93,3 +93,29 @@ def test_native_rcm_bitwise_matches_numpy():
         pp = permute_symmetric(m, on, native=False)
         np.testing.assert_array_equal(pn.colind, pp.colind)
         np.testing.assert_array_equal(pn.values, pp.values)
+
+
+def test_rcm_keep_best_preserves_structured_ordering():
+    """keep_best must return the identity when RCM worsens the bulk
+    window locality — BFS orderings destroy grid + random-edge graphs
+    (the corpus circuit case: p90 bandwidth 800 -> ~100k under RCM)."""
+    import numpy as np
+
+    from spmv_tpu.corpus import circuit_network
+    from spmv_tpu.reorder import bandwidth_quantile, rcm_reorder
+
+    a = circuit_network(60, seed=3)
+    b_raw, _ = rcm_reorder(a)
+    b_best, order = rcm_reorder(a, keep_best=True)
+    assert bandwidth_quantile(b_best) <= bandwidth_quantile(b_raw)
+    if bandwidth_quantile(b_raw) > bandwidth_quantile(a):
+        # RCM hurt -> identity kept
+        np.testing.assert_array_equal(order, np.arange(a.nrows))
+    # and on a scrambled stencil keep_best still applies the improvement
+    from spmv_tpu.corpus import scramble
+    from spmv_tpu.gen import create_laplace_2d
+
+    c = scramble(create_laplace_2d(32, 32), seed=5)
+    c_best, order_c = rcm_reorder(c, keep_best=True)
+    assert bandwidth_quantile(c_best) < bandwidth_quantile(c)
+    assert not np.array_equal(order_c, np.arange(c.nrows))

@@ -91,7 +91,7 @@ def main():
         a.values *= np.float32(0.9 / max(row_sums.max(), 1e-30))
 
         bw0 = bandwidth(a)
-        (a, order), dt = timed(rcm_reorder, a)
+        (a, order), dt = timed(rcm_reorder, a, keep_best=True)
         rec.update(bw_before=int(bw0), bw_after=int(bandwidth(a)),
                    rcm_s=round(dt, 1))
         print(f"  rcm: bandwidth {bw0} -> {rec['bw_after']} ({dt:.1f}s)",
