@@ -10,20 +10,19 @@ HBM SPEC roofline) / 0.8 — r >= 1.0 means the north-star (>=80% of HBM
 roofline, BASELINE.json) is met. All fractions are MEDIANS over N
 interleaved trials with min/max spread.
 
-Measurement methodology (round-3 revision; see BENCH_NOTES "Sustained
-measurement"): each sample runs K=300 chained kernel applies inside ONE
-jitted lax.fori_loop. SHORT loops (K=30, rounds 1-2) under-measured the
-chip ~3x: per-sample wall carries ~23 ms of tunnel round-trip, and the
-first ~50 ms of a burst run well below the sustained rate (power-state
-ramp) — both effects deflate short-loop bandwidth and DISTORT ratios
-toward the longer loop. Sustained loops measure the hardware: the same
-vanilla kernel that scored "79% of the copy roofline" at K=30 measures
-759-775 GB/s stored traffic at K=300 — 93-95% of the v5e HBM spec
-(819 GB/s) — because a 6-read:1-write stream also exceeds what a 1:1
-read/write copy can do. The copy rate is still measured and reported
-(``copy_gbs``) as a same-run sanity line; the roofline denominator is the
-chip's spec bandwidth (falling back to the measured copy when the device
-kind is unknown).
+Measurement methodology (round-5 revision; see BENCH_NOTES "Sustained
+measurement" and "tunnel constant"): each sample runs TWO sustained
+chained-apply loops (K=300 and K=60 inside one jitted lax.fori_loop
+each) and reports the SLOPE (T_300 - T_60)/240 — per-apply device time
+with the fixed per-call cost cancelled exactly. Two artifacts motivated
+the two revisions: (1) short loops (K=30, rounds 1-2) under-measure the
+sustained rate (power-state ramp) — both lengths now stay sustained;
+(2) single-length wall carries a ~23-28 ms per-call axon dispatch/sync
+constant, which at K=300 still inflated a 0.499 ms/apply kernel (xplane
+device time) to a 0.593 wall reading — the slope removes it. The copy
+rate is still measured and reported (``copy_gbs``) as a same-run sanity
+line; the roofline denominator is the chip's spec bandwidth (falling
+back to the measured copy when the device kind is unknown).
 
 ``--smoke`` runs the same code on tiny shapes with the Pallas interpreter
 (CPU) — the CI configuration (.github/workflows/test.yml), a functional
@@ -51,20 +50,32 @@ HBM_SPEC_GBS = {
 }
 
 
-def _timed_call(fn_loop, args, k) -> float:
+def _timed_call(fn_loop, args) -> float:
     t0 = time.perf_counter()
     out = fn_loop(*args)
     # slice ON DEVICE before transferring: np.asarray(out) would drag the
     # whole array through the tunnel (~2 GB/s) and swamp the measurement
     _ = float(out.reshape(-1)[7])
-    return (time.perf_counter() - t0) / k
+    return time.perf_counter() - t0
 
 
-def interleaved_trial_seconds(loops_and_args, trials, k):
+def interleaved_trial_seconds(loops_and_args, trials, k, k_short=None):
     """Per-trial seconds/iteration for each device loop, measured
     INTERLEAVED (a,b,c,a,b,c,...) with the first round (compile) discarded.
     Returns times[i] = list of ``trials`` samples for loop i. Same-trial
     ratios sample the same chip conditions.
+
+    TWO-LENGTH SLOPE (round-5 revision; BENCH_NOTES "tunnel constant"):
+    each loop entry is a FACTORY ``make(k) -> fn`` compiled at both ``k``
+    and ``k_short``; the per-apply sample is (T_k - T_k_short)/(k -
+    k_short), which cancels the fixed per-call cost exactly. The xplane
+    shows the device executing the sustained WELL loop at 0.499 ms/apply
+    while single-length wall at K=300 reported 0.593: ~28 ms of axon
+    dispatch/sync constant per call — a harness artifact, not kernel
+    time (production TPU serving has no such tunnel). Both lengths stay
+    sustained (>= 60 chained applies) so power-ramp effects cancel too.
+    Passing plain functions (k_short=None) keeps the old single-length
+    behavior (per-apply = T/k).
 
     The trailing argument of every loop is its input VECTOR; it is
     perturbed by (1 + 1e-6*trial) so no two timed calls present the same
@@ -72,11 +83,22 @@ def interleaved_trial_seconds(loops_and_args, trials, k):
     execution cache (measured: a repeated 10M-row solve "ran" in 0.00 s)."""
     n = len(loops_and_args)
     times = [[] for _ in range(n)]
+    pairs = []
+    for make, args in loops_and_args:
+        if k_short is None:
+            pairs.append(((make, None), args))
+        else:
+            pairs.append(((make(k), make(k_short)), args))
     for trial in range(trials + 1):
-        for i, (fn, args) in enumerate(loops_and_args):
+        for i, ((fn, fn_s), args) in enumerate(pairs):
             scale = args[-1].dtype.type(1.0 + 1e-6 * trial)
             targs = (*args[:-1], args[-1] * scale)
-            dt = _timed_call(fn, targs, k)
+            if fn_s is None:
+                dt = _timed_call(fn, targs) / k
+            else:
+                t_long = _timed_call(fn, targs)
+                t_short = _timed_call(fn_s, targs)
+                dt = max(t_long - t_short, 1e-9) / (k - k_short)
             if trial > 0:
                 times[i].append(dt)
             print(f"#   loop{i} trial {trial}: {dt*1e3:.3f} ms/iter",
@@ -132,17 +154,25 @@ def _solver_metrics(a, smoke: bool, rtol: float = 1e-6) -> dict:
     # repeated identical (executable, args) pairs can be served from the
     # tunnel's execution cache (measured: a repeated 10M-row AMG solve
     # "returned" in 0.00 s).
-    niter = 5 if smoke else 100
+    # two-length slope (see interleaved_trial_seconds): cancels the fixed
+    # per-call dispatch constant out of the iteration rate
+    niter, niter_s = (5, 2) if smoke else (100, 20)
     rate = jax.jit(lambda A_, bb: cg(A_.as_linear_operator(), bb,
                                      kmax=niter, rtol=0.0))
+    rate_s = jax.jit(lambda A_, bb: cg(A_.as_linear_operator(), bb,
+                                       kmax=niter_s, rtol=0.0))
     float(rate(A, b).rnorm)  # compile round
-    ts = []
+    float(rate_s(A, b).rnorm)
+    its = []
     for t in range(2 if smoke else 4):
         bt = b * np.float32(1.0 + 1e-6 * (t + 1))
         t0 = time.perf_counter()
         _ = float(rate(A, bt).rnorm)
-        ts.append(time.perf_counter() - t0)
-    its = [niter / t for t in ts]
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(rate_s(A, bt).rnorm)
+        t_short = time.perf_counter() - t0
+        its.append((niter - niter_s) / max(t_long - t_short, 1e-9))
     out["cg_iters_per_s"] = round(statistics.median(its), 1)
     out["cg_iters_per_s_spread"] = [round(min(its), 1), round(max(its), 1)]
 
@@ -230,19 +260,30 @@ def _corpus_summary(smoke: bool, trials: int) -> dict:
                                   dtype=np.float32)
             b = A.to_dist(gaussian_bump(a.nrows, dtype=np.float32))
 
-            @jax.jit
-            def loop(A_, v, k=k):
-                mv = A_.as_linear_operator()
-                return jax.lax.fori_loop(0, k, lambda i, u: mv(u), v)
+            ks = max(k // 5, 1)
 
+            def make_loop(kk):
+                @jax.jit
+                def loop(A_, v):
+                    mv = A_.as_linear_operator()
+                    return jax.lax.fori_loop(0, kk, lambda i, u: mv(u), v)
+                return loop
+
+            loop, loop_s = make_loop(k), make_loop(ks)
             ts = []
             for t in range(trials + 1):
                 bt = b * np.float32(1.0 + 1e-6 * t)  # defeat tunnel cache
                 t0 = time.perf_counter()
                 out = loop(A, bt)
                 _ = float(out.reshape(-1)[7])
+                t_long = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                out = loop_s(A, bt)
+                _ = float(out.reshape(-1)[7])
+                t_short = time.perf_counter() - t0
                 if t > 0:
-                    ts.append((time.perf_counter() - t0) / k)
+                    # two-length slope: cancels per-call dispatch constant
+                    ts.append(max(t_long - t_short, 1e-9) / (k - ks))
             traffic = A.format_size_bytes() + 2 * a.nrows * 4
             sec = statistics.median(ts)
             fmt = A.local_format + ("+hub" if A.hub_nnz else "")
@@ -332,48 +373,59 @@ def main(argv=None) -> int:
     aw.values *= np.float32(0.9 / max(row_sums.max(), 1e-30))
     w = csr_to_well(aw, tile_groups=64, dtype=np.float32)
 
-    # roofline: chained big copy with identical loop methodology
-    @jax.jit
-    def copy_loop(v):
-        return jax.lax.fori_loop(
-            0, k, lambda i, u: u * jnp.float32(1.0000001), v
-        )
+    # roofline: chained big copy with identical loop methodology. All
+    # loops are FACTORIES over the chain length so the harness can run
+    # the two-length slope (see interleaved_trial_seconds).
+    def make_copy_loop(kk):
+        @jax.jit
+        def copy_loop(v):
+            return jax.lax.fori_loop(
+                0, kk, lambda i, u: u * jnp.float32(1.0000001), v
+            )
+        return copy_loop
 
-    @jax.jit
-    def spmv_loop(dd, v):
-        # dd passed as an ARGUMENT: closing over the matrix would embed its
-        # arrays as literal constants in the lowered program (2 GB at 100M
-        # rows) and ship them through the remote compile service. No
-        # per-iteration scaling epilogue (it would add two extra HBM vector
-        # passes); the host-side ||A||_inf < 1 scaling keeps K=300 chained
-        # applies bounded.
-        return jax.lax.fori_loop(
-            0, k, lambda i, u: spmv_dia_pallas_2d(dd, u, interpret=interpret),
-            v,
-        )
+    def make_spmv_loop(kk):
+        @jax.jit
+        def spmv_loop(dd, v):
+            # dd passed as an ARGUMENT: closing over the matrix would
+            # embed its arrays as literal constants in the lowered program
+            # (2 GB at 100M rows) and ship them through the remote compile
+            # service. No per-iteration scaling epilogue (it would add two
+            # extra HBM vector passes); the host-side ||A||_inf < 1
+            # scaling keeps chained applies bounded.
+            return jax.lax.fori_loop(
+                0, kk,
+                lambda i, u: spmv_dia_pallas_2d(dd, u, interpret=interpret),
+                v,
+            )
+        return spmv_loop
 
-    @jax.jit
-    def well_loop(ww, v):
-        def body(i, u):
-            y = spmv_well_pallas_2d(ww, u, interpret=interpret)
-            # chain: y (nrows_pad/128, 128) -> next x (ncols_pad/128, 128);
-            # values bounded by the host-side ||A||_inf < 1 scaling
-            if y.shape[0] >= u.shape[0]:
-                return y[: u.shape[0]]
-            return jnp.pad(y, ((0, u.shape[0] - y.shape[0]), (0, 0)))
+    def make_well_loop(kk):
+        @jax.jit
+        def well_loop(ww, v):
+            def body(i, u):
+                y = spmv_well_pallas_2d(ww, u, interpret=interpret)
+                # chain: y (nrows_pad/128, 128) -> next x; values bounded
+                # by the host-side ||A||_inf < 1 scaling
+                if y.shape[0] >= u.shape[0]:
+                    return y[: u.shape[0]]
+                return jnp.pad(y, ((0, u.shape[0] - y.shape[0]), (0, 0)))
 
-        return jax.lax.fori_loop(0, k, body, v)
+            return jax.lax.fori_loop(0, kk, body, v)
+        return well_loop
 
+    k_short = None if args.smoke else max(k // 5, 1)
     x2 = dia_to_2d(d, jnp.full((d.nrows_pad,), 1e-3, jnp.float32))
     xw = well_to_2d(w, jnp.full((w.ncols_pad,), 1e-3, jnp.float32))
     t_copy, t_van, t_sym, t_well = interleaved_trial_seconds(
         [
-            (copy_loop, (jnp.ones((n_stream // 128, 128), jnp.float32),)),
-            (spmv_loop, (d, x2)),
-            (spmv_loop, (ds, x2)),
-            (well_loop, (w, xw)),
+            (make_copy_loop if k_short else make_copy_loop(k),
+             (jnp.ones((n_stream // 128, 128), jnp.float32),)),
+            (make_spmv_loop if k_short else make_spmv_loop(k), (d, x2)),
+            (make_spmv_loop if k_short else make_spmv_loop(k), (ds, x2)),
+            (make_well_loop if k_short else make_well_loop(k), (w, xw)),
         ],
-        trials, k,
+        trials, k, k_short=k_short,
     )
 
     vec_bytes = 2 * d.nrows_pad * itemsize
@@ -411,18 +463,24 @@ def main(argv=None) -> int:
         nrhs = 4 if args.smoke else 8
         xblk = jnp.tile(xw, (1, nrhs))
 
-        @jax.jit
-        def spmm_loop(ww, v):
-            def body(i, u):
-                y = spmm_well_pallas_2d(ww, u, nrhs, interpret=interpret)
-                if y.shape[0] >= u.shape[0]:
-                    return y[: u.shape[0]]
-                return jnp.pad(y, ((0, u.shape[0] - y.shape[0]), (0, 0)))
+        def make_spmm_loop(kk):
+            @jax.jit
+            def spmm_loop(ww, v):
+                def body(i, u):
+                    y = spmm_well_pallas_2d(ww, u, nrhs,
+                                            interpret=interpret)
+                    if y.shape[0] >= u.shape[0]:
+                        return y[: u.shape[0]]
+                    return jnp.pad(y, ((0, u.shape[0] - y.shape[0]),
+                                       (0, 0)))
 
-            return jax.lax.fori_loop(0, k, body, v)
+                return jax.lax.fori_loop(0, kk, body, v)
+            return spmm_loop
 
         (t_spmm,) = interleaved_trial_seconds(
-            [(spmm_loop, (w, xblk))], max(trials - 1, 1), k)
+            [(make_spmm_loop if k_short else make_spmm_loop(k),
+              (w, xblk))],
+            max(trials - 1, 1), k, k_short=k_short)
         sec_blk = statistics.median(t_spmm)
         spmm_ms_col = sec_blk / nrhs * 1e3
         spmm_speedup = statistics.median(t_well) * nrhs / sec_blk

@@ -231,15 +231,18 @@ def _smoothed_prolongator(a: CSRHost, agg_g: np.ndarray, ncg: int,
                             pv[keep] * scale[pr[keep]], p.nrows, ncg)
 
 
-def _detect_stride(a: CSRHost, sample: int = 2_000_000) -> int:
-    """Grid stride (x-extent of a row-major grid) detected algebraically:
-    the most frequent column offset > 1 among (sampled) entries. For a
-    5/9-point 2-D stencil in lexicographic order this is nx; for a 1-D or
-    pattern-free operator returns 1. Sampling keeps this O(sample) — no
-    nnz-sized temporaries at the 70M-nnz headline scale."""
+def _detect_strides(a: CSRHost, sample: int = 2_000_000,
+                    max_strides: int = 2) -> list[int]:
+    """Grid strides of a row-major grid, detected algebraically from the
+    column-offset histogram (sampled — no nnz-sized temporaries at the
+    70M-nnz headline scale). Offsets > 1 with significant counts are
+    CLUSTERED (9/27-point stencils put near-equal mass on nx-1, nx, nx+1
+    — the cluster's weighted center is the stride; a bare most-frequent
+    pick would be off by one): for a 2-D stencil this returns [nx], for
+    3-D [nx, nx*ny]; for 1-D or pattern-free operators []."""
     nnz = a.nnz
     if nnz == 0:
-        return 1
+        return []
     if nnz > sample:
         step = nnz // sample
         idx = np.arange(0, nnz, step, dtype=np.int64)
@@ -249,12 +252,39 @@ def _detect_stride(a: CSRHost, sample: int = 2_000_000) -> int:
     d = a.colind[idx].astype(np.int64) - rows
     d = d[d > 1]
     if len(d) == 0:
-        return 1
+        return []
     vals_u, counts = np.unique(d, return_counts=True)
-    # demand a real plurality: the grid offset appears in ~every row
-    if counts.max() < 0.05 * len(idx):
-        return 1
-    return int(vals_u[np.argmax(counts)])
+    sig = counts >= 0.02 * len(idx)  # offsets present in ~every row
+    vals_u, counts = vals_u[sig], counts[sig]
+    if len(vals_u) == 0:
+        return []
+    # cluster: consecutive significant offsets within a small relative
+    # gap belong to one stencil plane (nx-1, nx, nx+1, ...)
+    strides: list[int] = []
+    start = 0
+    for i in range(1, len(vals_u) + 1):
+        if (i == len(vals_u)
+                or vals_u[i] - vals_u[i - 1] > max(2, vals_u[i - 1] // 8)):
+            c = counts[start:i]
+            v = vals_u[start:i]
+            center = int(round(float((v * c).sum() / c.sum())))
+            strides.append(center)
+            start = i
+    # keep the most-supported clusters in ascending-stride order, and
+    # demand divisibility consistency for the 3-D pair (s2 % s1 == 0
+    # within the cluster slack)
+    strides = strides[:max_strides + 2]
+    out = []
+    for s in strides:
+        if s <= 1:
+            continue
+        if out and abs(s % out[0]) > max(2, out[0] // 8) \
+                and abs(out[0] - s % out[0]) > max(2, out[0] // 8):
+            continue  # inconsistent with the base stride — not a grid axis
+        out.append(s)
+        if len(out) == max_strides:
+            break
+    return out
 
 
 def _gershgorin_scaled(rows, cols, vals, diag):
@@ -302,15 +332,16 @@ class AMGLevel:
     #                          (smooth_levels cutoff or galerkin_budget trip)
     stride: int = 1          # interval mode: detected grid x-extent
     #                          (1 = consecutive-row 1-D aggregates; >1 =
-    #                          2-D interval x interval grid-block
-    #                          aggregates, composed reshape transfers)
+    #                          grid-block aggregates along (x, y[, z]),
+    #                          composed reshape transfers)
+    stride2: int = 0         # 3-D grids: the plane stride nx*ny (0 = 2-D)
 
 
 jax.tree_util.register_dataclass(
     AMGLevel,
     data_fields=["A", "dinv", "restrict_tab", "prolong_tab", "P", "R"],
     meta_fields=["lmax", "lmin", "nc_pad", "degree", "interval", "omega_p",
-                 "omega_c", "smoothed", "stride"],
+                 "omega_c", "smoothed", "stride", "stride2"],
 )
 
 
@@ -394,14 +425,17 @@ def _relayout(x: jax.Array, pad_out: int, Aref: DistMatrix) -> jax.Array:
     )(x)
 
 
-def _interval2d_sizes(rp: int, size: int, stride: int):
-    """Device pipeline sizes for the composed 2-D block transfer: the
-    y stage sums ``size`` rows spaced ``stride`` apart, the x stage sums
-    ``size`` consecutive entries of the intermediate."""
-    nb1 = -(-rp // (size * stride))     # y blocks
-    mid = nb1 * stride                  # intermediate length
-    nb2 = -(-mid // size)               # x blocks = coarse slots
-    return nb1, mid, nb2
+def _interval_stages(lvl: AMGLevel) -> list[int]:
+    """The transfer's reshape-sum stages, outermost grid axis first:
+    strided stages (z with stride2, y with stride), then the consecutive
+    x stage encoded as stride 1."""
+    stages = []
+    if lvl.stride2 > 1:
+        stages.append(lvl.stride2)
+    if lvl.stride > 1:
+        stages.append(lvl.stride)
+    stages.append(1)
+    return stages
 
 
 def _restrict_interval(lvl: AMGLevel, r: jax.Array) -> jax.Array:
@@ -410,39 +444,35 @@ def _restrict_interval(lvl: AMGLevel, r: jax.Array) -> jax.Array:
     symmetric level operator so that R = P^T exactly.
 
     ``stride == 1``: aggregates are ``interval`` consecutive local rows
-    (1-D x-coarsening). ``stride > 1`` (interval2d): 2-D grid-block
-    aggregation — interval x interval patches of the row-major grid with
-    x-extent ``stride`` — composed as TWO reshape-sums: first ``interval``
-    rows spaced ``stride`` apart (y), then ``interval`` consecutive
-    entries of the intermediate (x). Coarsening BOTH directions in one
-    level is what keeps the smoothed Galerkin stencil BOUNDED (a bounded
-    9-point forever: smoothing triples each direction's extent, the
-    block coarsening divides it by ``interval`` >= 3); one-direction
-    semicoarsening grew the uncoarsened direction x3 per level
-    unboundedly (measured 138 nnz/row by level 3 at 2048^2)."""
+    (1-D x-coarsening). ``stride > 1`` (interval2d on a 2-D grid):
+    interval x interval grid blocks, composed as TWO reshape-sums —
+    ``interval`` rows spaced ``stride`` apart (y), then ``interval``
+    consecutive intermediate entries (x). ``stride2 > 1`` (3-D grid):
+    a third z stage at the plane stride runs first. Coarsening EVERY
+    grid direction in one level is what keeps the smoothed Galerkin
+    stencil BOUNDED (smoothing triples each direction's extent, block
+    coarsening divides it by ``interval`` >= 3); leaving any direction
+    uncoarsened grows its stencil x3 per level without bound (measured
+    138 nnz/row by level 3 at 2048^2 under 1-D alternation)."""
     A = lvl.A
     if lvl.omega_p != 0.0:
         r = r - lvl.omega_p * A.matvec(lvl.dinv * r)
     size = lvl.interval
-    stride = max(lvl.stride, 1)
+    stages = _interval_stages(lvl)
     nc_pad = lvl.nc_pad
     rp = A.row_pad
     spec = P(A.axis_name, None)
 
     def per_shard(r_s):
         v = r_s.reshape(-1)
-        if stride > 1:
-            nb1, mid, nb2 = _interval2d_sizes(rp, size, stride)
-            v = jnp.pad(v, (0, nb1 * size * stride - rp))
-            v = v.reshape(nb1, size, stride).sum(axis=1).reshape(-1)  # y
-            v = jnp.pad(v, (0, nb2 * size - mid))
-            vc = v.reshape(nb2, size).sum(axis=1)                      # x
-        else:
-            nb = -(-rp // size)
-            v = jnp.pad(v, (0, nb * size - rp))
-            vc = v.reshape(nb, size).sum(axis=1)
-        vc = (jnp.pad(vc, (0, nc_pad - vc.shape[0]))
-              if nc_pad > vc.shape[0] else vc[:nc_pad])
+        ln = rp
+        for s in stages:
+            nb = -(-ln // (size * s))
+            v = jnp.pad(v, (0, nb * size * s - ln))
+            v = v.reshape(nb, size, s).sum(axis=1).reshape(-1)
+            ln = nb * s
+        vc = (jnp.pad(v, (0, nc_pad - ln)) if nc_pad > ln
+              else v[:nc_pad])
         return vc.reshape(nc_pad // LANES, LANES)
 
     return jax.shard_map(per_shard, mesh=A.mesh, in_specs=(spec,),
@@ -451,34 +481,34 @@ def _restrict_interval(lvl: AMGLevel, r: jax.Array) -> jax.Array:
 
 def _prolong_interval(lvl: AMGLevel, xc: jax.Array) -> jax.Array:
     """P xc = (I - omega_p D^-1 A) P0 xc with P0 = aggregate-block repeat
-    (the reverse of _restrict_interval's reshape-sums: broadcast x, then
-    broadcast y for the 2-D block mode). Fine padding rows are masked by
-    dinv's zero pattern (structural padding has zero diagonal) so junk
-    never leaks into the outer solve's dot products."""
+    (the exact reverse of _restrict_interval's stage chain: broadcast x,
+    then y, then z). Fine padding rows are masked by dinv's zero pattern
+    (structural padding has zero diagonal) so junk never leaks into the
+    outer solve's dot products."""
     A = lvl.A
     size = lvl.interval
-    stride = max(lvl.stride, 1)
+    stages = _interval_stages(lvl)
     nc_pad = lvl.nc_pad
     rp = A.row_pad
     spec = P(A.axis_name, None)
+    # forward stage lengths (same chain as _restrict_interval)
+    lens = [rp]
+    for s in stages:
+        nb = -(-lens[-1] // (size * s))
+        lens.append(nb * s)
 
     def per_shard(xc_s):
         v = xc_s.reshape(-1)
-        if stride > 1:
-            nb1, mid, nb2 = _interval2d_sizes(rp, size, stride)
-            v = jnp.pad(v, (0, nb2 - nc_pad)) if nb2 > nc_pad else v[:nb2]
-            v = jnp.broadcast_to(v[:, None], (nb2, size)).reshape(-1)  # x
-            v = v[:mid]
-            vf = jnp.broadcast_to(
-                v.reshape(nb1, 1, stride), (nb1, size, stride)
-            ).reshape(-1)                                              # y
-        else:
-            nb = -(-rp // size)
-            v = jnp.pad(v, (0, nb - nc_pad)) if nb > nc_pad else v[:nb]
-            vf = jnp.broadcast_to(v[:, None], (nb, size)).reshape(-1)
-        vf = vf[:rp] if vf.shape[0] >= rp else jnp.pad(
-            vf, (0, rp - vf.shape[0]))
-        return vf.reshape(rp // LANES, LANES)
+        ln = lens[-1]
+        v = jnp.pad(v, (0, ln - nc_pad)) if ln > nc_pad else v[:ln]
+        for i in range(len(stages) - 1, -1, -1):
+            s = stages[i]
+            nb = lens[i + 1] // s
+            v = jnp.broadcast_to(
+                v.reshape(nb, 1, s), (nb, size, s)).reshape(-1)
+            v = v[: lens[i]] if v.shape[0] >= lens[i] else jnp.pad(
+                v, (0, lens[i] - v.shape[0]))
+        return v.reshape(rp // LANES, LANES)
 
     xf = jax.shard_map(per_shard, mesh=A.mesh, in_specs=(spec,),
                        out_specs=spec)(xc)
@@ -734,38 +764,37 @@ def amg_setup(
     while (len(levels) < max_levels - 1
            and cur.nrows > max(coarse_max, nd * LANES)):
         lvl_stride = 1
+        lvl_stride2 = 0
         if aggregate in ("interval", "interval2d"):
             if aggregate == "interval2d":
-                # 2-D grid-block aggregation (interval x interval patches
-                # of the detected grid): coarsening BOTH directions per
+                # grid-block aggregation (interval^d patches of the
+                # detected 2-D/3-D grid): coarsening EVERY direction per
                 # level keeps the smoothed Galerkin stencil bounded AND
                 # the hierarchy isotropic — the fix for 1-D
                 # semicoarsening's mesh-DEPENDENT counts (measured
                 # 22 -> 44 -> 97 PCG iterations at 256^2 -> 1024^2,
                 # non-convergent at 3163^2; see _restrict_interval).
-                s_d = _detect_stride(cur)
-                if s_d > 1 and cur.nrows // s_d >= interval_size:
-                    lvl_stride = s_d
+                s_det = _detect_strides(cur)
+                if s_det and cur.nrows // s_det[0] >= interval_size:
+                    lvl_stride = s_det[0]
+                    if (len(s_det) > 1
+                            and cur.nrows // s_det[1] >= interval_size):
+                        lvl_stride2 = s_det[1]
             ranges_l = owner_ranges(cur.nrows, nd)
             nlocs = np.diff(ranges_l)
-            if lvl_stride > 1:
-                blk = interval_size * lvl_stride
-
-                def _n2(nl):
-                    nb1 = -(-nl // blk)
-                    return max(-(-(nb1 * lvl_stride) // interval_size), 1)
-
-                ncs = [_n2(int(nl)) for nl in nlocs]
-                aggs = [
-                    ((np.arange(nl, dtype=np.int64) // blk) * lvl_stride
-                     + (np.arange(nl, dtype=np.int64) % lvl_stride))
-                    // interval_size
-                    for nl in nlocs
-                ]
-            else:
-                ncs = [max(int(-(-nl // interval_size)), 1) for nl in nlocs]
-                aggs = [np.arange(nl, dtype=np.int64) // interval_size
-                        for nl in nlocs]
+            # uniform stage formula stage(v, s) = (v // (I*s))*s + v % s,
+            # applied outermost-axis-first (z with stride2, y with stride,
+            # x with 1) — identical to the device reshape chain
+            # (_restrict_interval)
+            stages_h = ([lvl_stride2] if lvl_stride2 > 1 else []) + \
+                ([lvl_stride] if lvl_stride > 1 else []) + [1]
+            aggs, ncs = [], []
+            for nl in nlocs:
+                v = np.arange(int(nl), dtype=np.int64)
+                for s in stages_h:
+                    v = (v // (interval_size * s)) * s + (v % s)
+                aggs.append(v)
+                ncs.append(max(int(v.max()) + 1 if len(v) else 1, 1))
             ncs_max = max(ncs)
             agg_g = (np.concatenate(
                 [s * ncs_max + aggs[s] for s in range(nd)])
@@ -853,7 +882,7 @@ def amg_setup(
             interval=(interval_size if aggregate.startswith("interval")
                       else 0),
             omega_p=omega_p, omega_c=omega_c, smoothed=bool(sm_l),
-            stride=lvl_stride))
+            stride=lvl_stride, stride2=lvl_stride2))
         cur, cur_A = coarse, A_c
 
     # coarsest: dense inverse (identity on padding rows) when small enough
@@ -955,7 +984,8 @@ def _dinv_dist(A: DistMatrix, diag: np.ndarray) -> jax.Array:
 
 def _make_level(A, diag, lmax, restrict, prolong, Pop, Rop, nc_pad,
                 degree, band, interval=0, omega_p=0.0,
-                omega_c=0.0, smoothed=True, stride=1) -> AMGLevel:
+                omega_c=0.0, smoothed=True, stride=1,
+                stride2=0) -> AMGLevel:
     spec2 = P(A.axis_name, None, None)
     return AMGLevel(
         A=A,
@@ -975,6 +1005,7 @@ def _make_level(A, diag, lmax, restrict, prolong, Pop, Rop, nc_pad,
         omega_c=float(omega_c),
         smoothed=bool(smoothed),
         stride=int(stride),
+        stride2=int(stride2),
     )
 
 

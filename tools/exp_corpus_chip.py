@@ -113,17 +113,36 @@ def main():
 
         b = A.to_dist(gaussian_bump(a.nrows, dtype=np.float32))
         k = args.applies
+        ks = max(k // 5, 1)
 
-        @jax.jit
-        def loop(A_, v, k=k):
-            mv_ = A_.as_linear_operator()
-            return jax.lax.fori_loop(0, k, lambda i, u: mv_(u), v)
+        def make_loop(kk):
+            @jax.jit
+            def loop(A_, v):
+                mv_ = A_.as_linear_operator()
+                return jax.lax.fori_loop(0, kk, lambda i, u: mv_(u), v)
+            return loop
 
-        _, dt = timed(lambda: jax.block_until_ready(loop(A, b)))
+        loop, loop_s = make_loop(k), make_loop(ks)
+
+        def pull(fn, v):
+            # sync by PULLING a device scalar (block_until_ready does not
+            # truly sync on the axon tunnel) and PERTURB inputs per call
+            # (identical (executable, args) pairs can be served from the
+            # tunnel's execution cache)
+            t0 = time.perf_counter()
+            out = fn(A, v)
+            _ = float(out.reshape(-1)[7])
+            return time.perf_counter() - t0
+
+        pull(loop, b)
+        pull(loop_s, b)
         ts = []
-        for _ in range(3):
-            _, dt = timed(lambda: jax.block_until_ready(loop(A, b)))
-            ts.append(dt / k)
+        for t in range(3):
+            bt = b * np.float32(1.0 + 1e-6 * (t + 1))
+            t_long = pull(loop, bt)
+            t_short = pull(loop_s, bt)
+            # two-length slope: cancels the per-call dispatch constant
+            ts.append(max(t_long - t_short, 1e-9) / (k - ks))
         sec = statistics.median(ts)
         # stored traffic per apply: format bytes + x/y vector streams
         traffic = rec["format_mb"] * 1e6 + 2 * a.nrows * 4
@@ -147,8 +166,15 @@ def main():
         solve = jax.jit(lambda A_, bb, di: cg(
             A_.as_linear_operator(), bb, kmax=args.kmax, rtol=args.rtol,
             preconditioner=lambda r_: r_ * di))
-        r, _ = timed(lambda: jax.block_until_ready(solve(A, b, dinv)))
-        r, dt = timed(lambda: jax.block_until_ready(solve(A, b, dinv)))
+
+        def run_solve(bb):
+            t0 = time.perf_counter()
+            r_ = solve(A, bb, dinv)
+            _ = float(r_.rnorm)  # true sync: pull a scalar
+            return r_, time.perf_counter() - t0
+
+        run_solve(b)  # compile round
+        r, dt = run_solve(b * np.float32(1.0 + 1e-6))
         rec.update(cg_iters=int(r.iterations), cg_s=round(dt, 2),
                    cg_converged=bool(r.converged),
                    cg_rel=float(r.rnorm / r.rnorm0))
