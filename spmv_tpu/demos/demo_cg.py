@@ -77,6 +77,13 @@ def main() -> int:
                     help="smoothed-aggregation algebraic-multigrid "
                          "preconditioning (mesh-independent iteration "
                          "counts on SPD operators; setup timed separately)")
+    ap.add_argument("--amg-aggregate",
+                    choices=["auto", "match", "interval", "interval2d"],
+                    default="auto",
+                    help="AMG aggregation: 'auto' picks interval2d (4x4 "
+                         "grid blocks + W-cycle, mesh-independent, banded "
+                         "coarse grids) when a grid stride is detected, "
+                         "else graph matching")
     ap.add_argument("--solver", choices=["cg", "minres", "bicgstab", "gmres"],
                     default="cg",
                     help="bicgstab/gmres handle NON-symmetric operators, "
@@ -206,10 +213,22 @@ def main() -> int:
     else:
         krylov = cg
     if args.amg:
-        from spmv_tpu.solvers.amg import amg_setup
+        from spmv_tpu.solvers.amg import _detect_strides, amg_setup
 
+        agg = args.amg_aggregate
+        amg_kw = {}
+        if agg == "auto":
+            # grid-like operators get the headline config: 4x4 grid-block
+            # aggregation + W-cycle (mesh-independent counts, banded
+            # DIA-packable coarse grids); pattern-free ones graph matching
+            if _detect_strides(a):
+                agg, amg_kw = "interval2d", dict(interval_size=4, cycle=2)
+            else:
+                agg = "match"
+        elif agg == "interval2d":
+            amg_kw = dict(interval_size=4, cycle=2)
         t0 = time.perf_counter()
-        hier = amg_setup(a, A)
+        hier = amg_setup(a, A, aggregate=agg, **amg_kw)
         timer.add("0.AMGSetup", time.perf_counter() - t0)
         print(f"AMG: {hier.n_levels} levels, grid complexity "
               f"{hier.grid_complexity():.2f}", file=sys.stderr)
