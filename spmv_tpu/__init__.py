@@ -146,6 +146,7 @@ from spmv_tpu.io.petsc import (
     write_petsc_binary_vector,
 )
 from spmv_tpu.io.matrix_market import read_matrix_market, write_matrix_market
+from spmv_tpu.interop import from_bcoo, from_scipy, to_bcoo, to_scipy
 from spmv_tpu.parallel.comm_plan import (
     CommPlan,
     CommPlan2,
@@ -172,6 +173,10 @@ __version__ = "0.1.0"
 __all__ = [
     "CSRHost",
     "csr_matmul",
+    "from_scipy",
+    "to_scipy",
+    "from_bcoo",
+    "to_bcoo",
     "EllMatrix",
     "csr_to_ell",
     "DiaMatrix",

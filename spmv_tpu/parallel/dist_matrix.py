@@ -2173,6 +2173,41 @@ def _dia_row_align(local_format: str, row_align: int, max_rows_per_shard: int) -
     return row_align
 
 
+def _warn_silent_downcast(values_dtype, dtype, local_format: str) -> None:
+    """Warn when 64-bit values are about to be SILENTLY downcast at device
+    upload because jax x64 is disabled (the JAX default in a plain user
+    process; the test/CI harness forces it on). Without this, an f64
+    matrix through the default ELL/DIA path becomes an f32 operator and a
+    CG at rtol 1e-10 "converges" while the true residual floors at f32
+    (measured 2e-3 relative on a 4096-row pentadiagonal — the recursive
+    residual drifts from the true one). The reference is double-throughout
+    (reference spmv/Matrix.cpp:565-566), so a silently-f32 operator is a
+    parity trap, not a convenience. The DS formats (``local_format='auto'``
+    on f64 input) deliver the f64-class envelope regardless of x64."""
+    if dtype is not None:  # an explicit request is an acknowledgement
+        return
+    vd = np.dtype(values_dtype)
+    if vd not in (np.float64, np.complex128):
+        return
+    if local_format in ("dia_ds", "well_ds"):  # DS pairs: x64-independent
+        return
+    if jax.config.jax_enable_x64:
+        return
+    import warnings
+
+    warnings.warn(
+        f"{vd} matrix values will be silently downcast to 32-bit at device "
+        f"upload (jax_enable_x64 is False) and the {local_format!r} "
+        "operator will compute at f32 accuracy while solvers still report "
+        "their recursive residuals. For f64-class accuracy enable "
+        "jax.config.update('jax_enable_x64', True), or (without x64) "
+        "solve via spmv_tpu.cg_refined_dist / apply via matvec_ds on a "
+        "local_format='auto' double-single operator; pass dtype=np.float32 "
+        "to acknowledge the cast and silence this.",
+        stacklevel=3,
+    )
+
+
 def build_dist_matrix(
     a: CSRHost,
     mesh: Mesh | None = None,
@@ -2230,6 +2265,7 @@ def build_dist_matrix(
     if local_format == "auto":
         local_format = select_local_format(a, symmetric=symmetric,
                                            dtype=dtype)
+    _warn_silent_downcast(a.values.dtype, dtype, local_format)
     if local_format in ("dia", "dia_ds") and a.nrows != a.ncols:
         raise ValueError(f"local_format={local_format!r} requires a square matrix")
     if local_format == "dia_ds" and symmetric:
@@ -2304,6 +2340,9 @@ def build_dist_matrix_from_shards(
     ncols_global = nrows_global if ncols_global is None else ncols_global
     if local_format == "dia" and nrows_global != ncols_global:
         raise ValueError("local_format='dia' requires a square matrix")
+    if triplets and len(triplets[0]) == 3:
+        _warn_silent_downcast(np.asarray(triplets[0][2]).dtype, dtype,
+                              local_format)
     mesh = _resolve_mesh(mesh, len(triplets), axis_name)
     nd = int(np.prod(list(mesh.shape.values())))
     if nd != len(triplets):

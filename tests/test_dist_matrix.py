@@ -586,3 +586,40 @@ def test_dist_well_transpose_scattered():
     )
     want = a.to_dense().T @ x_host
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_f64_silent_downcast_warns_when_x64_off():
+    """With jax x64 OFF (the plain-process JAX default; this suite forces
+    it on), f64 values through the ELL/DIA paths are silently downcast to
+    f32 at device upload — build_dist_matrix must warn with guidance
+    (local_format='auto' routes to the x64-independent DS formats). An
+    explicit dtype, a DS format, or x64 on must stay silent."""
+    import warnings
+
+    from spmv_tpu.gen import random_csr
+
+    a = random_csr(64, 64, 3, seed=0)  # float64 values
+    assert a.dtype == np.float64
+    assert jax.config.jax_enable_x64
+    # x64 ON (suite default): no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_dist_matrix(a, n_devices=2)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.warns(UserWarning, match="silently downcast"):
+            build_dist_matrix(a, n_devices=2)
+        # explicit dtype is an acknowledgement — silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            build_dist_matrix(a, n_devices=2, dtype=np.float32)
+        # DS formats are x64-independent — silent (banded f64 auto-routes
+        # to dia_ds; the random fixture above would fall back to ELL)
+        ab = create_laplace_2d(8, 8)
+        assert ab.dtype == np.float64
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            Ads = build_dist_matrix(ab, n_devices=2, local_format="auto")
+        assert Ads.local_format == "dia_ds"
+    finally:
+        jax.config.update("jax_enable_x64", True)
