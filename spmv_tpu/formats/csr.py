@@ -179,7 +179,11 @@ class CSRHost:
         """Row slice [start, stop) keeping global column indices."""
         lo, hi = self.rowptr[start], self.rowptr[stop]
         rowptr = (self.rowptr[start : stop + 1] - lo).astype(np.int64)
-        return CSRHost(rowptr, self.colind[lo:hi], self.values[lo:hi], self.ncols)
+        out = CSRHost(rowptr, self.colind[lo:hi], self.values[lo:hi], self.ncols)
+        # a row slice of a canonical (sorted, duplicate-free) matrix stays
+        # canonical — propagate so downstream can take the no-sort paths
+        out._sorted_unique = getattr(self, "_sorted_unique", False)
+        return out
 
     def split_lower_diag(self) -> tuple["CSRHost", np.ndarray]:
         """Return (strict lower triangle, dense diagonal vector).

@@ -2394,13 +2394,13 @@ def build_dist_matrix_from_shards(
             rows, cols, vals, r1 - r0, max(ncols_global, 1), sum_duplicates=True
         )
         nnz_global += merged.nnz
-        lens = merged.row_nnz()
-        rows_l = np.repeat(np.arange(r1 - r0, dtype=np.int64), lens)
         shards.append(
+            # merged is canonical (from_coo sum_duplicates=True): the
+            # no-sort classify path
             classify_shard(
-                rows_l, merged.colind, merged.values,
+                None, merged.colind, merged.values,
                 (r0, r1), (int(col_ranges[o]), int(col_ranges[o + 1])),
-                symmetric=symmetric,
+                symmetric=symmetric, rowptr=merged.rowptr,
             )
         )
     return _assemble(

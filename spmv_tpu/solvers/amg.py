@@ -215,6 +215,14 @@ def _smoothed_prolongator(a: CSRHost, agg_g: np.ndarray, ncg: int,
     p = CSRHost.from_coo(rows, cols, vals, a.nrows, ncg)
     if p.nnz == 0:
         return p
+    if theta <= 0.0:
+        # theta=0 keeps every entry (|p_ij| >= 0 always) and the
+        # renormalization scale is EXACTLY 1.0 (ksum == rsum bitwise, and
+        # x/x == 1.0 for finite nonzero x) — the filter block below is an
+        # identity whose full-size from_coo re-sort costs ~1/3 of the
+        # prolongator at the 3200^2 headline scale. The interval/interval2d
+        # aggregations pass theta=0 (amg_setup), so this is their hot path.
+        return p
     # filter WEAK interpolation entries (|p_ij| < theta * row max) and
     # renormalize rows to their original sum, so P 1_c == 1 stays exact
     # (constants interpolate exactly) and the Galerkin product downstream
