@@ -164,10 +164,14 @@ def main() -> int:
         from spmv_tpu.solvers.refine import cg_refined, cg_refined_dist
 
         t0 = time.perf_counter()
-        if args.devices and args.devices > 1:
+        if (args.devices and args.devices > 1) or args.amg:
+            # --refine --amg: AMG-preconditioned fp32 inner solves —
+            # f64-class TRUE residuals at optimal-order iteration counts
             res = cg_refined_dist(a, b_host.astype(np.float64),
-                                  n_devices=args.devices, rtol=args.rtol,
-                                  inner_kmax=args.kmax, jacobi=args.jacobi)
+                                  n_devices=args.devices or 1,
+                                  rtol=args.rtol,
+                                  inner_kmax=args.kmax, jacobi=args.jacobi,
+                                  amg=args.amg)
         else:
             res = cg_refined(a, b_host.astype(np.float64), rtol=args.rtol,
                              inner_kmax=args.kmax,

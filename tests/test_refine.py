@@ -189,3 +189,44 @@ def test_distributed_refinement_jacobi():
     rel = np.linalg.norm(a.matvec(jac.x) - b) / np.linalg.norm(b)
     assert rel < 1e-9, rel
     assert jac.inner_iterations < plain.inner_iterations
+
+
+def test_distributed_refinement_amg_inner():
+    """cg_refined_dist(amg=True): AMG-preconditioned fp32 inner solves —
+    f64-class TRUE residual at optimal-order inner iteration counts. The
+    motivating wall: a plain fp32 PCG's true residual is floored at
+    ~eps_f32 * |A| |x| (storing x in f32 perturbs A x by that much), so
+    recursive 1e-6 convergence at 128^2 leaves a ~1e-4-class true
+    residual while refinement contracts to the DS floor."""
+    from spmv_tpu.solvers.refine import cg_refined_dist
+
+    a = create_laplace_2d(128, 128, dtype=np.float32)
+    a.values *= np.float32(1 / 9)
+    n = a.nrows
+    b = gaussian_bump(n)
+    res = cg_refined_dist(a, b, n_devices=4, rtol=1e-11, inner_kmax=200,
+                          amg=True)
+    rel = np.linalg.norm(a.matvec(res.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-10, rel
+    # optimal-order inner: AMG-PCG takes ~10-15 iterations per outer pass
+    # (vs hundreds for plain fp32 CG at this size)
+    assert res.inner_iterations <= 20 * res.outer_iterations, (
+        res.inner_iterations, res.outer_iterations)
+    jac = cg_refined_dist(a, b, n_devices=4, rtol=1e-11, inner_kmax=2000,
+                          jacobi=True)
+    assert res.inner_iterations < jac.inner_iterations
+
+
+def test_distributed_refinement_amg_dict_config():
+    """amg=dict passes through to amg_setup (explicit config)."""
+    from spmv_tpu.solvers.refine import cg_refined_dist
+
+    a = create_laplace_2d(40, 40, dtype=np.float32)
+    a.values *= np.float32(1 / 9)
+    b = gaussian_bump(a.nrows)
+    res = cg_refined_dist(
+        a, b, n_devices=2, rtol=1e-11, inner_kmax=200,
+        amg=dict(aggregate="interval2d", interval_size=4, cycle=2,
+                 local_format="dia"))
+    rel = np.linalg.norm(a.matvec(res.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-10, rel

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""AMG-PCG at the 100M-row weak-scale target (BASELINE.json: weak-scale
+to 100M rows) — the optimal-order solver at 10x the headline scale, on
+one chip. Round-3 proved SpMV at 100M; this closes the SOLVER half.
+
+10000^2 2-D Laplacian, fp32 DIA, interval2d 4x4 grid-block aggregation,
+W-cycle, rtol 1e-6. Reports setup/solve wall-clock, iteration count, a
+plain-CG time-to-rtol comparison, and a residual-consistency check
+against the HOST CSR matvec (the same oracle discipline as
+__graft_entry__; a wrong device operator converges against the wrong A).
+
+Usage: python tools/exp_amg_100m.py [--nx 10000] [--plain-kmax 30000]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=10_000)
+    ap.add_argument("--plain-kmax", type=int, default=30_000)
+    ap.add_argument("--rtol", type=float, default=1e-6)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from spmv_tpu.gen import create_laplace_2d, gaussian_bump
+    from spmv_tpu.parallel.dist_matrix import build_dist_matrix
+    from spmv_tpu.solvers.amg import amg_setup
+    from spmv_tpu.solvers.cg import cg
+
+    t0 = time.perf_counter()
+    a = create_laplace_2d(args.nx, args.nx, dtype=np.float32)
+    a.values *= np.float32(1.0 / 9.0)
+    print(f"generate: {time.perf_counter()-t0:.1f} s "
+          f"(n={a.nrows/1e6:.1f}M nnz={a.nnz/1e6:.0f}M)", flush=True)
+
+    t0 = time.perf_counter()
+    A = build_dist_matrix(a, n_devices=1, local_format="dia",
+                          dtype=np.float32)
+    b = A.to_dist(gaussian_bump(a.nrows, dtype=np.float32))
+    # warmup pull so the first d2h is not inside a timed phase
+    _ = float(b.reshape(-1)[7])
+    print(f"assemble+upload: {time.perf_counter()-t0:.1f} s", flush=True)
+
+    t0 = time.perf_counter()
+    h = amg_setup(a, A, aggregate="interval2d", interval_size=4,
+                  cycle=2, local_format="dia")
+    print(f"amg_setup: {time.perf_counter()-t0:.1f} s, "
+          f"{h.n_levels} levels", flush=True)
+
+    solve = jax.jit(lambda A_, bb, h_: cg(
+        A_.as_linear_operator(), bb, kmax=60, rtol=args.rtol,
+        preconditioner=h_.as_preconditioner()))
+    r = solve(A, b, h)
+    _ = float(r.rnorm)  # compile round
+    ts = []
+    for t in range(2):
+        bt = b * np.float32(1.0 + 1e-6 * (t + 1))  # defeat tunnel cache
+        t0 = time.perf_counter()
+        r = solve(A, bt, h)
+        _ = float(r.rnorm)
+        ts.append(time.perf_counter() - t0)
+    print(f"amg_pcg: iters={int(r.iterations)} "
+          f"converged={bool(r.converged)} solve={min(ts):.2f} s "
+          f"(trials {['%.2f' % x for x in ts]})", flush=True)
+
+    # floor-aware residual oracle vs the HOST matvec (f64). In fp32 the
+    # TRUE residual cannot beat ~eps_f32 * |A| |x| — just STORING x in
+    # f32 perturbs A x by that much (measured 3.3e-3 rel at 512^2,
+    # 1.37e-2 at 1024^2, ~nx^2 growth — O(1) here). The check: the host
+    # residual must sit UNDER that storage floor (a wrong operator would
+    # be O(1) ABOVE it at small scale and is caught by the 10M-scale
+    # dryrun oracles); f64-class truth comes from the refined leg below.
+    x_glob = np.asarray(A.from_dist(r.x), np.float64)
+    bh = np.asarray(A.from_dist(b), np.float64) * (1.0 + 1e-6 * 2)
+    bnorm = np.linalg.norm(bh)
+    host_rel = np.linalg.norm(bh - a.matvec(x_glob)) / bnorm
+    rep_rel = float(r.rnorm) / float(r.rnorm0)
+    floor = 1.2e-7 * np.abs(x_glob).max() * np.sqrt(a.nrows) / bnorm
+    print(f"oracle: host rel |r| {host_rel:.3e} (fp32 storage floor "
+          f"~{floor:.1e}) vs recursive {rep_rel:.3e}", flush=True)
+    assert host_rel <= max(8 * rep_rel, floor), "residual oracle FAIL"
+
+    # f64-class truth at 100M: AMG-preconditioned mixed-precision
+    # refinement (fp32 AMG-PCG inner + double-single residuals/updates)
+    from spmv_tpu.solvers.refine import cg_refined_dist
+
+    t0 = time.perf_counter()
+    rr = cg_refined_dist(a, np.asarray(A.from_dist(b), np.float64),
+                         n_devices=1, rtol=1e-10, inner_kmax=60,
+                         amg=dict(aggregate="interval2d", interval_size=4,
+                                  cycle=2, local_format="dia"))
+    t_ref = time.perf_counter() - t0
+    true_rel = (np.linalg.norm(np.asarray(A.from_dist(b), np.float64)
+                               - a.matvec(rr.x))
+                / np.linalg.norm(np.asarray(A.from_dist(b))))
+    print(f"amg-refined: outer={rr.outer_iterations} "
+          f"inner={rr.inner_iterations} true rel |r|={true_rel:.3e} "
+          f"total={t_ref:.1f} s (incl. its own DS+AMG setup)", flush=True)
+
+    if args.plain_kmax:
+        plain = jax.jit(lambda A_, bb: cg(
+            A_.as_linear_operator(), bb, kmax=args.plain_kmax,
+            rtol=args.rtol))
+        rp = plain(A, b)
+        _ = float(rp.rnorm)  # compile round
+        bt = b * np.float32(1.0 + 3e-6)
+        t0 = time.perf_counter()
+        rp = plain(A, bt)
+        _ = float(rp.rnorm)
+        print(f"plain cg: iters={int(rp.iterations)} "
+              f"converged={bool(rp.converged)} "
+              f"solve={time.perf_counter()-t0:.2f} s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
