@@ -235,3 +235,15 @@ def test_demo_eig_arnoldi_nonsymmetric():
     rho = float(stdout.split("spectral radius >= ")[1].split(",")[0])
     # 16x16 convection-diffusion: rho ~ 4 + 2*... around 8-9
     assert 6.0 < rho < 12.0
+
+
+def test_demo_cg_refine_amg_cli():
+    """--refine --amg: AMG-preconditioned mixed-precision refinement
+    through the CLI — TRUE f64-class residual printed and small."""
+    stdout = run_demo(
+        ["demos/demo_cg.py", "--lap2d", "48", "--cpu", "--devices", "2",
+         "--refine", "--amg", "--rtol", "1e-10", "--kmax", "100"]
+    )
+    assert "TRUE f64 residual" in stdout
+    rnorm = float(stdout.split("r.norm = ")[1].split()[0])
+    assert rnorm < 1e-8

@@ -92,23 +92,6 @@ def main():
           f"~{floor:.1e}) vs recursive {rep_rel:.3e}", flush=True)
     assert host_rel <= max(8 * rep_rel, floor), "residual oracle FAIL"
 
-    # f64-class truth at 100M: AMG-preconditioned mixed-precision
-    # refinement (fp32 AMG-PCG inner + double-single residuals/updates)
-    from spmv_tpu.solvers.refine import cg_refined_dist
-
-    t0 = time.perf_counter()
-    rr = cg_refined_dist(a, np.asarray(A.from_dist(b), np.float64),
-                         n_devices=1, rtol=1e-10, inner_kmax=60,
-                         amg=dict(aggregate="interval2d", interval_size=4,
-                                  cycle=2, local_format="dia"))
-    t_ref = time.perf_counter() - t0
-    true_rel = (np.linalg.norm(np.asarray(A.from_dist(b), np.float64)
-                               - a.matvec(rr.x))
-                / np.linalg.norm(np.asarray(A.from_dist(b))))
-    print(f"amg-refined: outer={rr.outer_iterations} "
-          f"inner={rr.inner_iterations} true rel |r|={true_rel:.3e} "
-          f"total={t_ref:.1f} s (incl. its own DS+AMG setup)", flush=True)
-
     if args.plain_kmax:
         plain = jax.jit(lambda A_, bb: cg(
             A_.as_linear_operator(), bb, kmax=args.plain_kmax,
@@ -122,6 +105,34 @@ def main():
         print(f"plain cg: iters={int(rp.iterations)} "
               f"converged={bool(rp.converged)} "
               f"solve={time.perf_counter()-t0:.2f} s", flush=True)
+        del plain, rp, bt
+
+    # f64-class truth at 100M: AMG-preconditioned mixed-precision
+    # refinement (fp32 AMG-PCG inner + double-single residuals/updates).
+    # FREE the first section's device buffers first — cg_refined_dist
+    # builds its own fp32 + DS (2 value planes) operators + hierarchy,
+    # and both sets at once exceed the 16 GB HBM (measured
+    # RESOURCE_EXHAUSTED on v5e).
+    from spmv_tpu.solvers.refine import cg_refined_dist
+
+    import gc
+
+    b_host = np.asarray(A.from_dist(b), np.float64)
+    del A, b, h, r, solve, x_glob
+    jax.clear_caches()
+    gc.collect()
+
+    t0 = time.perf_counter()
+    rr = cg_refined_dist(a, b_host, n_devices=1, rtol=1e-10,
+                         inner_kmax=60,
+                         amg=dict(aggregate="interval2d", interval_size=4,
+                                  cycle=2, local_format="dia"))
+    t_ref = time.perf_counter() - t0
+    true_rel = (np.linalg.norm(b_host - a.matvec(rr.x))
+                / np.linalg.norm(b_host))
+    print(f"amg-refined: outer={rr.outer_iterations} "
+          f"inner={rr.inner_iterations} true rel |r|={true_rel:.3e} "
+          f"total={t_ref:.1f} s (incl. its own DS+AMG setup)", flush=True)
     return 0
 
 
