@@ -93,19 +93,34 @@ def main():
     assert host_rel <= max(8 * rep_rel, floor), "residual oracle FAIL"
 
     if args.plain_kmax:
-        plain = jax.jit(lambda A_, bb: cg(
-            A_.as_linear_operator(), bb, kmax=args.plain_kmax,
-            rtol=args.rtol))
-        rp = plain(A, b)
-        _ = float(rp.rnorm)  # compile round
+        # CHUNKED dispatches with exact warm resume: one 30000-iteration
+        # while_loop is a single ~85 s device dispatch, which crashed the
+        # axon TPU worker at this scale ("TPU worker process crashed or
+        # restarted") — 2000-iteration chunks (~6 s each) continue the
+        # same Krylov sequence bitwise via cg's resume state.
+        chunk = 2000
+        plain = jax.jit(lambda A_, bb, x0_, res_: cg(
+            A_.as_linear_operator(), bb, x0=x0_, kmax=chunk,
+            rtol=args.rtol, resume=res_))
         bt = b * np.float32(1.0 + 3e-6)
+        rp = plain(A, bt, jnp_zeros := (bt * 0), None)
+        _ = float(rp.rnorm)  # compile round (restart-from-zero chunk)
         t0 = time.perf_counter()
-        rp = plain(A, bt)
+        done = 0
+        rp = None
+        x0_, res_ = bt * 0, None
+        while done < args.plain_kmax:
+            rp = plain(A, bt, x0_, res_)
+            done += int(rp.iterations)
+            x0_, res_ = rp.x, (rp.r, rp.p, rp.rnorm0 if res_ is None
+                               else res_[2])
+            if bool(rp.converged):
+                break
         _ = float(rp.rnorm)
-        print(f"plain cg: iters={int(rp.iterations)} "
+        print(f"plain cg: iters={done} "
               f"converged={bool(rp.converged)} "
               f"solve={time.perf_counter()-t0:.2f} s", flush=True)
-        del plain, rp, bt
+        del plain, rp, bt, x0_, res_
 
     # f64-class truth at 100M: AMG-preconditioned mixed-precision
     # refinement (fp32 AMG-PCG inner + double-single residuals/updates).
