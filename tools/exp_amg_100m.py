@@ -27,6 +27,17 @@ def main():
     ap.add_argument("--plain-kmax", type=int, default=30_000)
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--refined-only", action="store_true",
+                    help="skip the fp32 AMG-PCG section; run only the "
+                         "f64-class refined leg")
+    ap.add_argument("--lean-refined", action="store_true",
+                    help="unsmoothed 2x2 interval2d hierarchy for the "
+                         "refined leg: gather-table transfers instead of "
+                         "a 100M-row smoothed P matrix (~1.3 GB vs ~8+ GB "
+                         "— the smoothed hierarchy + the DS operator "
+                         "together exceed a single v5e's 16 GB HBM; "
+                         "near-mesh-independent 16/18/20 iters at "
+                         "512^2..2048^2)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +55,25 @@ def main():
     a.values *= np.float32(1.0 / 9.0)
     print(f"generate: {time.perf_counter()-t0:.1f} s "
           f"(n={a.nrows/1e6:.1f}M nnz={a.nnz/1e6:.0f}M)", flush=True)
+
+    if args.refined_only:
+        from spmv_tpu.solvers.refine import cg_refined_dist
+
+        b_host = gaussian_bump(a.nrows, dtype=np.float32).astype(np.float64)
+        amg_cfg = dict(aggregate="interval2d", cycle=2, local_format="dia",
+                       **(dict(interval_size=2, smooth=False)
+                          if args.lean_refined else dict(interval_size=4)))
+        t0 = time.perf_counter()
+        rr = cg_refined_dist(a, b_host, n_devices=1, rtol=1e-10,
+                             inner_kmax=80, amg=amg_cfg)
+        t_ref = time.perf_counter() - t0
+        true_rel = (np.linalg.norm(b_host - a.matvec(rr.x))
+                    / np.linalg.norm(b_host))
+        print(f"amg-refined: outer={rr.outer_iterations} "
+              f"inner={rr.inner_iterations} true rel |r|={true_rel:.3e} "
+              f"total={t_ref:.1f} s (incl. DS+AMG setup; "
+              f"lean={args.lean_refined})", flush=True)
+        return 0
 
     t0 = time.perf_counter()
     A = build_dist_matrix(a, n_devices=1, local_format="dia",
