@@ -89,10 +89,13 @@ def cg_refined(
     def residual_ds(dds_, bh2_, bl2_, xh2, xl2):
         """r = b - A x in double-single (both SpMV legs + subtraction).
         b passed as an argument (capture would embed it as a program
-        constant)."""
+        constant). Only the HIGH plane is returned: it is the correctly
+        rounded f32 image of the exactly-accumulated residual — all the
+        fp32 inner solve can consume; the sub-f32 tail rl would only be
+        held alive for nothing (0.4 GB at 100M rows)."""
         yh, yl = spmv_dia_ds_pallas_2d(dds_, xh2, xl2, interpret=not on_tpu)
-        rh, rl = ds_add(bh2_, bl2_, -yh, -yl)
-        return rh, rl
+        rh, _rl = ds_add(bh2_, bl2_, -yh, -yl)
+        return rh
 
     diag2 = None
     if jacobi:
@@ -131,7 +134,7 @@ def cg_refined(
     inner_total = 0
     converged = False
     for _ in range(max_outer):
-        rh2, rl2 = residual_ds(dds, bh2, bl2, xh2, xl2)
+        rh2 = residual_ds(dds, bh2, bl2, xh2, xl2)
         rnorm = float(jnp.linalg.norm(rh2.reshape(-1)[: n]))
         history.append(rnorm)
         if rnorm <= rtol * bnorm:
@@ -221,9 +224,10 @@ def cg_refined_dist(
 
     @jax.jit
     def residual(ads_, bh_, bl_, xh, xl):
+        # high plane only — see residual_ds in cg_refined for why
         yh, yl = ads_.matvec_ds(xh, xl)
-        rh, rl = ds_add(bh_, bl_, -yh, -yl)
-        return rh, rl, jnp.linalg.norm(rh)
+        rh, _rl = ds_add(bh_, bl_, -yh, -yl)
+        return rh, jnp.linalg.norm(rh)
 
     if hierarchy is not None:
         @jax.jit
@@ -249,7 +253,7 @@ def cg_refined_dist(
     inner_total = 0
     converged = False
     for _ in range(max_outer):
-        rh, rl, rnorm_dev = residual(ads, bh_d, bl_d, xh, xl)
+        rh, rnorm_dev = residual(ads, bh_d, bl_d, xh, xl)
         rnorm = float(rnorm_dev)
         history.append(rnorm)
         if rnorm <= rtol * bnorm:
