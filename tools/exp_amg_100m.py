@@ -27,17 +27,25 @@ def main():
     ap.add_argument("--plain-kmax", type=int, default=30_000)
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--max-outer", type=int, default=120,
+                    help="refinement passes: per-pass contraction is "
+                         "~eps_f32*kappa (the f32 correction's own "
+                         "residual floor) — legitimately ~0.6-0.8/pass "
+                         "at 50M rows, so deep-kappa scales need many "
+                         "cheap passes")
     ap.add_argument("--refined-only", action="store_true",
                     help="skip the fp32 AMG-PCG section; run only the "
                          "f64-class refined leg")
     ap.add_argument("--lean-refined", action="store_true",
-                    help="unsmoothed 2x2 interval2d hierarchy for the "
-                         "refined leg: gather-table transfers instead of "
-                         "a 100M-row smoothed P matrix (~1.3 GB vs ~8+ GB "
-                         "— the smoothed hierarchy + the DS operator "
-                         "together exceed a single v5e's 16 GB HBM; "
-                         "near-mesh-independent 16/18/20 iters at "
-                         "512^2..2048^2)")
+                    help="8x8-block smoothed interval2d V-cycle for the "
+                         "refined leg: 64x coarsening -> 3-4 levels, so "
+                         "the compiled cycle program + the double-single "
+                         "operator fit a single v5e's 16 GB HBM (the 4x4 "
+                         "W-cycle config OOMs there next to the DS "
+                         "operator; a 2x2 unsmoothed 10-level W-cycle "
+                         "OOMs at COMPILE — program buffers 14.2 GB). "
+                         "Mesh-INDEPENDENT 37/37/37 PCG iters at "
+                         "512^2..2048^2")
     args = ap.parse_args()
 
     import jax
@@ -60,12 +68,15 @@ def main():
         from spmv_tpu.solvers.refine import cg_refined_dist
 
         b_host = gaussian_bump(a.nrows, dtype=np.float32).astype(np.float64)
-        amg_cfg = dict(aggregate="interval2d", cycle=2, local_format="dia",
-                       **(dict(interval_size=2, smooth=False)
-                          if args.lean_refined else dict(interval_size=4)))
+        amg_cfg = (dict(aggregate="interval2d", interval_size=8, cycle=1,
+                        local_format="dia")
+                   if args.lean_refined else
+                   dict(aggregate="interval2d", interval_size=4, cycle=2,
+                        local_format="dia"))
         t0 = time.perf_counter()
         rr = cg_refined_dist(a, b_host, n_devices=1, rtol=1e-10,
-                             inner_kmax=80, amg=amg_cfg)
+                             inner_kmax=80, max_outer=args.max_outer,
+                             amg=amg_cfg)
         t_ref = time.perf_counter() - t0
         true_rel = (np.linalg.norm(b_host - a.matvec(rr.x))
                     / np.linalg.norm(b_host))
