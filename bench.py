@@ -218,6 +218,20 @@ def _solver_metrics(a, smoke: bool, rtol: float = 1e-6) -> dict:
     out["amg_pcg_iters"] = int(r.iterations)
     out["amg_pcg_converged"] = bool(r.converged)
     out["amg_pcg_rtol"] = rtol
+    # honesty keys: the convergence above is the RECURSIVE residual. In
+    # fp32 the TRUE residual is floored at ~eps_f32*|A||x| (storing x in
+    # f32 perturbs A x by that much) — ~0.1-1 relative at this kappa
+    # (BENCH_NOTES "fp32 true-residual storage floor"). Recompute |b-Ax|
+    # with the host f64 matvec and report it next to the floor estimate,
+    # so the JSON is self-auditing; f64-class truth is
+    # cg_refined_dist(amg=True) (50M-row chip record in BENCH_NOTES).
+    xg = np.asarray(A.from_dist(r.x), np.float64)
+    bg = np.asarray(A.from_dist(bt), np.float64)
+    bn = float(np.linalg.norm(bg))
+    out["amg_pcg_true_rel_residual"] = float(
+        np.linalg.norm(bg - a.matvec(xg)) / max(bn, 1e-300))
+    out["fp32_true_residual_floor_est"] = float(
+        1.2e-7 * np.abs(xg).max() * np.sqrt(a.nrows) / max(bn, 1e-300))
     return out
 
 
