@@ -40,12 +40,14 @@ def main():
                     help="8x8-block smoothed interval2d V-cycle for the "
                          "refined leg: 64x coarsening -> 3-4 levels, so "
                          "the compiled cycle program + the double-single "
-                         "operator fit a single v5e's 16 GB HBM (the 4x4 "
-                         "W-cycle config OOMs there next to the DS "
-                         "operator; a 2x2 unsmoothed 10-level W-cycle "
-                         "OOMs at COMPILE — program buffers 14.2 GB). "
-                         "Mesh-INDEPENDENT 37/37/37 PCG iters at "
-                         "512^2..2048^2")
+                         "operator fit a single v5e's 16 GB HBM. CAVEAT "
+                         "(chip-measured): 8x8 coarsening loses mesh "
+                         "independence past 2048^2 (37 -> 83 V / 28 -> "
+                         "45 W at 4096^2) and STALLED the 100M refined "
+                         "leg — the mesh-independent 4x4 W config (the "
+                         "default here) is the one that converges, and "
+                         "at 100M it needs >1 chip's HBM (BENCH_NOTES "
+                         "weak-scale capstone failure ledger)")
     args = ap.parse_args()
 
     import jax
