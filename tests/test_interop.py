@@ -120,3 +120,17 @@ def test_interop_to_dist_matrix_end_to_end():
     y = jax.jit(lambda A_, x_: A_.matvec(x_))(A, A.to_dist(x))
     np.testing.assert_allclose(np.asarray(A.from_dist(y)), a.matvec(x),
                                rtol=1e-12)
+
+
+def test_scipy_complex_round_trip():
+    """Complex matrices bridge too (the ELL/DIA XLA paths accept them)."""
+    rng = np.random.default_rng(4)
+    d = rng.standard_normal((9, 9)) + 1j * rng.standard_normal((9, 9))
+    d[np.abs(d.real) < 0.8] = 0
+    s = scipy_sparse.csr_array(d)
+    b = from_scipy(s)
+    assert b.dtype == np.complex128
+    np.testing.assert_allclose(b.to_dense(), s.todense())
+    np.testing.assert_allclose(to_scipy(b).todense(), s.todense())
+    x = rng.standard_normal(9) + 1j * rng.standard_normal(9)
+    np.testing.assert_allclose(b.matvec(x), s @ x)
